@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+
+/** The relational operator inventory from SURVEY.md §2 (joins J1-J5, aggs
+  * A1-A7, windows W1-W2, sorts/limits T1-T5, set ops U1-U2, predicates
+  * P2-P10), exercised over the driver's TPC-H-ish testdata with DuckDB
+  * oracles.
+  *
+  * Reference semantics being reproduced (file:line in /root/reference):
+  *  - multi-way FK joins & CTE corpus: mofdbsql_database/Mofdb_Agent/agent.py:100-123,
+  *    mofdbsql_database/mofdb_test/test.py:98-352
+  *  - window rank / partition-count top-fraction: Mofdb_Agent/agent.py:135-145
+  *  - deterministic GROUP_CONCAT: mofdb_test/test.py:179
+  *  - parametric range/equality/time predicates: mofdb_database/Mofdb_Server/server.py:62-71,
+  *    openlam_database/Openlam_Server/server.py:63-66
+  *
+  * Scale notes: dimension tables (region, nation) are explicitly
+  * broadcast; fact-fact joins shuffle on their equi-keys so AQE can pick
+  * sort-merge vs shuffled-hash and handle skew. Self/theta joins are
+  * equi-partitioned on the join key with the inequality as a residual
+  * predicate (never a nested-loop cross product).
+  */
+object RelationalQueries {
+
+  /** Exact, order-independent sum of a money-like double column. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A1: GROUP BY + COUNT/SUM/MIN/MAX + exact decimal revenue
+    QueryDef.sql("q01_agg_pricing",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // A2: conditional count + percentage
+    QueryDef.sql("q02_agg_conditional",
+      """SELECT l_returnflag, count(*) AS n_total,
+        |  CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS n_disc,
+        |  CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS DOUBLE) * 100 / count(*) AS pct_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("l_discount") > 0.05, 1)).as("n_disc"),
+          (count(when(col("l_discount") > 0.05, 1)).cast("double") * 100 / count(lit(1))).as("pct_disc"))
+        .orderBy("l_returnflag")
+    },
+
+    // A3: HAVING
+    QueryDef.sql("q03_agg_having",
+      """SELECT o_custkey, count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+        |ORDER BY n_orders DESC, o_custkey""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 12)
+        .orderBy(desc("n_orders"), col("o_custkey"))
+    },
+
+    // A4: deterministic GROUP_CONCAT (sorted collect_list)
+    QueryDef.sql("q04_agg_groupconcat",
+      """SELECT l_orderkey,
+        |  string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY CAST(l_partkey AS VARCHAR)) AS part_sig,
+        |  count(*) AS n_parts
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("l_partkey").cast("string")))).as("part_sig"),
+          count(lit(1)).as("n_parts"))
+        .orderBy("l_orderkey")
+    },
+
+    // A5: single-row global aggregate
+    QueryDef.sql("q05_agg_global",
+      """SELECT count(*) AS n_rows,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
+    },
+
+    // A6: multi-level aggregation (agg of agg)
+    QueryDef.sql("q06_agg_multilevel",
+      """WITH per AS (
+        |  SELECT l_partkey, l_returnflag, sum(l_quantity) / count(*) AS aq
+        |  FROM lineitem GROUP BY l_partkey, l_returnflag)
+        |SELECT l_partkey, min(aq) AS min_aq, max(aq) AS max_aq, count(*) AS n_flags
+        |FROM per GROUP BY l_partkey ORDER BY l_partkey""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_partkey", "l_returnflag")
+        .agg((sum(col("l_quantity")) / count(lit(1))).as("aq"))
+        .groupBy("l_partkey")
+        .agg(min(col("aq")).as("min_aq"), max(col("aq")).as("max_aq"),
+             count(lit(1)).as("n_flags"))
+        .orderBy("l_partkey")
+    },
+
+    // J1: 5-way FK join chain with broadcast dimensions
+    QueryDef.sql("q07_join_chain5",
+      """SELECT r_name, n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      val r = region(s, d); val n = nation(s, d); val c = customer(s, d)
+      val o = orders(s, d); val l = lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // J2: self-join (pairs within one order)
+    QueryDef.sql("q08_join_self",
+      """SELECT l1.l_orderkey AS okey, count(*) AS n_pairs
+        |FROM lineitem l1 JOIN lineitem l2
+        |  ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber
+        |GROUP BY l1.l_orderkey ORDER BY okey""".stripMargin) { (s, d) =>
+      val l1 = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber").as("ln1"))
+      val l2 = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber").as("ln2"))
+      l1.join(l2, Seq("l_orderkey")).filter(col("ln1") < col("ln2"))
+        .groupBy(col("l_orderkey").as("okey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("okey")
+    },
+
+    // J3: theta self-join — equi-part on nation, inequality residual
+    QueryDef.sql("q09_join_theta",
+      """SELECT s1.s_suppkey AS sk1, s2.s_suppkey AS sk2, s1.s_nationkey AS nkey
+        |FROM supplier s1 JOIN supplier s2
+        |  ON s1.s_nationkey = s2.s_nationkey AND s1.s_suppkey < s2.s_suppkey
+        |WHERE abs(s1.s_acctbal - s2.s_acctbal) < 1000
+        |ORDER BY sk1, sk2""".stripMargin) { (s, d) =>
+      val s1 = supplier(s, d).select(col("s_suppkey").as("sk1"),
+        col("s_nationkey").as("nkey"), col("s_acctbal").as("bal1"))
+      val s2 = supplier(s, d).select(col("s_suppkey").as("sk2"),
+        col("s_nationkey").as("nkey"), col("s_acctbal").as("bal2"))
+      s1.join(s2, Seq("nkey"))
+        .filter(col("sk1") < col("sk2") && abs(col("bal1") - col("bal2")) < 1000)
+        .select("sk1", "sk2", "nkey")
+        .orderBy("sk1", "sk2")
+    },
+
+    // J4: CROSS JOIN against 1-row global aggregate (broadcast)
+    QueryDef.sql("q10_join_cross_agg",
+      """WITH stats AS (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_above
+        |FROM orders CROSS JOIN stats
+        |WHERE o_totalprice > avg_price
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      val stats = o.agg((dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+      o.crossJoin(broadcast(stats))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy("o_orderpriority")
+    },
+
+    // J5: CTE-to-CTE join of two aggregates (decimal kept exact until the end)
+    QueryDef.sql("q11_join_cte",
+      """WITH co AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(n_orders) AS BIGINT) AS sum_orders,
+        |  CAST(sum(tot) AS DOUBLE) AS seg_tot
+        |FROM customer JOIN co ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val co = orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).as("tot"))
+      customer(s, d).join(co, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+             sum(col("n_orders")).cast("bigint").as("sum_orders"),
+             sum(col("tot")).cast("double").as("seg_tot"))
+        .orderBy("c_mktsegment")
+    },
+
+    // W1: ROW_NUMBER rank per partition, top-3
+    QueryDef.sql("q12_window_rank",
+      """WITH r AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM r WHERE rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment").orderBy(desc("c_acctbal"), col("c_custkey"))
+      customer(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+        .orderBy("c_mktsegment", "rn")
+    },
+
+    // W2: COUNT(*) OVER partition — top-25% per nation
+    QueryDef.sql("q13_window_topfrac",
+      """WITH r AS (
+        |  SELECT s_nationkey, s_suppkey, s_acctbal,
+        |    row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rn,
+        |    count(*) OVER (PARTITION BY s_nationkey) AS cnt
+        |  FROM supplier)
+        |SELECT s_nationkey, s_suppkey, rn, cnt FROM r WHERE rn <= cnt * 0.25
+        |ORDER BY s_nationkey, rn""".stripMargin) { (s, d) =>
+      val wOrd = Window.partitionBy("s_nationkey").orderBy(desc("s_acctbal"), col("s_suppkey"))
+      val wAll = Window.partitionBy("s_nationkey")
+      supplier(s, d)
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .filter(col("rn") <= col("cnt") * 0.25)
+        .select("s_nationkey", "s_suppkey", "rn", "cnt")
+        .orderBy("s_nationkey", "rn")
+    },
+
+    // T1+T3: global top-k (TakeOrderedAndProject, no full sort)
+    QueryDef.sql("q14_sort_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 30""".stripMargin) { (s, d) =>
+      orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(30)
+    },
+
+    // U2: SELECT DISTINCT
+    QueryDef.sql("q15_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // U1: union of heterogeneous sources
+    QueryDef.sql("q16_union",
+      """SELECT name, src FROM (
+        |  SELECT c_name AS name, 'customer' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_name AS name, 'supplier' AS src FROM supplier)
+        |ORDER BY name, src LIMIT 200""".stripMargin) { (s, d) =>
+      val c = customer(s, d).select(col("c_name").as("name"), lit("customer").as("src"))
+      val p = supplier(s, d).select(col("s_name").as("name"), lit("supplier").as("src"))
+      c.unionByName(p).orderBy("name", "src").limit(200)
+    },
+
+    // P2+P4+P9: range + equality + null-guard predicates (all pushed to scan)
+    QueryDef.sql("q17_pred_range",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_returnflag = 'R'
+        |  AND l_shipdate IS NOT NULL AND l_extendedprice >= 20000
+        |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_quantity") >= 10 && col("l_quantity") <= 20 &&
+                col("l_returnflag") === "R" && col("l_shipdate").isNotNull &&
+                col("l_extendedprice") >= 20000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber").limit(500)
+    },
+
+    // P6: substring/LIKE family — contains / startsWith / endsWith
+    QueryDef.sql("q18_pred_like",
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_name LIKE '%widget%' AND (p_type LIKE 'PROMO%' OR p_name LIKE '%bolt')
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      part(s, d)
+        .filter(col("p_name").contains("widget") &&
+                (col("p_type").startsWith("PROMO") || col("p_name").endsWith("bolt")))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")
+    },
+
+    // P10: time-window predicate (dates output as DATE for engine parity)
+    QueryDef.sql("q19_pred_time",
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |ORDER BY o_orderkey LIMIT 500""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                col("o_orderdate") < to_timestamp(lit("1996-07-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"),
+                col("o_totalprice"))
+        .orderBy("o_orderkey").limit(500)
+    },
+
+    // semi + anti joins (EXISTS / NOT EXISTS rewrites of the J2 pattern)
+    QueryDef.sql("q20_semi_anti",
+      """SELECT c_mktsegment, 'with' AS kind, count(*) AS n
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT c_mktsegment, 'without' AS kind, count(*) AS n
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment, kind""".stripMargin) { (s, d) =>
+      val c = customer(s, d); val o = orders(s, d)
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("with"))
+      val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("without"))
+      withO.unionByName(withoutO)
+        .select("c_mktsegment", "kind", "n")
+        .orderBy("c_mktsegment", "kind")
+    }
+  )
+}

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for each query, read <outDir>/<name> parquet (Spark result), run the
+oracle SQL from oracle_sql.json in DuckDB over the same sf tables,
+sort columns by name + rows by all columns, and compare cell values.
+"""
+import json, math, sys
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(df):
+    cols = sorted(df.columns)
+    rows = [tuple(norm(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    return str(v)
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        spark_df = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        duck_df = con.execute(sql).df()
+        sc, sr = canon(spark_df)
+        dc, dr = canon(duck_df)
+        if sc != dc:
+            print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
+            fails += 1
+        elif sr != dr:
+            n = sum(1 for a, b in zip(sr, dr) if a != b) + abs(len(sr) - len(dr))
+            print(f"FAIL {name}: rows differ (spark={len(sr)} duck={len(dr)}, {n} mismatched)")
+            for a, b in list(zip(sr, dr))[:200]:
+                if a != b:
+                    print(f"   spark={a}\n   duck ={b}")
+                    break
+            fails += 1
+        else:
+            print(f"OK   {name}: {len(sr)} rows")
+    except Exception as e:
+        print(f"ERR  {name}: {e}")
+        fails += 1
+print(f"\n{'PASS' if fails == 0 else 'FAIL'}: {len(oracle) - fails}/{len(oracle)} oracle-matched")
+sys.exit(1 if fails else 0)
