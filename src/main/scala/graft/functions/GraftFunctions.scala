@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level API for the domain function library (SURVEY §2.7 F1-F13).
+  *
+  * Spark-first design: everything expressible with built-in (codegen'd)
+  * functions is — `translate` for unicode digit normalization, map literals
+  * + `element_at` for space-group lookups, `aggregate`/`transform` for
+  * formation energy. Only genuine string-parsing (Hill formula, TCOD
+  * respacing) drops to a UDF.
+  */
+object GraftFunctions {
+
+  // F1 — unicode digit normalization, pure built-in translate (codegen'd)
+  def normalize_formula(c: Column): Column =
+    translate(c, Formulas.TranslateFrom, Formulas.TranslateTo)
+
+  // F2 — Hill canonicalization (string parser → UDF; null-safe)
+  private val hillUdf = udf((s: String) => Formulas.hillFormulaOrNull(s))
+  def hill_formula(c: Column): Column = hillUdf(c)
+
+  // F4 — space-group number → short HM / unicode symbol via map literals
+  private lazy val shortHMCol: Column =
+    typedlit(SpaceGroups.shortHM.zipWithIndex.map { case (s, i) => (i + 1) -> s }.toMap)
+  private lazy val unicodeCol: Column = typedlit(SpaceGroups.unicodeSymbol)
+
+  def spg_short_hm(n: Column): Column = element_at(shortHMCol, n.cast("int"))
+  def spg_unicode(n: Column): Column  = element_at(unicodeCol, n.cast("int"))
+
+  private val tcodUdf = udf((s: String) =>
+    if (s == null) null else SpaceGroups.toTcodFormat(s))
+  def spg_tcod(hm: Column): Column = tcodUdf(hm)
+
+  // F13 — formation energy per atom, pure built-ins:
+  // (energy − Σ ref[site]) / natoms; null when a site element is unknown
+  // (element_at yields null which propagates through the fold) or the site
+  // list is empty.
+  private lazy val energyRefCol: Column = typedlit(DomainFunctions.EnergyRef)
+  def e_form_per_atom(speciesAtSites: Column, energy: Column): Column =
+    when(speciesAtSites.isNull || size(speciesAtSites) === 0, lit(null))
+      .otherwise(
+        (energy - aggregate(
+          transform(speciesAtSites, e => element_at(energyRefCol, e)),
+          lit(0.0), (acc, x) => acc + x)) / size(speciesAtSites))
+
+  // F11 — stable run ids: sha1(filter)[:8]
+  def run_id(c: Column): Column = substring(sha1(c), 1, 8)
+
+  /** SQL-name registration so `spark.sql` surfaces can call these. */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("normalize_formula",
+      (s: String) => if (s == null) null else Formulas.normalizeFormula(s))
+    spark.udf.register("hill_formula", (s: String) => Formulas.hillFormulaOrNull(s))
+    spark.udf.register("spg_short_hm",
+      (n: Int) => SpaceGroups.fromNumber(n).orNull)
+    spark.udf.register("spg_unicode",
+      (n: Int) => SpaceGroups.unicodeSymbol.get(n).orNull)
+    spark.udf.register("spg_tcod",
+      (s: String) => if (s == null) null else SpaceGroups.toTcodFormat(s))
+    spark.udf.register("e_form_per_atom",
+      (species: Seq[String], energy: Double) =>
+        DomainFunctions.eFormPerAtom(species, energy).map(Double.box).orNull)
+  }
+}
