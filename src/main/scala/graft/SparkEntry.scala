@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    RelationalQueries.defs ++ FunctionQueries.defs ++ OptimadeQueries.defs
+    RelationalQueries.defs ++ FunctionQueries.defs ++ OptimadeQueries.defs ++
+      SqlSurfaceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
