@@ -1,0 +1,94 @@
+package graft.federate
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Golden cases produced by executing the reference implementation
+  * (optimade_database/Optimade_Server/utils.py:253-384) on fixed inputs,
+  * plus seeded property sweeps over random stats (SURVEY §5 invariants).
+  */
+class QuotaPlannerSpec extends AnyFunSuite {
+
+  private def plan(stats: QuotaPlanner.Stats, n: Int): Map[String, Map[String, Int]] =
+    QuotaPlanner.distributeQuotaFair(stats, n)
+      .map { case (c, us) => c -> us.toMap }.toMap
+
+  test("golden: equal split with remainder to earliest clause") {
+    assert(plan(Seq("a" -> Seq("u1" -> 10, "u2" -> 10), "b" -> Seq("u3" -> 10)), 10) ==
+      Map("a" -> Map("u1" -> 3, "u2" -> 2), "b" -> Map("u3" -> 5)))
+  }
+
+  test("golden: capacity-bound clauses water-fill into the big one") {
+    assert(plan(Seq("a" -> Seq("u1" -> 2), "b" -> Seq("u2" -> 100), "c" -> Seq("u3" -> 5)), 30) ==
+      Map("a" -> Map("u1" -> 2), "b" -> Map("u2" -> 23), "c" -> Map("u3" -> 5)))
+  }
+
+  test("golden: zero-capacity clause excluded; total capped by capacity") {
+    assert(plan(Seq("a" -> Seq("u1" -> 0), "b" -> Seq("u2" -> 7)), 10) ==
+      Map("a" -> Map("u1" -> 0), "b" -> Map("u2" -> 7)))
+  }
+
+  test("golden: intra-clause URL water-fill respects URL caps") {
+    assert(plan(Seq("a" -> Seq("u1" -> 3, "u2" -> 1, "u3" -> 8)), 9) ==
+      Map("a" -> Map("u1" -> 3, "u2" -> 1, "u3" -> 5)))
+  }
+
+  test("golden: all capacity-bound") {
+    assert(plan(Seq("a" -> Seq("u1" -> 1), "b" -> Seq("u2" -> 1), "c" -> Seq("u3" -> 1)), 10) ==
+      Map("a" -> Map("u1" -> 1), "b" -> Map("u2" -> 1), "c" -> Map("u3" -> 1)))
+  }
+
+  test("golden: mixed multi-url with zero cap url") {
+    assert(plan(Seq("a" -> Seq("u1" -> 5, "u2" -> 0),
+                    "b" -> Seq("u3" -> 2, "u4" -> 2),
+                    "c" -> Seq("u5" -> 9)), 14) ==
+      Map("a" -> Map("u1" -> 5, "u2" -> 0),
+          "b" -> Map("u3" -> 2, "u4" -> 2),
+          "c" -> Map("u5" -> 5)))
+  }
+
+  test("golden: empty stats / zero n") {
+    assert(QuotaPlanner.distributeQuotaFair(Seq.empty, 5).isEmpty)
+    assert(QuotaPlanner.distributeQuotaFair(Seq("a" -> Seq("u1" -> 4)), 0).isEmpty)
+  }
+
+  private def randomStats(rnd: Random): QuotaPlanner.Stats =
+    (0 until (1 + rnd.nextInt(6))).map { ci =>
+      s"c$ci" -> (0 until (1 + rnd.nextInt(4))).map { ui =>
+        (s"c$ci-u$ui", rnd.nextInt(51))
+      }
+    }
+
+  test("invariant sweep: Σ plan = min(n, Σ caps); caps respected; fairness ±1") {
+    val rnd = new Random(42)
+    (1 to 1000).foreach { _ =>
+      val stats = randomStats(rnd)
+      val n = rnd.nextInt(201)
+      val p = QuotaPlanner.distributeQuotaFair(stats, n)
+      val totalCap = stats.flatMap(_._2.map(_._2)).sum
+      if (n > 0) {
+        assert(QuotaPlanner.planTotal(p) == math.min(n, totalCap),
+          s"total mismatch: stats=$stats n=$n plan=$p")
+        val caps = stats.flatMap { case (c, us) => us.map { case (u, cap) => (c, u) -> cap } }.toMap
+        p.foreach { case (c, us) => us.foreach { case (u, q) =>
+          assert(q >= 0 && q <= caps((c, u)), s"cap violated for $c/$u: $q > ${caps((c, u))}")
+        }}
+        // fairness: clauses NOT at capacity must be within 1 of each other
+        val capByClause = stats.map { case (c, us) => c -> us.map(_._2).sum }.toMap
+        val totals = p.map { case (c, us) => c -> us.map(_._2).sum }.toMap
+        val unconstrained = totals.filter { case (c, t) => capByClause(c) > 0 && t < capByClause(c) }
+        if (unconstrained.size > 1) {
+          val ts = unconstrained.values
+          assert(ts.max - ts.min <= 1,
+            s"unconstrained totals differ >1: stats=$stats n=$n totals=$totals")
+        }
+      } else assert(p.isEmpty)
+    }
+  }
+
+  test("invariant: insertion order stability — remainder favors earlier clauses") {
+    val p = plan(Seq("z" -> Seq("u1" -> 100), "a" -> Seq("u2" -> 100)), 5)
+    // 'z' listed first gets the extra unit despite sorting after 'a'
+    assert(p("z")("u1") == 3 && p("a")("u2") == 2)
+  }
+}
