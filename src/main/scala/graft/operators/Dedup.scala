@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH
+  * near-dup, SimHash near-dup, n-gram Jaccard verification, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (the whole point of these implementations):
+  *  - NEVER all-pairs: candidate generation is always a bucket join
+  *    (LSH bands / SimHash blocks / hyperplane-sign buckets), so the
+  *    shuffle key is the bucket and cost is Σ bucket²  not n².
+  *  - signatures are computed with Catalyst higher-order functions
+  *    (transform/aggregate over the token array) — no Python/Scala UDF in
+  *    the per-row path, stays in codegen.
+  *  - pair verification (exact Jaccard / cosine) runs only on candidates.
+  *  - survivors are chosen deterministically (min id per cluster) via a
+  *    window, not dropDuplicates.
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Exact dedup on a normalized-text hash: winner = min(idCol) per group.
+    * Returns the surviving rows. */
+  def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-dup groups: hash → size + surviving id (for audit/reporting). */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("survivor_id"))
+
+  // ---------- shingles + MinHash + LSH ----------
+
+  /** Word k-shingles of a token array: overlapping k-grams joined by a
+    * space — transform over an index sequence, no explode needed. */
+  def wordShingles(tokens: Column, k: Int): Column =
+    when(size(tokens) < k, array(concat_ws(" ", tokens)))
+      .otherwise(transform(
+        sequence(lit(0), size(tokens) - k),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
+
+  /** n-hash MinHash signature: sig[i] = min over shingles of
+    * xxhash64(shingle, i). Seeding is by concatenating the hash index —
+    * xxhash64's own seed is fixed in the SQL surface. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      aggregate(shingles, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(concat(s, lit("#"), i)))))
+
+  /** LSH banding: split the signature into `bands` equal rows and hash
+    * each band → (band_idx, band_hash) bucket keys, exploded to rows. */
+  def lshBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+             xxhash64(concat_ws(",",
+               transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+                 x => x.cast("string")))).as("bucket")))
+
+  /** Candidate near-dup pairs via MinHash LSH.
+    * @return (id_a, id_b) with id_a < id_b, distinct. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignature(
+      wordShingles(TextAnalysis.tokens(col(textCol)), shingleK), numHashes)
+    val bucketed = df
+      .select(col(idCol).as("id"), explode(lshBuckets(sig, bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val a = bucketed.select(col("id").as("id_a"), col("band"), col("bucket"))
+    val b = bucketed.select(col("id").as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact set-Jaccard between two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /** Full MinHash near-dup pipeline: LSH candidates verified with exact
+    * shingle Jaccard ≥ threshold. Returns (id_a, id_b, jaccard). */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingleK: Int = 3,
+                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands)
+    val sh = df.select(col(idCol).as("id"),
+      wordShingles(TextAnalysis.tokens(col(textCol)), shingleK).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Near-dup clustering → survivors: connected components approximated by
+    * "survivor = min id among (self ∪ smaller near-dup partners)" — one
+    * pass, no iteration; exact for the common star/clique shapes of dup
+    * clusters. Returns df filtered to survivors. */
+  def minhashSurvivors(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double): DataFrame = {
+    val dupIds = minhashNearDups(df, idCol, textCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  // ---------- SimHash ----------
+
+  /** Per-token ±1 votes per bit of xxhash64(token), summed over tokens
+    * (pure Catalyst: transform over bit indices + zip_with inside
+    * aggregate); sign of each vote → simhash bit. */
+  def simhashSigns(tokens: Column): Column =
+    aggregate(
+      tokens,
+      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+      (acc, t) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          i => call_function("shiftrightunsigned", xxhash64(t), i).bitwiseAND(lit(1L)) * 2 - 1),
+        (x, y) => x + y))
+
+  def simhash64(tokens: Column): Column =
+    transform(simhashSigns(tokens), v => when(v > 0, 1).otherwise(0))
+
+  /** 16-bit block keys b0..b3 of the simhash bit array. */
+  def simhashBlocks(bits: Column): Column =
+    transform(sequence(lit(0), lit(3)), b =>
+      aggregate(
+        zip_with(slice(bits, b * 16 + 1, lit(16)),
+                 sequence(lit(0), lit(15)),
+                 (bit, pos) => bit.cast("long") * call_function("shiftleft", lit(1L), pos)),
+        lit(0L), (acc, x) => acc + x))
+
+  /** Hamming distance between two simhash bit arrays. */
+  def hamming(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x =!= y), p => p))
+
+  /** SimHash near-dup pairs: block-bucket candidates (hamming ≤ 3 is
+    * guaranteed recall by pigeonhole over the 4 blocks) verified with the
+    * exact hamming distance. Returns (id_a, id_b, hamming). */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"),
+      simhash64(TextAnalysis.tokens(col(textCol))).as("bits"))
+    val bucketed = withSig.select(col("id"), col("bits"),
+      posexplode(simhashBlocks(col("bits"))).as(Seq("block_idx", "block_key")))
+    val a = bucketed.select(col("id").as("id_a"), col("bits").as("bits_a"),
+      col("block_idx"), col("block_key"))
+    val b = bucketed.select(col("id").as("id_b"), col("bits").as("bits_b"),
+      col("block_idx"), col("block_key"))
+    a.join(b, Seq("block_idx", "block_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("bits_a"), col("bits_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------- embedding cosine near-dup ----------
+
+  /** Deterministic pseudo-random unit hyperplanes for sign-LSH. */
+  def hyperplanes(dim: Int, n: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n) {
+      val v = Seq.fill(dim)(rnd.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / norm)
+    }
+  }
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-LSH bucket key: one bit per hyperplane. */
+  def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    aggregate(
+      zip_with(
+        transform(typedlit(planes), p => dot(vec, p)),
+        sequence(lit(0), lit(planes.size - 1)),
+        (d, i) => when(d > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Embedding near-dup pairs: bucket by hyperplane signs, verify cosine ≥
+    * threshold inside buckets. `bits` controls bucket granularity
+    * (recall/cost tradeoff; candidates must agree on ALL bits). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(dim, bits)
+    val v = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("bucket", signBucket(col("v"), planes))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

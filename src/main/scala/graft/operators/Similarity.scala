@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    Queries are broadcast (a top-k search has few queries by
+  *    construction); the corpus streams through codegen'd higher-order
+  *    expressions, ranked per query by a window. At 100 TB the corpus side
+  *    stays partition-parallel and nothing but (query × k) rows survive
+  *    the rank filter.
+  *  - [[lshTopK]]: sign-LSH bucketed search with multiprobe (flip each of
+  *    the `bits` bucket bits) — the scale path: the corpus is bucketed
+  *    once (shuffle on bucket key), each query probes 1+bits buckets, so
+  *    cost per query is the bucket occupancy, not the corpus size. Recall
+  *    vs the exact baseline is asserted in SimilaritySpec.
+  */
+object Similarity {
+
+  import Dedup.{cosine, dot, norm, signBucket, hyperplanes}
+
+  /** Exact cosine top-k: returns (queryIdCol, corpusIdCol, sim, rank).
+    * Similarity is rounded to 6 dp and ranking is tie-broken by corpus id
+    * so results are deterministic across engines and runs. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     queryIdCol: String, corpusIdCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv")))
+    val c = corpus.select(col(corpusIdCol).as("corpus_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val scored = c.crossJoin(q)
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "sim", "rank")
+  }
+
+  /** Sign-LSH ANN top-k with multiprobe: each query searches its own
+    * bucket plus the `bits` hamming-1 buckets. Same output shape as
+    * [[bruteForceTopK]]; approximate (rank within retrieved candidates). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              queryIdCol: String, corpusIdCol: String,
+              vecCol: String, k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(dim, bits)
+    val c = corpus.select(col(corpusIdCol).as("corpus_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+      .withColumn("bucket", signBucket(col("cv"), planes))
+    // query probes: own bucket + flip each bit once
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .withColumn("qbucket", signBucket(col("qv"), planes))
+      .withColumn("probe", explode(concat(
+        array(col("qbucket")),
+        transform(sequence(lit(0), lit(bits - 1)),
+          i => col("qbucket").bitwiseXOR(call_function("shiftleft", lit(1L), i)))))))
+    val scored = c.join(q, c("bucket") === q("probe"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "sim", "rank")
+  }
+
+  /** k-NN classification shape: majority label among the top-k neighbors
+    * (deterministic tie-break by label). */
+  def knnPredict(queries: DataFrame, corpus: DataFrame,
+                 queryIdCol: String, corpusIdCol: String,
+                 vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val topk = bruteForceTopK(queries, corpus, queryIdCol, corpusIdCol, vecCol, k)
+    val labels = corpus.select(col(corpusIdCol).as("corpus_id"), col(labelCol).as("label"))
+    topk.join(labels, Seq("corpus_id"))
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("votes"), col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("predicted"), col("votes"))
+  }
+}

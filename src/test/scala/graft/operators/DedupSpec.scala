@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+      (3L, "completely different content about spark catalyst optimizer internals"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+      (5L, "another unrelated document mentioning parquet columnar storage format"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup: min-id survivor per identical text") {
+    val surv = Dedup.exactSurvivors(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 2L, 3L, 5L)) // 4 collapsed into 1
+    val groups = Dedup.exactGroups(docs, "text", "doc_id")
+      .filter(col("n_copies") > 1).collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("survivor_id") == 1L
+      && groups.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("word shingles") {
+    import spark.implicits._
+    val sh = Seq(("a b c d")).toDF("t")
+      .select(Dedup.wordShingles(split(col("t"), " "), 2).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c d"))
+    // short text falls back to whole-string shingle
+    val short = Seq(("a b")).toDF("t")
+      .select(Dedup.wordShingles(split(col("t"), " "), 3).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairSet.contains((1L, 2L)) && pairSet.contains((2L, 4L))) // near-dup
+    assert(!pairSet.exists { case (a, b) => Set(a, b).contains(3L) || Set(a, b).contains(5L) })
+    val j14 = pairs.find(p => p._1 == 1L && p._2 == 4L).get._3
+    assert(j14 == 1.0)
+  }
+
+  test("minhash survivors drop later near-dups") {
+    val surv = Dedup.minhashSurvivors(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 3L, 5L))
+  }
+
+  test("simhash: identical text → hamming 0 and found via block buckets") {
+    // NB: simhash hamming for a one-token edit on a ~13-token doc is large
+    // (each vote is a sum of few ±1s), so only the exact pair is asserted;
+    // the near-dup use case needs MinHash (above) for short docs.
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 4L)) == 0)
+    val tight = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.contains((1L, 4L)))
+    assert(!tight.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("simhash hamming is small for long docs with small edits") {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val edited = base.replace("tok40", "changed")
+    val ldocs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val h = Dedup.simhashNearDups(ldocs, "doc_id", "text", maxHamming = 64)
+      .collect().map(r => r.getInt(2)).headOption
+    // one token of 80 changed → few vote flips expected; assert generous bound
+    h.foreach(d => assert(d <= 20, s"hamming $d unexpectedly large"))
+  }
+
+  test("embedding near-dup finds planted copies via sign-LSH buckets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 50).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val copies = base.take(3).map { case (id, v) => (id + 1000L, v.clone()) }
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "vec_id", "embedding",
+      threshold = 0.99, bits = 6, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 1000L), (1L, 1001L), (2L, 1002L)).subsetOf(pairs))
+  }
+
+  test("jaccard column function") {
+    import spark.implicits._
+    val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("x", "y").select(Dedup.jaccard(col("x"), col("y"))).collect().head.getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+}
