@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.streaming.EventStreams
+import graft.tables.Tables
+
+/** Batch twins of the streaming computations, oracle-checked. The same
+  * windowedAgg code runs unchanged as a streaming query (EventStreamsSpec
+  * proves batch ≡ streaming on identical input).
+  */
+object EventQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql("q44_events_window",
+      // DuckDB time_bucket origin (2000-01-01) is 5-minute aligned with
+      // Spark's epoch-aligned window, so bucket starts agree
+      """SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_ms,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      EventStreams.windowedAgg(Tables.events(s, d))
+        .orderBy("window_start_ms", "event_type")
+    },
+
+    QueryDef.sql("q45_events_sessions",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx,
+        |  epoch_ms(min(ts)) AS session_start_ms,
+        |  epoch_ms(max(ts)) AS session_end_ms,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM numbered GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin) { (s, d) =>
+      EventStreams.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
+        .orderBy("user_id", "session_idx")
+    }
+  )
+}

@@ -30,7 +30,10 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    // integer `div`, NOT `/`: Column./ is double division and loses
+    // precision at nanosecond magnitudes (~1.7e18), shifting some
+    // timestamps by 1µs
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
