@@ -38,21 +38,66 @@ object Dedup {
 
   // ---------- shingles + MinHash + LSH ----------
 
-  /** Word k-shingles of a token array: overlapping k-grams joined by a
-    * space — transform over an index sequence, no explode needed. */
+  /** XOR-permutation constants for the minhash family g_i(h) = h ⊕ r_i —
+    * each g_i is a bijection of the hash space (a valid permutation
+    * family over uniform base hashes). */
+  private val MaxHashes = 256
+  private[operators] val minhashPerms: Array[Long] = {
+    val rnd = new scala.util.Random(0x5EED)
+    Array.fill(MaxHashes)(rnd.nextLong())
+  }
+
+  /** XXH64 with seed 42 — bit-identical to the SQL `xxhash64()` builtin,
+    * so UDF-side signatures agree with any expression-side hashing. */
+  private def xxh64(s: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
+  /** Word k-shingles of a single-space-tokenized text. */
+  def shinglesOf(text: String, k: Int): Array[String] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < k) Array(toks.mkString(" "))
+    else Array.tabulate(toks.length - k + 1)(i => toks.slice(i, i + k).mkString(" "))
+  }
+
+  /** One-pass MinHash signature: shingle → one XXH64 → n XOR
+    * permutations, all in a single row-local loop.
+    *
+    * Deliberately a UDF, not nested Catalyst higher-order functions: an
+    * interpreted lambda body re-evaluates any captured expression per
+    * element, so transform(perms, aggregate(transform(shingles(split…))))
+    * recomputes the tokenization O(bands × hashes × shingles) times per
+    * row — measured as the whole benchmark's bottleneck. The UDF is
+    * O(shingles × hashes) long-ops per row. */
+  def minhashSigOf(text: String, k: Int, numHashes: Int): Array[Long] = {
+    val base = shinglesOf(text, k).map(xxh64)
+    Array.tabulate(numHashes) { i =>
+      val r = minhashPerms(i)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < base.length) { val v = base(j) ^ r; if (v < m) m = v; j += 1 }
+      m
+    }
+  }
+
+  def minhashSigUdf(k: Int, numHashes: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(numHashes <= MaxHashes)
+    udf((text: String) => if (text == null) null else minhashSigOf(text, k, numHashes))
+  }
+
+  def shinglesUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => if (text == null) null else shinglesOf(text, k))
+
+  /** Column form retained for composition on an already-materialized
+    * token-array ATTRIBUTE (never pass a computed expression — see
+    * [[minhashSigOf]] scaladoc). */
   def wordShingles(tokens: Column, k: Int): Column =
     when(size(tokens) < k, array(concat_ws(" ", tokens)))
       .otherwise(transform(
         sequence(lit(0), size(tokens) - k),
         i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
-
-  /** n-hash MinHash signature: sig[i] = min over shingles of
-    * xxhash64(shingle, i). Seeding is by concatenating the hash index —
-    * xxhash64's own seed is fixed in the SQL surface. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      aggregate(shingles, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(concat(s, lit("#"), i)))))
 
   /** LSH banding: split the signature into `bands` equal rows and hash
     * each band → (band_idx, band_hash) bucket keys, exploded to rows. */
@@ -69,10 +114,10 @@ object Dedup {
                         shingleK: Int = 3, numHashes: Int = 64,
                         bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignature(
-      wordShingles(TextAnalysis.tokens(col(textCol)), shingleK), numHashes)
     val bucketed = df
-      .select(col(idCol).as("id"), explode(lshBuckets(sig, bands, rows)).as("bk"))
+      .select(col(idCol).as("id"),
+        minhashSigUdf(shingleK, numHashes)(col(textCol)).as("sig"))
+      .select(col("id"), explode(lshBuckets(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
     val a = bucketed.select(col("id").as("id_a"), col("band"), col("bucket"))
     val b = bucketed.select(col("id").as("id_b"), col("band"), col("bucket"))
@@ -95,7 +140,7 @@ object Dedup {
                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands)
     val sh = df.select(col(idCol).as("id"),
-      wordShingles(TextAnalysis.tokens(col(textCol)), shingleK).as("sh"))
+      shinglesUdf(shingleK)(col(textCol)).as("sh"))
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
@@ -122,16 +167,31 @@ object Dedup {
     * aggregate); sign of each vote → simhash bit. */
   def simhashSigns(tokens: Column): Column =
     aggregate(
-      tokens,
+      transform(tokens, t => xxhash64(t)), // hash once per token, not per bit
       transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-      (acc, t) => zip_with(
+      (acc, h) => zip_with(
         acc,
         transform(sequence(lit(0), lit(63)),
-          i => call_function("shiftrightunsigned", xxhash64(t), i).bitwiseAND(lit(1L)) * 2 - 1),
+          i => call_function("shiftrightunsigned", h, i).bitwiseAND(lit(1L)) * 2 - 1),
         (x, y) => x + y))
 
   def simhash64(tokens: Column): Column =
     transform(simhashSigns(tokens), v => when(v > 0, 1).otherwise(0))
+
+  /** One-pass SimHash bits (same xxh64 token hashes as the expression
+    * form, so results agree) — the hot-path implementation; the
+    * interpreted HOF form costs ~64 boxed ops per token per bit. */
+  def simhashBitsOf(text: String): Array[Int] = {
+    val votes = new Array[Int](64)
+    text.split(" ", -1).foreach { t =>
+      val h = xxh64(t)
+      var i = 0
+      while (i < 64) { votes(i) += (((h >>> i) & 1L).toInt * 2 - 1); i += 1 }
+    }
+    votes.map(v => if (v > 0) 1 else 0)
+  }
+  val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => if (text == null) null else simhashBitsOf(text))
 
   /** 16-bit block keys b0..b3 of the simhash bit array. */
   def simhashBlocks(bits: Column): Column =
@@ -152,7 +212,7 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     val withSig = df.select(col(idCol).as("id"),
-      simhash64(TextAnalysis.tokens(col(textCol))).as("bits"))
+      simhashUdf(col(textCol)).as("bits"))
     val bucketed = withSig.select(col("id"), col("bits"),
       posexplode(simhashBlocks(col("bits"))).as(Seq("block_idx", "block_key")))
     val a = bucketed.select(col("id").as("id_a"), col("bits").as("bits_a"),

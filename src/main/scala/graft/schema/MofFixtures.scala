@@ -97,7 +97,18 @@ object MofFixtures {
     nestedDocs.toDF()
   }
 
-  /** Shred the fixture corpus and register the 10 star views. */
-  def registerStar(spark: SparkSession): Unit =
-    MofSchema.registerStar(spark, nested(spark))
+  /** Shred the fixture corpus once per session, materialize the star
+    * tables as parquet (so scenario queries scan columnar files with
+    * pushdown, and repeated queries don't re-run the shred joins), and
+    * register the 10 views. */
+  def registerStar(spark: SparkSession): Unit = synchronized {
+    if (!spark.catalog.tableExists("mofs")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-mof-star")
+      MofSchema.shred(nested(spark)).foreach { case (name, df) =>
+        val path = dir.resolve(name).toString
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).createOrReplaceTempView(name)
+      }
+    }
+  }
 }
