@@ -17,9 +17,18 @@ object GraftFunctions {
   def normalize_formula(c: Column): Column =
     translate(c, Formulas.TranslateFrom, Formulas.TranslateTo)
 
-  // F2 — Hill canonicalization (string parser → UDF; null-safe)
-  private val hillUdf = udf((s: String) => Formulas.hillFormulaOrNull(s))
-  def hill_formula(c: Column): Column = hillUdf(c)
+  // F2 — Hill canonicalization via the native codegen'd expression
+  // (HillFormulaExpr); stays inside whole-stage codegen unlike a UDF.
+  // Spark 4's Column API no longer exposes catalyst Expressions directly,
+  // so the Column form resolves through the session function registry.
+  def hill_formula(c: Column): Column = {
+    ensureHillRegistered(SparkSession.active)
+    call_function("hill_formula", c)
+  }
+
+  private def ensureHillRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hill_formula", exprs => HillFormulaExpr(exprs.head), "scala_udf")
 
   // F4 — space-group number → short HM / unicode symbol via map literals
   private lazy val shortHMCol: Column =
@@ -52,7 +61,7 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("normalize_formula",
       (s: String) => if (s == null) null else Formulas.normalizeFormula(s))
-    spark.udf.register("hill_formula", (s: String) => Formulas.hillFormulaOrNull(s))
+    ensureHillRegistered(spark)
     spark.udf.register("spg_short_hm",
       (n: Int) => SpaceGroups.fromNumber(n).orNull)
     spark.udf.register("spg_unicode",
