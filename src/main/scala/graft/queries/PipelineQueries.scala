@@ -158,6 +158,38 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // composite quality score — identical arithmetic order both engines
+    QueryDef.sql("q52_text_quality", {
+      val hits = TA.Stopwords("en").map(w => s"'$w'")
+        .mkString("len(list_filter(string_split(text, ' '), t -> list_contains([", ", ", "], t)))")
+      s"""SELECT doc_id,
+         |  round(
+         |    (CAST($hits AS DOUBLE) / len(string_split(text, ' '))) * 0.4
+         |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |    + least((CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3,
+         |  6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TA.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // scalar-function throughput micro-bench (BASELINE.md): 1M synthetic
+    // formulas through the codegen'd hill_formula + normalize — the
+    // count(distinct) forces full evaluation; timing lands in BENCH json
+    QueryDef.rowsOnly("q53_hill_throughput_1m") { (s, _) =>
+      s.range(1000000L)
+        .select(concat(
+          lit("C"), (col("id") % 20 + 1).cast("string"),
+          lit("H"), (col("id") % 30 + 1).cast("string"),
+          lit("Fe"), (col("id") % 5 + 1).cast("string"),
+          lit("O"), (col("id") % 9 + 1).cast("string")).as("formula"))
+        .select(graft.functions.GraftFunctions.hill_formula(col("formula")).as("hill"))
+        .agg(countDistinct(col("hill")).as("n_distinct"))
+    },
+
     // multimodal plumbing: synthetic media → partition-parallel stub
     // decode → per-kind feature aggregates; plus frame sampling counts
     QueryDef.rowsOnly("q43_multimodal") { (s, d) =>
