@@ -36,7 +36,24 @@ object Formulas {
     * malformed input.
     */
   def parseFormula(formula: String): Seq[(String, Double)] = {
-    val s = normalizeFormula(formula).trim
+    // hydrate / adduct dot notation: "CuSO4·5H2O" = CuSO4 + 5×(H2O);
+    // each '·'-separated part may carry a leading multiplier
+    val normalized0 = normalizeFormula(formula).trim
+    if (normalized0.exists(c => c == '·' || c == '⋅' || c == '∙')) {
+      val counts = mutable.LinkedHashMap.empty[String, Double]
+      normalized0.split("[·⋅∙]").filter(_.nonEmpty).foreach { part0 =>
+        val part = part0.trim
+        val multStr = part.takeWhile(c => c.isDigit || c == '.')
+        val mult = if (multStr.isEmpty) 1.0 else multStr.toDouble
+        parseFormula(part.drop(multStr.length)).foreach { case (sym, n) =>
+          counts.update(sym, counts.getOrElse(sym, 0.0) + n * mult)
+        }
+      }
+      if (counts.isEmpty)
+        throw new IllegalArgumentException(s"invalid formula '$formula': no elements")
+      return counts.toSeq
+    }
+    val s = normalized0
     val counts = mutable.LinkedHashMap.empty[String, Double]
     var i = 0
 

@@ -66,6 +66,15 @@ class FormulasSpec extends AnyFunSuite {
     assert(Formulas.hillFormula("Li0.5CoO2") == "CoLi0.5O2")
   }
 
+  test("hydrate dot notation: parts summed with multipliers") {
+    assert(Formulas.parseFormula("CuSO4·5H2O") ==
+      Seq("Cu" -> 1.0, "S" -> 1.0, "O" -> 9.0, "H" -> 10.0))
+    assert(Formulas.hillFormula("CuSO4·5H2O") == "CuH10O9S") // no C → alphabetical
+    assert(Formulas.parseFormula("CaCl2⋅2H2O") ==
+      Seq("Ca" -> 1.0, "Cl" -> 2.0, "H" -> 4.0, "O" -> 2.0))
+    assertThrows[IllegalArgumentException](Formulas.parseFormula("·"))
+  }
+
   test("hillFormulaOrNull lenient") {
     assert(Formulas.hillFormulaOrNull(null) == null)
     assert(Formulas.hillFormulaOrNull("!!") == null)

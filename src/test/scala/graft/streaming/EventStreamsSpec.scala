@@ -50,6 +50,30 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(sessions.count() > events.select("user_id").distinct().count())
   }
 
+  test("streaming sessionization (event-time timeout) matches batch sessions") {
+    import spark.implicits._
+    val streamed = {
+      val stream = spark.readStream.schema(EventStreams.eventsSchema).parquet(streamDir)
+      val q = EventStreams.sessionizeStream(stream.as[EventStreams.Event], gapMinutes = 30)
+        .writeStream.format("memory").queryName("stream_sessions")
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("stream_sessions")
+        .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+        .collect().map(_.toString).toSet
+    }
+    val batch = EventStreams.sessionizeBatch(spark.read.parquet(streamDir), 30)
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+      .collect().map(_.toString).toSet
+    // append-mode emits only sessions CLOSED by the final watermark; all
+    // emitted sessions must be exact batch sessions, and most sessions
+    // should have closed (only per-user tails stay open)
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streaming emitted a session batch doesn't have: ${(streamed -- batch).take(3)}")
+    assert(streamed.size >= batch.size / 2, s"${streamed.size} vs ${batch.size}")
+  }
+
   test("stateful running per-user aggregates via mapGroupsWithState") {
     import spark.implicits._
     val result = {
