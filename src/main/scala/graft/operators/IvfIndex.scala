@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF (inverted-file) approximate nearest neighbor — the classic
+  * scale path next to sign-LSH ([[Similarity.lshTopK]]): a k-means
+  * coarse quantizer partitions the corpus into nlist cells; a query
+  * probes only its nprobe nearest cells.
+  *
+  * Spark mapping: the quantizer is Spark ML KMeans (seeded,
+  * deterministic for fixed input); cell assignment is a model.transform
+  * over the corpus (one pass, partition-parallel); centroids are tiny
+  * and broadcast as literals into the query-side probe expression; the
+  * search is a (cell-id) equi-join — shuffle on cell id, cost per query
+  * = occupancy of nprobe cells, not corpus size. On a real cluster the
+  * assigned corpus would be written partitioned by cell
+  * (StructureStore.writePartitioned) so probes prune at the scan.
+  */
+object IvfIndex {
+
+  final case class Index(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Build the index: fit k-means on the (double-cast) vectors and
+    * assign every corpus row to its cell. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+            nlist: Int, seed: Long = 42L): Index = {
+    val vecs = corpus.select(col(idCol).as("corpus_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+      .withColumn("features", array_to_vector(col("cv")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(vecs)
+    val assigned = model.transform(vecs).select("corpus_id", "cv", "cell")
+    Index(model.clusterCenters.map(_.toArray), assigned)
+  }
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Top-k cosine search probing the nprobe nearest cells per query.
+    * Output shape matches [[Similarity.bruteForceTopK]]. */
+  def topK(index: Index, queries: DataFrame, queryIdCol: String,
+           vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val centroidsLit = typedlit(index.centroids.map(_.toSeq).toSeq)
+    // nprobe nearest centroids per query: distances via a transform over
+    // the centroid literal, ranked by (distance, cell) and sliced
+    val q = broadcast(
+      queries.select(col(queryIdCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"))
+        .withColumn("cellDists",
+          transform(centroidsLit, c => sqDist(col("qv"), c)))
+        .withColumn("probe", explode(slice(
+          array_sort(
+            zip_with(col("cellDists"),
+              sequence(lit(0), lit(index.centroids.length - 1)),
+              (d, i) => struct(d.as("d"), i.as("cell")))),
+          1, nprobe)))
+        .select(col("query_id"), col("qv"), col("probe.cell").as("cell")))
+    val scored = index.assigned.join(q, Seq("cell"))
+      .withColumn("sim", round(Dedup.cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "sim", "rank")
+  }
+}

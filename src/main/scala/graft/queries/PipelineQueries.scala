@@ -138,6 +138,16 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF-partitioned ANN (k-means cells, nprobe=3 of 8): the second
+    // scale path next to sign-LSH; recall asserted in IvfIndexSpec
+    QueryDef.rowsOnly("q54_embed_ivf") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val index = graft.operators.IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+      graft.operators.IvfIndex.topK(index,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5, nprobe = 3)
+        .orderBy("query_id", "rank")
+    },
+
     // embedding near-dup with planted exact copies (cosine 1.0)
     QueryDef.rowsOnly("q41_embed_neardup") { (s, d) =>
       val emb = Tables.embeddings(s, d)

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("IVF: self-match survives, recall beats 0.5 at nprobe=4/nlist=8, and grows with nprobe") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+    // every corpus row landed in exactly one of nlist cells
+    assert(index.assigned.count() == emb.count())
+    assert(index.assigned.select("cell").distinct().count() <= 8)
+
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nprobe: Int): (Double, Set[(Long, Long)]) = {
+      val got = IvfIndex.topK(index, queries, "vec_id", "embedding", k = 5, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ((exact & got).size.toDouble / exact.size, got)
+    }
+    val (r4, got4) = recallAt(4)
+    val (r8, _) = recallAt(8) // probing all cells = exhaustive
+    assert(r4 >= 0.5, s"IVF recall@nprobe=4 too low: $r4")
+    assert(r8 == 1.0, s"probing every cell must be exact: $r8")
+    // a query's own vector shares its cell → always retrieved
+    (0L until 10L).foreach(q => assert(got4.contains((q, q))))
+  }
+
+  test("IVF is deterministic for a fixed seed") {
+    val i1 = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+    val i2 = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+    assert(i1.centroids.map(_.toSeq).toSeq == i2.centroids.map(_.toSeq).toSeq)
+  }
+}
