@@ -326,6 +326,36 @@ object RelationalQueries {
         .orderBy("o_orderkey").limit(500)
     },
 
+    // HLL sketch count-distinct — the 100 TB cardinality tool (exact
+    // countDistinct shuffles all distinct values; the sketch is O(1)
+    // memory per partition). Estimates are engine-specific → rows-only
+    // emission of exact, estimate, and the observed relative error;
+    // the ≤5% bound is asserted in ApproxSpec.
+    QueryDef.rowsOnly("q55_approx_distinct") { (s, d) =>
+      lineitem(s, d).agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .withColumn("rel_err_parts",
+          round(abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts"), 6))
+    },
+
+    // exact interpolated percentiles (continuous quantiles)
+    QueryDef.sql("q56_percentile",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"))
+        .orderBy("l_returnflag")
+    },
+
     // semi + anti joins (EXISTS / NOT EXISTS rewrites of the J2 pattern)
     QueryDef.sql("q20_semi_anti",
       """SELECT c_mktsegment, 'with' AS kind, count(*) AS n
