@@ -200,6 +200,22 @@ object PipelineQueries {
         .agg(countDistinct(col("hill")).as("n_distinct"))
     },
 
+    // corpus-level source-overlap sketch: one MinHash-union signature per
+    // source (custom TypedImperativeAggregate), pairwise estimated
+    // Jaccard between sources — no pairwise document comparison anywhere
+    QueryDef.rowsOnly("q57_source_overlap") { (s, d) =>
+      import graft.operators.MinHashUnionAgg._
+      val sigs = Tables.documents(s, d)
+        .withColumn("sig", Dedup.minhashSigUdf(3, 64)(col("text")))
+        .groupBy("source")
+        .agg(minhash_union(col("sig"), 64).as("usig"))
+      sigs.as("x").crossJoin(sigs.as("y"))
+        .filter(col("x.source") < col("y.source"))
+        .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+          round(estimatedJaccard(col("x.usig"), col("y.usig")), 6).as("est_jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+
     // multimodal plumbing: synthetic media → partition-parallel stub
     // decode → per-kind feature aggregates; plus frame sampling counts
     QueryDef.rowsOnly("q43_multimodal") { (s, d) =>
