@@ -1,0 +1,192 @@
+package graft.api
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.federate.{Federation, Mediation, QuotaPlanner}
+import graft.filter.OptimadeCompiler
+import graft.functions.{DomainFunctions, Formulas, SpaceGroups}
+import graft.query.Parametric
+import graft.result.{CifWriter, FetchResult, Manifest}
+import graft.sql.SqlGuard
+
+/** The reference's seven tool entry points, composed end-to-end: query →
+  * truncation to MAX_RETURNED_STRUCTS → cleaned structures (P1 drop) →
+  * manifest + optional per-structure CIF/JSON files → [[FetchResult]]
+  * envelope (code 0 success / -1 failure with message, like every
+  * reference server).
+  *
+  * A user of the reference can switch surface-for-surface:
+  *  - fetch_structures_with_filter / _with_spg / _with_bandgap
+  *    (optimade_database/Optimade_Server/server.py:59,203,358)
+  *  - fetch_bohrium_crystals (bohriumpublic .../server.py:61)
+  *  - fetch_openlam_structures (openlam .../server.py:60)
+  *  - fetch_mofs (mofdb .../server.py:58)
+  *  - fetch_mofs_sql (mofdbsql .../server.py:57)
+  */
+object Tools {
+
+  final case class ToolOutput(result: FetchResult,
+                              plan: QuotaPlanner.Plan,
+                              files: Seq[String])
+
+  private def finish(df: DataFrame, outputDir: Option[String],
+                     filterDesc: String,
+                     stats: QuotaPlanner.Stats = Seq.empty,
+                     plan: QuotaPlanner.Plan = Seq.empty,
+                     failures: Seq[(String, String)] = Seq.empty,
+                     writeCif: Boolean = false): ToolOutput = {
+    val truncated = df.limit(FetchResult.MaxReturnedStructs)
+    val rows = truncated.collect()
+    val cleaned = rows.map { r =>
+      r.schema.fieldNames.map(f => f -> r.getAs[Any](f)).toMap
+    }.toSeq
+    val (dir, files) = outputDir match {
+      case Some(d) =>
+        val p = Paths.get(d)
+        Files.createDirectories(p)
+        val (fs, _) =
+          if (writeCif) CifWriter.writeStructures(truncated, d)
+          else CifWriter.writeStructures(truncated, d, asCif = false)
+        Manifest.write(p, filterDesc, stats, plan, fs, failures)
+        (d, fs)
+      case None => ("", Seq.empty[String])
+    }
+    ToolOutput(
+      FetchResult(dir, rows.length.toLong, cleaned, 0, "success"),
+      plan, files)
+  }
+
+  private def failure(msg: String): ToolOutput =
+    ToolOutput(FetchResult("", 0, Seq.empty, -1, msg), Seq.empty, Seq.empty)
+
+  /** OPTIMADE raw-filter federation (§3.2 lifecycle). */
+  def fetchStructuresWithFilter(spark: SparkSession,
+                                sources: Seq[Federation.Source],
+                                filter: String,
+                                nResults: Int = 10,
+                                idCol: String = "id",
+                                outputDir: Option[String] = None,
+                                asCif: Boolean = false): ToolOutput =
+    try {
+      val canonical = Formulas.normalizeCfrInFilter(filter)
+      val pred = OptimadeCompiler.compileOrThrow(canonical)
+      val fr = Federation.federatedQuery(
+        spark, sources, Some(pred), nResults, idCol, idCol)
+      finish(Mediation.dropAttrs(fr.data), outputDir, canonical,
+        fr.stats, fr.plan, fr.failures, writeCif = asCif)
+    } catch { case e: Exception => failure(e.getMessage) }
+
+  /** Space-group tool: canonical space_group_number predicate (mediated
+    * per-source, F5) AND an optional base filter. */
+  def fetchStructuresWithSpg(spark: SparkSession,
+                             sources: Seq[Federation.Source],
+                             spgNumber: Int,
+                             baseFilter: Option[String] = None,
+                             nResults: Int = 10,
+                             idCol: String = "id",
+                             outputDir: Option[String] = None): ToolOutput =
+    try {
+      if (spgNumber < 1 || spgNumber > 230)
+        failure(s"space group number out of range: $spgNumber")
+      else {
+        val spgPred = col("space_group_number") === spgNumber
+        val pred = Mediation.combineFilters(
+          baseFilter.map(f => OptimadeCompiler.compileOrThrow(
+            Formulas.normalizeCfrInFilter(f))),
+          Some(spgPred)).get
+        val fr = Federation.federatedQuery(
+          spark, sources, Some(pred), nResults, idCol, idCol)
+        finish(fr.data, outputDir,
+          s"spg=$spgNumber (${SpaceGroups.fromNumber(spgNumber).getOrElse("?")})" +
+            baseFilter.fold("")(f => s" AND ($f)"),
+          fr.stats, fr.plan, fr.failures)
+      }
+    } catch { case e: Exception => failure(e.getMessage) }
+
+  /** Band-gap tool: canonical band_gap range (mediated per-source). */
+  def fetchStructuresWithBandgap(spark: SparkSession,
+                                 sources: Seq[Federation.Source],
+                                 minBg: Option[Double], maxBg: Option[Double],
+                                 baseFilter: Option[String] = None,
+                                 nResults: Int = 10,
+                                 idCol: String = "id",
+                                 outputDir: Option[String] = None): ToolOutput =
+    try {
+      val range = Parametric.NumRange("band_gap", minBg, maxBg).toColumn &&
+        col("band_gap").isNotNull
+      val pred = Mediation.combineFilters(
+        baseFilter.map(f => OptimadeCompiler.compileOrThrow(
+          Formulas.normalizeCfrInFilter(f))),
+        Some(range)).get
+      val fr = Federation.federatedQuery(
+        spark, sources, Some(pred), nResults, idCol, idCol)
+      finish(fr.data, outputDir,
+        SpaceGroups.rangeClause("band_gap", minBg, maxBg) +
+          baseFilter.fold("")(f => s" AND ($f)"),
+        fr.stats, fr.plan, fr.failures)
+    } catch { case e: Exception => failure(e.getMessage) }
+
+  /** OpenLAM parametric tool over a crystals table. */
+  def fetchOpenlamStructures(spark: SparkSession, crystals: DataFrame,
+                             formula: Option[String] = None,
+                             minEnergy: Option[Double] = None,
+                             maxEnergy: Option[Double] = None,
+                             minSubmissionTime: Option[String] = None,
+                             maxSubmissionTime: Option[String] = None,
+                             nResults: Int = 10,
+                             outputDir: Option[String] = None): ToolOutput =
+    try {
+      val q = Parametric.openlamQuery(formula, minEnergy, maxEnergy,
+        minSubmissionTime, maxSubmissionTime, nResults)
+      finish(q.run(crystals), outputDir,
+        s"openlam formula=$formula energy=[$minEnergy,$maxEnergy] " +
+          s"time=[$minSubmissionTime,$maxSubmissionTime]")
+    } catch { case e: Exception => failure(e.getMessage) }
+
+  /** Bohrium parametric tool over a bohrium_crystals table. */
+  def fetchBohriumCrystals(spark: SparkSession, crystals: DataFrame,
+                           formula: Option[String] = None,
+                           matchMode: Int = 1,
+                           spacegroupNumber: Option[Int] = None,
+                           atomCountRange: Seq[String] = Nil,
+                           formationEnergyRange: Seq[String] = Nil,
+                           bandGapRange: Seq[String] = Nil,
+                           nResults: Int = 10,
+                           outputDir: Option[String] = None): ToolOutput =
+    try {
+      val q = Parametric.bohriumQuery(formula, matchMode, spacegroupNumber,
+        atomCountRange, formationEnergyRange, bandGapRange, nResults)
+      finish(q.run(crystals), outputDir,
+        s"bohrium formula=$formula spg=$spacegroupNumber")
+    } catch { case e: Exception => failure(e.getMessage) }
+
+  /** MOFdb parametric tool over a mofs table. */
+  def fetchMofs(spark: SparkSession, mofs: DataFrame,
+                mofid: Option[String] = None, mofkey: Option[String] = None,
+                name: Option[String] = None, database: Option[String] = None,
+                vf: (Option[Double], Option[Double]) = (None, None),
+                lcd: (Option[Double], Option[Double]) = (None, None),
+                pld: (Option[Double], Option[Double]) = (None, None),
+                saM2g: (Option[Double], Option[Double]) = (None, None),
+                nResults: Int = 10,
+                outputDir: Option[String] = None): ToolOutput =
+    try {
+      val q = Parametric.mofQuery(mofid, mofkey, name, database,
+        vf, lcd, pld, saM2g, nResults = nResults)
+      finish(q.run(mofs), outputDir, s"mofs database=$database name=$name")
+    } catch { case e: Exception => failure(e.getMessage) }
+
+  /** SQL pass-through tool (guard + LIMIT injection, §3.1). */
+  def fetchMofsSql(spark: SparkSession, sql: String, nResults: Int = 10,
+                   outputDir: Option[String] = None): ToolOutput =
+    try finish(SqlGuard.fetchSql(spark, sql, nResults), outputDir, sql)
+    catch {
+      case e: SqlGuard.GuardError => failure(s"SQL security check failed: ${e.message}")
+      case e: Exception => failure(e.getMessage)
+    }
+
+  /** Photon pricing for a tool invocation (F15). */
+  def price(toolName: String, nResults: Int): Either[String, (Double, Long)] =
+    DomainFunctions.photonCost(toolName, nResults)
+}

@@ -107,21 +107,26 @@ object Federation {
       .drop("__dd")
   }
 
+  final case class FederatedResult(data: DataFrame, stats: QuotaPlanner.Stats,
+                                   plan: QuotaPlanner.Plan,
+                                   failures: Seq[(String, String)])
+
   /** Full federated query: fan-out → stats → fair plan → distributed
     * application → ordered dedup → global truncation (T3). */
   def federatedQuery(spark: SparkSession, sources: Seq[Source],
                      filter: Option[Column], nResults: Int,
                      idCol: String, orderCol: String,
-                     maxReturned: Int = 30): (DataFrame, QuotaPlanner.Plan, Seq[(String, String)]) = {
+                     maxReturned: Int = 30): FederatedResult = {
     val fo = fanOut(spark, sources, filter,
       perSourceLimit = Some(nResults), orderCol = Some(orderCol))
     if (fo.data.columns.isEmpty)
-      return (fo.data, Seq.empty, fo.failures)
+      return FederatedResult(fo.data, Seq.empty, Seq.empty, fo.failures)
     val st = stats(fo.data, capPerUrl = Some(nResults))
     val plan = QuotaPlanner.distributeQuotaFair(st, nResults)
     val planned = applyPlan(fo.data, plan, orderCol)
     val deduped = dedupById(planned, idCol, orderCol)
-    (deduped.orderBy(col("provider_rank"), col(orderCol)).limit(maxReturned),
-     plan, fo.failures)
+    FederatedResult(
+      deduped.orderBy(col("provider_rank"), col(orderCol)).limit(maxReturned),
+      st, plan, fo.failures)
   }
 }

@@ -28,9 +28,9 @@ object FederationQueries {
         |ORDER BY provider, c_custkey LIMIT 30""".stripMargin) { (s, d) =>
       val sources = segments.map(seg => Source(seg, "customer", () =>
         Tables.customer(s, d).filter(col("c_mktsegment") === seg)))
-      val (df, _, _) = federatedQuery(s, sources, filter = None, nResults = 100,
+      val fr = federatedQuery(s, sources, filter = None, nResults = 100,
         idCol = "c_custkey", orderCol = "c_custkey", maxReturned = 30)
-      df.select("provider", "c_custkey", "c_acctbal")
+      fr.data.select("provider", "c_custkey", "c_acctbal")
         .orderBy("provider", "c_custkey")
     },
 
@@ -53,9 +53,9 @@ object FederationQueries {
           Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")),
         Source("pricey", "orders", () =>
           Tables.orders(s, d).filter(col("o_totalprice") > 50000)))
-      val (df, _, _) = federatedQuery(s, sources, filter = None, nResults = 50,
+      val fr = federatedQuery(s, sources, filter = None, nResults = 50,
         idCol = "o_orderkey", orderCol = "o_orderkey", maxReturned = 30)
-      df.select("o_orderkey", "o_totalprice", "provider")
+      fr.data.select("o_orderkey", "o_totalprice", "provider")
     }
   )
 }

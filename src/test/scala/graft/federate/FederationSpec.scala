@@ -71,11 +71,12 @@ class FederationSpec extends AnyFunSuite {
       src("p1", "u1", (1 to 40).map(i => f"s$i%03d")),
       src("p2", "u2", (1 to 40).map(i => f"s$i%03d")), // full overlap → deduped
       src("p3", "u3", (1 to 5).map(i => f"t$i%03d")))
-    val (df, plan, failures) = federatedQuery(spark, sources,
+    val fr = federatedQuery(spark, sources,
       filter = None, nResults = 60, idCol = "id", orderCol = "id", maxReturned = 30)
-    assert(failures.isEmpty)
+    val df = fr.data
+    assert(fr.failures.isEmpty)
     // p3 capacity-bound at 5; remaining 15 water-fills p1/p2 → 28+27+5
-    assert(QuotaPlanner.planTotal(plan) == 60)
+    assert(QuotaPlanner.planTotal(fr.plan) == 60)
     val rows = df.collect()
     assert(rows.length == 30)
     // dedup: overlapping ids resolved to the earlier provider
