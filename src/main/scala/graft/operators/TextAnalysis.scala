@@ -78,12 +78,14 @@ object TextAnalysis {
   /** Composite quality score in [0,1]:
     * 0.4·stopword-ratio + 0.3·(1 − punct-ratio) + 0.3·min(meanLen/8, 1).
     * Mirrors the length/punct/stopword-ratio heuristics of pipeline
-    * quality filters; arithmetic kept in a fixed order for oracle parity. */
+    * quality filters; arithmetic kept in a fixed order for oracle parity.
+    * NOT rounded: the mirrored IEEE arithmetic is bit-identical across
+    * engines, while round() is NOT (engines break exact .5 ties
+    * differently — observed at a doc scoring exactly 0.5103125). */
   def qualityScore(text: Column, lang: String = "en"): Column =
-    round(
-      stopwordRatio(text, lang) * 0.4 +
+    stopwordRatio(text, lang) * 0.4 +
       (lit(1.0) - punctRatio(text)) * 0.3 +
-      least(meanTokenLen(text) / 8.0, lit(1.0)) * 0.3, 6)
+      least(meanTokenLen(text) / 8.0, lit(1.0)) * 0.3
 
   /** Canonical normalization for fingerprinting: lowercase, strip
     * non-alphanumerics (keeping spaces), collapse whitespace, trim. */

@@ -30,14 +30,16 @@ object PipelineQueries {
         |  len(string_split(text, ' ')) AS n_tokens,
         |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
         |    / len(string_split(text, ' ')) AS mean_token_len,
-        |  round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-        |    / length(text), 6) AS punct_ratio
+        |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // raw ratio, not round(...,6): int/int divisions are bit-identical
+      // across engines while round() tie-breaking is not (see q52 note)
       Tables.documents(s, d).select(
         col("doc_id"),
         TA.tokenCount(col("text")).as("n_tokens"),
         TA.meanTokenLen(col("text")).as("mean_token_len"),
-        round(TA.punctRatio(col("text")), 6).as("punct_ratio"))
+        TA.punctRatio(col("text")).as("punct_ratio"))
         .orderBy("doc_id")
     },
 
@@ -173,11 +175,10 @@ object PipelineQueries {
       val hits = TA.Stopwords("en").map(w => s"'$w'")
         .mkString("len(list_filter(string_split(text, ' '), t -> list_contains([", ", ", "], t)))")
       s"""SELECT doc_id,
-         |  round(
-         |    (CAST($hits AS DOUBLE) / len(string_split(text, ' '))) * 0.4
-         |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
-         |    + least((CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3,
-         |  6) AS quality
+         |  (CAST($hits AS DOUBLE) / len(string_split(text, ' '))) * 0.4
+         |  + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |  + least((CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3
+         |  AS quality
          |FROM documents ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       Tables.documents(s, d).select(
