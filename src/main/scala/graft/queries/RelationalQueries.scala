@@ -356,6 +356,20 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // ROLLUP hierarchy totals (beyond-reference relational capability;
+    // subtotal rows carry NULL group keys in both engines)
+    QueryDef.sql("q58_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
     // semi + anti joins (EXISTS / NOT EXISTS rewrites of the J2 pattern)
     QueryDef.sql("q20_semi_anti",
       """SELECT c_mktsegment, 'with' AS kind, count(*) AS n
