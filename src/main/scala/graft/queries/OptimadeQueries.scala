@@ -57,6 +57,34 @@ object OptimadeQueries {
         .orderBy("doc_id")
     },
 
+    // HAS ONLY (subset semantics) + HAS <op> (existential comparison) —
+    // the two set predicates q27 doesn't cover, over part-name tokens and
+    // the float embedding arrays
+    QueryDef.sql("q59_optimade_hasonly",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE len(list_filter(string_split(p_name, ' '),
+        |      w -> NOT list_contains(['cold','hot','new','old','widget','gizmo'], w))) = 0
+        |ORDER BY p_partkey LIMIT 300""".stripMargin) { (s, d) =>
+      val ctx = OptimadeCompiler.Context(resolve = {
+        case "words" => split(col("p_name"), " ")
+        case other   => col(other)
+      })
+      part(s, d)
+        .filter(OptimadeCompiler.compileOrThrow(
+          """words HAS ONLY "cold","hot","new","old","widget","gizmo"""", ctx))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey").limit(300)
+    },
+
+    QueryDef.sql("q60_optimade_hasop",
+      """SELECT vec_id, label FROM embeddings
+        |WHERE len(list_filter(embedding, x -> x > 0.3)) > 0
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      OptimadeCompiler.where(embeddings(s, d), """embedding HAS > 0.3""")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
+
     // IS KNOWN + HAS ONLY over an embeddings-derived frame: label buckets
     QueryDef.sql("q28_optimade_known",
       """SELECT vec_id, label FROM embeddings
