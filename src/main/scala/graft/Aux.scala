@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared-parquet bridge between Spark queries and their DuckDB oracles.
+  *
+  * Several operators (MinHash/SimHash dedup, sign-LSH and IVF ANN, HLL
+  * sketches) have a deterministic Spark-computed stage that SQL cannot
+  * reproduce (seeded UDF signatures, k-means cell assignments, engine
+  * sketches). To still oracle-gate them end-to-end, the query MATERIALIZES
+  * that stage to parquet here and the oracle SQL re-derives everything
+  * downstream of it (candidate generation, verification, ranking, voting)
+  * in DuckDB over the same files — so the distributed join/window logic is
+  * independently checked, and only the row-local seeded arithmetic is
+  * trusted from the spec suite.
+  *
+  * Layout: /root/repo/target/aux/<sf-basename>/<name>/*.parquet, one dir
+  * per shared frame. Oracle SQL references the token [[Token]], which
+  * [[SparkEntry.oracleSqlFor]] resolves to the sf actually verified
+  * (graft.Verify substitutes the runtime sf dir when dumping
+  * oracle_sql.json; the static [[SparkEntry.oracleSql]] map resolves to
+  * the driver's correctness scale, sf0.01).
+  */
+object Aux {
+  val Root = "/root/repo/target/aux"
+  val Token = "__AUX__"
+  /** The driver's correctness gate runs Verify at sf0.01. */
+  val DefaultSfDir = "/root/testdata/sf0.01"
+
+  def dir(sfDir: String): String =
+    s"$Root/${new java.io.File(sfDir).getName}"
+
+  /** Write `df` as ONE parquet file (deterministic row order for both
+    * engines' scans) and return the read-back frame, so the Spark query
+    * and the DuckDB oracle consume byte-identical inputs. */
+  def share(df: DataFrame, sfDir: String, name: String): DataFrame = {
+    val path = s"${dir(sfDir)}/$name"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  def resolve(sql: String, sfDir: String): String =
+    sql.replace(Token, dir(sfDir))
+}

@@ -25,7 +25,10 @@ object SparkEntry {
     allDefs.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    allDefs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Aux-parquet references ([[Aux.Token]]) resolve to the given sf dir. */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    allDefs.flatMap(q => q.oracle.map(o => q.name -> Aux.resolve(o, sfDir))).toMap
+
+  def oracleSql: Map[String, String] = oracleSqlFor(Aux.DefaultSfDir)
 }

@@ -108,16 +108,22 @@ object Dedup {
                transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
                  x => x.cast("string")))).as("bucket")))
 
-  /** Candidate near-dup pairs via MinHash LSH.
-    * @return (id_a, id_b) with id_a < id_b, distinct. */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int = 3, numHashes: Int = 64,
-                        bands: Int = 16): DataFrame = {
-    val rows = numHashes / bands
-    val bucketed = df
-      .select(col(idCol).as("id"),
-        minhashSigUdf(shingleK, numHashes)(col(textCol)).as("sig"))
-      .select(col("id"), explode(lshBuckets(col("sig"), bands, rows)).as("bk"))
+  /** (id, sig, sh): the materialized row-local stage of the MinHash
+    * pipeline — everything downstream (banding, candidate join, exact
+    * verification) is relational and can be independently re-derived by a
+    * SQL oracle over the same frame (graft.Aux). */
+  def minhashSigs(df: DataFrame, idCol: String, textCol: String,
+                  shingleK: Int = 3, numHashes: Int = 64): DataFrame =
+    df.select(col(idCol).as("id"),
+      minhashSigUdf(shingleK, numHashes)(col(textCol)).as("sig"),
+      shinglesUdf(shingleK)(col(textCol)).as("sh"))
+
+  /** Candidate pairs from a materialized (id, sig, ...) frame: LSH band
+    * bucket equi-join, id_a < id_b, distinct. */
+  def minhashCandidatesFromSigs(sigs: DataFrame, bands: Int,
+                                rowsPerBand: Int): DataFrame = {
+    val bucketed = sigs
+      .select(col("id"), explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
     val a = bucketed.select(col("id").as("id_a"), col("band"), col("bucket"))
     val b = bucketed.select(col("id").as("id_b"), col("band"), col("bucket"))
@@ -126,6 +132,15 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Candidate near-dup pairs via MinHash LSH.
+    * @return (id_a, id_b) with id_a < id_b, distinct. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16): DataFrame =
+    minhashCandidatesFromSigs(
+      minhashSigs(df, idCol, textCol, shingleK, numHashes),
+      bands, numHashes / bands)
+
   /** Exact set-Jaccard between two shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -133,14 +148,14 @@ object Dedup {
     when(union === 0, 0.0).otherwise(inter / union)
   }
 
-  /** Full MinHash near-dup pipeline: LSH candidates verified with exact
-    * shingle Jaccard ≥ threshold. Returns (id_a, id_b, jaccard). */
-  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      threshold: Double, shingleK: Int = 3,
-                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands)
-    val sh = df.select(col(idCol).as("id"),
-      shinglesUdf(shingleK)(col(textCol)).as("sh"))
+  /** Near-dup pipeline from a materialized (id, sig, sh) frame
+    * ([[minhashSigs]]): LSH candidates verified with exact shingle
+    * Jaccard ≥ threshold. Returns (id_a, id_b, jaccard) — jaccard is the
+    * RAW int/int ratio (bit-identical across engines; round() is not). */
+  def minhashNearDupsFromSigs(sigs: DataFrame, threshold: Double,
+                              bands: Int, rowsPerBand: Int): DataFrame = {
+    val cands = minhashCandidatesFromSigs(sigs, bands, rowsPerBand)
+    val sh = sigs.select(col("id"), col("sh"))
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
@@ -148,6 +163,15 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Full MinHash near-dup pipeline: LSH candidates verified with exact
+    * shingle Jaccard ≥ threshold. Returns (id_a, id_b, jaccard). */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingleK: Int = 3,
+                      numHashes: Int = 64, bands: Int = 16): DataFrame =
+    minhashNearDupsFromSigs(
+      minhashSigs(df, idCol, textCol, shingleK, numHashes),
+      threshold, bands, numHashes / bands)
 
   /** Near-dup clustering → survivors: connected components approximated by
     * "survivor = min id among (self ∪ smaller near-dup partners)" — one
@@ -206,13 +230,12 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     size(filter(zip_with(a, b, (x, y) => x =!= y), p => p))
 
-  /** SimHash near-dup pairs: block-bucket candidates (hamming ≤ 3 is
-    * guaranteed recall by pigeonhole over the 4 blocks) verified with the
-    * exact hamming distance. Returns (id_a, id_b, hamming). */
-  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"),
-      simhashUdf(col(textCol)).as("bits"))
+  /** SimHash near-dup pairs from a materialized (id, bits) frame
+    * (aux-shareable with the SQL oracle): block-bucket candidates
+    * (hamming ≤ 3 is guaranteed recall by pigeonhole over the 4 blocks)
+    * verified with the exact hamming distance.
+    * Returns (id_a, id_b, hamming). */
+  def simhashNearDupsFromBits(withSig: DataFrame, maxHamming: Int): DataFrame = {
     val bucketed = withSig.select(col("id"), col("bits"),
       posexplode(simhashBlocks(col("bits"))).as(Seq("block_idx", "block_key")))
     val a = bucketed.select(col("id").as("id_a"), col("bits").as("bits_a"),
@@ -225,6 +248,12 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame =
+    simhashNearDupsFromBits(
+      df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("bits")),
+      maxHamming)
 
   // ---------- embedding cosine near-dup ----------
 
@@ -255,21 +284,37 @@ object Dedup {
         (d, i) => when(d > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
 
-  /** Embedding near-dup pairs: bucket by hyperplane signs, verify cosine ≥
-    * threshold inside buckets. `bits` controls bucket granularity
-    * (recall/cost tradeoff; candidates must agree on ALL bits). */
-  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, bits: Int = 8, dim: Int = 64): DataFrame = {
+  /** (id, v, bucket): the materialized stage of the embedding near-dup
+    * pipeline (double-cast vector + sign-LSH bucket), aux-shareable with
+    * the SQL oracle. */
+  def embeddingBuckets(df: DataFrame, idCol: String, vecCol: String,
+                       bits: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(dim, bits)
-    val v = df.select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("bucket", signBucket(col("v"), planes))
+  }
+
+  /** Embedding near-dup pairs from a materialized (id, v, bucket) frame:
+    * bucket equi-join, verify ROUNDED cosine(6dp) ≥ threshold inside
+    * buckets. The threshold applies to the rounded value on purpose —
+    * the emitted column and the filter must agree, and the 6dp rounding
+    * is what makes the long float accumulation cross-engine stable. */
+  def embeddingNearDupsFromBuckets(v: DataFrame, threshold: Double): DataFrame = {
     val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
     val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine", round(cosine(col("v_a"), col("v_b")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Embedding near-dup pairs: bucket by hyperplane signs, verify cosine ≥
+    * threshold inside buckets. `bits` controls bucket granularity
+    * (recall/cost tradeoff; candidates must agree on ALL bits). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, bits: Int = 8, dim: Int = 64): DataFrame =
+    embeddingNearDupsFromBuckets(
+      embeddingBuckets(df, idCol, vecCol, bits, dim), threshold)
 }

@@ -41,30 +41,43 @@ object IvfIndex {
   private def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
+  /** (query_id, qv, cell): the per-query probe list — nprobe nearest
+    * centroids by squared distance (ranked by (distance, cell) and
+    * sliced), one row per probed cell. Materialized to aux parquet by the
+    * oracle-gated queries so the downstream cell join + ranking can be
+    * re-derived in SQL. */
+  def probes(index: Index, queries: DataFrame, queryIdCol: String,
+             vecCol: String, nprobe: Int): DataFrame = {
+    val centroidsLit = typedlit(index.centroids.map(_.toSeq).toSeq)
+    queries.select(col(queryIdCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .withColumn("cellDists",
+        transform(centroidsLit, c => sqDist(col("qv"), c)))
+      .withColumn("probe", explode(slice(
+        array_sort(
+          zip_with(col("cellDists"),
+            sequence(lit(0), lit(index.centroids.length - 1)),
+            (d, i) => struct(d.as("d"), i.as("cell")))),
+        1, nprobe)))
+      .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
+  }
+
   /** Top-k cosine search probing the nprobe nearest cells per query.
     * Output shape matches [[Similarity.bruteForceTopK]]. */
   def topK(index: Index, queries: DataFrame, queryIdCol: String,
            vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val centroidsLit = typedlit(index.centroids.map(_.toSeq).toSeq)
-    // nprobe nearest centroids per query: distances via a transform over
-    // the centroid literal, ranked by (distance, cell) and sliced
-    val q = broadcast(
-      queries.select(col(queryIdCol).as("query_id"),
-        transform(col(vecCol), x => x.cast("double")).as("qv"))
-        .withColumn("cellDists",
-          transform(centroidsLit, c => sqDist(col("qv"), c)))
-        .withColumn("probe", explode(slice(
-          array_sort(
-            zip_with(col("cellDists"),
-              sequence(lit(0), lit(index.centroids.length - 1)),
-              (d, i) => struct(d.as("d"), i.as("cell")))),
-          1, nprobe)))
-        .select(col("query_id"), col("qv"), col("probe.cell").as("cell")))
-    val scored = index.assigned.join(q, Seq("cell"))
-      .withColumn("sim", round(Dedup.cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "sim", "rank")
+    val q = broadcast(probes(index, queries, queryIdCol, vecCol, nprobe))
+    Similarity.rankTopK(
+      index.assigned.join(q, Seq("cell"))
+        .select(col("query_id"), col("qv"), col("corpus_id"), col("cv")), k)
   }
+
+  /** IVF retrieval as a [[Similarity.TopK]] strategy — the ANN backend
+    * for [[Similarity.knnPredict]] (builds the index on the corpus,
+    * probes `nprobe` cells). */
+  def topKProvider(nlist: Int, nprobe: Int): Similarity.TopK =
+    (queries, corpus, queryIdCol, corpusIdCol, vecCol, k) => {
+      val index = build(corpus, corpusIdCol, vecCol, nlist)
+      topK(index, queries, queryIdCol, vecCol, k, nprobe)
+    }
 }

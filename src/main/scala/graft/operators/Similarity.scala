@@ -23,6 +23,18 @@ object Similarity {
 
   import Dedup.{cosine, dot, norm, signBucket, hyperplanes}
 
+  /** Shared ranking tail: score candidate (query_id, qv, corpus_id, cv)
+    * pairs with 6dp-rounded cosine and keep the per-query top-k (ties
+    * broken by corpus id — deterministic across engines and runs). The
+    * SQL oracles re-derive exactly this stage over aux-shared frames. */
+  def rankTopK(cands: DataFrame, k: Int): DataFrame = {
+    val scored = cands.withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "sim", "rank")
+  }
+
   /** Exact cosine top-k: returns (queryIdCol, corpusIdCol, sim, rank).
     * Similarity is rounded to 6 dp and ranking is tie-broken by corpus id
     * so results are deterministic across engines and runs. */
@@ -33,12 +45,7 @@ object Similarity {
       transform(col(vecCol), x => x.cast("double")).as("qv")))
     val c = corpus.select(col(corpusIdCol).as("corpus_id"),
       transform(col(vecCol), x => x.cast("double")).as("cv"))
-    val scored = c.crossJoin(q)
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "sim", "rank")
+    rankTopK(c.crossJoin(q), k)
   }
 
   /** Sign-LSH ANN top-k with multiprobe: each query searches its own
@@ -59,26 +66,36 @@ object Similarity {
         array(col("qbucket")),
         transform(sequence(lit(0), lit(bits - 1)),
           i => col("qbucket").bitwiseXOR(call_function("shiftleft", lit(1L), i)))))))
-    val scored = c.join(q, c("bucket") === q("probe"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "sim", "rank")
+    rankTopK(c.join(q, c("bucket") === q("probe"))
+      .select(col("query_id"), col("qv"), col("corpus_id"), col("cv")), k)
   }
 
-  /** k-NN classification shape: majority label among the top-k neighbors
-    * (deterministic tie-break by label). */
-  def knnPredict(queries: DataFrame, corpus: DataFrame,
-                 queryIdCol: String, corpusIdCol: String,
-                 vecCol: String, labelCol: String, k: Int): DataFrame = {
-    val topk = bruteForceTopK(queries, corpus, queryIdCol, corpusIdCol, vecCol, k)
-    val labels = corpus.select(col(corpusIdCol).as("corpus_id"), col(labelCol).as("label"))
+  /** A top-k retrieval strategy: (queries, corpus, queryIdCol,
+    * corpusIdCol, vecCol, k) → (query_id, corpus_id, sim, rank). All
+    * three retrieval paths (brute force, sign-LSH, IVF via
+    * [[IvfIndex.topKProvider]]) satisfy this shape. */
+  type TopK = (DataFrame, DataFrame, String, String, String, Int) => DataFrame
+
+  /** Majority vote over retrieved neighbors: (query_id, predicted, votes),
+    * ties broken by label — the shared classification tail. */
+  def majorityVote(topk: DataFrame, labels: DataFrame): DataFrame =
     topk.join(labels, Seq("corpus_id"))
       .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("votes"), col("label"))))
       .filter(col("rn") === 1)
       .select(col("query_id"), col("label").as("predicted"), col("votes"))
+
+  /** k-NN classification shape: majority label among the top-k neighbors
+    * (deterministic tie-break by label). `topK` selects the retrieval
+    * path — exact by default, or any ANN strategy with the same output
+    * shape (sign-LSH, IVF). */
+  def knnPredict(queries: DataFrame, corpus: DataFrame,
+                 queryIdCol: String, corpusIdCol: String,
+                 vecCol: String, labelCol: String, k: Int,
+                 topK: TopK = bruteForceTopK): DataFrame = {
+    val retrieved = topK(queries, corpus, queryIdCol, corpusIdCol, vecCol, k)
+    val labels = corpus.select(col(corpusIdCol).as("corpus_id"), col(labelCol).as("label"))
+    majorityVote(retrieved, labels)
   }
 }

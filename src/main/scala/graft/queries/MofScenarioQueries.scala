@@ -187,8 +187,41 @@ object MofScenarioQueries {
     SqlGuard.fetchSql(spark, scenarioSql(name), nResults)
   }
 
+  /** DuckDB oracle for a scenario: the same SQL text over the very same
+    * star parquet (MofFixtures.StarDir), re-dialected:
+    *  - table names become read_parquet CTE views;
+    *  - backtick quoting → double quotes;
+    *  - array_join(sort_array(collect_list(X)), ',') → string_agg(X, ','
+    *    ORDER BY X) (same binary string collation both engines);
+    *  - float literals in double arithmetic are CAST(... AS DOUBLE) so
+    *    DuckDB doesn't evaluate them as exact DECIMAL (CLAUDE.md rule);
+    *  - LIMIT 10 appended, mirroring SqlGuard's injection on the Spark
+    *    side (every scenario ends in a total ORDER BY, so the cut is
+    *    deterministic).
+    */
+  private val duckViews: String = {
+    val tables = Seq("mofs", "elements", "adsorbates", "isotherms",
+      "isotherm_data", "isotherm_species_data", "heats", "heat_data")
+    tables.map(t =>
+      s"$t AS (SELECT * FROM read_parquet('${MofFixtures.StarDir}/$t/*.parquet'))")
+      .mkString("WITH ", ",\n", ",\n")
+  }
+
+  private val GroupConcatRe =
+    """(?s)array_join\(sort_array\(collect_list\((.+?)\)\), ','\)""".r
+
+  private def duckOracle(sparkSql: String): String = {
+    val body = GroupConcatRe.replaceAllIn(
+        sparkSql.replace("`", "\""),
+        m => java.util.regex.Matcher.quoteReplacement(
+          s"string_agg(${m.group(1)}, ',' ORDER BY ${m.group(1)})"))
+      .replace(" 100.0", " CAST(100.0 AS DOUBLE)")
+      .replace(" 0.05", " CAST(0.05 AS DOUBLE)")
+    duckViews + body.stripPrefix("WITH ") + "\nLIMIT 10"
+  }
+
   val defs: Seq[QueryDef] =
     scenarioSql.keys.toSeq.sorted.map { name =>
-      QueryDef.rowsOnly(name)((s, _) => run(s, name))
+      QueryDef.sql(name, duckOracle(scenarioSql(name)))((s, _) => run(s, name))
     }
 }

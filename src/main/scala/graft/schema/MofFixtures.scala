@@ -97,16 +97,22 @@ object MofFixtures {
     nestedDocs.toDF()
   }
 
+  /** Stable on-disk star location: the fixture corpus is deterministic
+    * and sf-independent, so the scenario ORACLES read the very same
+    * parquet via DuckDB read_parquet — this is what upgrades q46–q51 from
+    * rows-only to full hash-gated correctness rows. */
+  val StarDir = s"${graft.Aux.Root}/mof_star"
+
   /** Shred the fixture corpus once per session, materialize the star
-    * tables as parquet (so scenario queries scan columnar files with
-    * pushdown, and repeated queries don't re-run the shred joins), and
-    * register the 10 views. */
+    * tables as single-file parquet (so scenario queries scan columnar
+    * files with pushdown, repeated queries don't re-run the shred joins,
+    * and both engines consume identical files in identical row order),
+    * and register the 10 views. */
   def registerStar(spark: SparkSession): Unit = synchronized {
     if (!spark.catalog.tableExists("mofs")) {
-      val dir = java.nio.file.Files.createTempDirectory("graft-mof-star")
       MofSchema.shred(nested(spark)).foreach { case (name, df) =>
-        val path = dir.resolve(name).toString
-        df.write.mode("overwrite").parquet(path)
+        val path = s"$StarDir/$name"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
         spark.read.parquet(path).createOrReplaceTempView(name)
       }
     }
