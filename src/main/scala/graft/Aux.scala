@@ -14,8 +14,8 @@ import org.apache.spark.sql.DataFrame
   * independently checked, and only the row-local seeded arithmetic is
   * trusted from the spec suite.
   *
-  * Layout: /root/repo/target/aux/<sf-basename>/<name>/*.parquet, one dir
-  * per shared frame. Oracle SQL references the token [[Token]], which
+  * Layout: one single-file parquet dir per shared frame under
+  * `target/aux/&lt;sf-basename&gt;/&lt;name&gt;`. Oracle SQL references the token [[Token]], which
   * [[SparkEntry.oracleSqlFor]] resolves to the sf actually verified
   * (graft.Verify substitutes the runtime sf dir when dumping
   * oracle_sql.json; the static [[SparkEntry.oracleSql]] map resolves to

@@ -7,9 +7,15 @@ import graft.sql.SqlGuard
 /** The reference's six complex-SQL scenarios
   * (mofdbsql_database/mofdb_test/test.py:98-352) replayed through the full
   * §3.1 surface — fixture star schema → temp views → read-only guard →
-  * LIMIT injection → Spark SQL. Rows-only in the driver gate (the star
-  * tables are engine-built, not driver parquet); planted-result assertions
-  * live in MofScenarioSpec.
+  * LIMIT injection → Spark SQL. Fully oracle-gated: the star tables are
+  * materialized to stable parquet ([[MofFixtures.StarDir]]) and [[duckOracle]]
+  * re-dialects each scenario so DuckDB replays it over the same files;
+  * planted-result assertions additionally live in MofScenarioSpec.
+  *
+  * Cross-engine float rule (CLAUDE.md): q49 aggregates adsorption as
+  * DECIMAL(18,6) and casts to double only after the exact SUM — plain
+  * AVG(double) differs in the last bit between engines (accumulation
+  * order), which was round 2's one red oracle row.
   *
   * Dialect deltas from the SQLite originals (SURVEY §7 hard parts, all
   * deliberate):
@@ -93,7 +99,8 @@ object MofScenarioQueries {
     "q49_mof_temp_sensitivity" ->
       """WITH temperature_data AS (
         |  SELECT m.id, m.name, m.`database`, i.temperature,
-        |    AVG(isd.adsorption) AS avg_adsorption
+        |    CAST(SUM(CAST(isd.adsorption AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |      AS avg_adsorption
         |  FROM mofs m
         |  JOIN isotherms i ON m.id = i.mof_id
         |  JOIN isotherm_data pd ON i.id = pd.isotherm_id
@@ -211,6 +218,9 @@ object MofScenarioQueries {
     """(?s)array_join\(sort_array\(collect_list\((.+?)\)\), ','\)""".r
 
   private def duckOracle(sparkSql: String): String = {
+    require(sparkSql.startsWith("WITH "),
+      "duckOracle splices the view CTEs onto a WITH-shaped scenario; " +
+        "wrap a plain SELECT scenario in WITH q AS (...) SELECT * FROM q")
     val body = GroupConcatRe.replaceAllIn(
         sparkSql.replace("`", "\""),
         m => java.util.regex.Matcher.quoteReplacement(
