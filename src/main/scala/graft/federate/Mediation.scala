@@ -2,7 +2,6 @@ package graft.federate
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Schema mediation + small federation utilities rounding out the SURVEY
   * §2 inventory: P1 attribute drop, F5 per-source canonical views, F6
@@ -64,15 +63,40 @@ object Mediation {
       case (b, s) => b.orElse(s)
     }
 
-  /** S5 — offset pagination parity (OpenLAM keyset iterate,
-    * openlam_database/openlam/lam_optimize/db.py:44-104): deterministic
-    * (offset, limit) page over a total order. A full scan beats paging on
-    * a cluster, but the API shape is preserved for callers that need it. */
-  def page(df: DataFrame, orderCol: String, offset: Long, limit: Int): DataFrame =
-    df.withColumn("__rn",
-        row_number().over(Window.orderBy(col(orderCol))))
-      .filter(col("__rn") > offset && col("__rn") <= offset + limit)
-      .drop("__rn")
+  /** S5 — keyset pagination, the reference's actual iterate shape
+    * (`next_start_id` loop, openlam_database/openlam/lam_optimize/
+    * db.py:44-104): a page is the first `limit` rows with key strictly
+    * after `afterKey`, in key order. Plans as TakeOrderedAndProject
+    * (per-partition top-k heaps + driver merge of `limit` rows) and the
+    * key predicate pushes down to the scan — no single-partition Window
+    * Exchange, and later pages scan less. Replaces the earlier
+    * offset+global-row_number form, which serialized the whole table
+    * through one partition. */
+  def pageAfter(df: DataFrame, keyCol: String, afterKey: Option[Long],
+                limit: Int): DataFrame = {
+    val base = afterKey.fold(df)(k => df.filter(col(keyCol) > k))
+    base.orderBy(col(keyCol)).limit(limit)
+  }
+
+  /** Drive [[pageAfter]] to exhaustion, mirroring the reference's
+    * while-loop: collect each page's max key as the next cursor (one
+    * distributed job per page; key must be unique for lossless tiling). */
+  def pageAll(df: DataFrame, keyCol: String, limit: Int): Iterator[DataFrame] =
+    new Iterator[DataFrame] {
+      private var cursor: Option[Long] = None
+      private var nextPage: Option[DataFrame] = fetch()
+      private def fetch(): Option[DataFrame] = {
+        val p = pageAfter(df, keyCol, cursor, limit)
+        val maxKey = p.agg(org.apache.spark.sql.functions.max(col(keyCol)))
+          .collect().head
+        if (maxKey.isNullAt(0)) None
+        else { cursor = Some(maxKey.getLong(0)); Some(p) }
+      }
+      def hasNext: Boolean = nextPage.isDefined
+      def next(): DataFrame = {
+        val p = nextPage.get; nextPage = fetch(); p
+      }
+    }
 
   /** D2 — ordered distinct (first occurrence wins), the
     * list(dict.fromkeys(...)) idiom (Optimade_Server/server.py:164). */

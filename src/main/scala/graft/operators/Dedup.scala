@@ -173,15 +173,59 @@ object Dedup {
       minhashSigs(df, idCol, textCol, shingleK, numHashes),
       threshold, bands, numHashes / bands)
 
-  /** Near-dup clustering → survivors: connected components approximated by
-    * "survivor = min id among (self ∪ smaller near-dup partners)" — one
-    * pass, no iteration; exact for the common star/clique shapes of dup
-    * clusters. Returns df filtered to survivors. */
+  /** Connected components of an undirected pair graph (id_a, id_b) by
+    * iterated min-label propagation: every vertex starts labeled with its
+    * own id; each round takes the min over its closed neighborhood; after
+    * `diameter` rounds every label is the component minimum. Iterates to
+    * FIXPOINT (no label changed), not a fixed round count — the one-pass
+    * variant this replaces over-retained on transitive shapes (a chain
+    * a-b-c kept both a and b when only a should survive).
+    *
+    * Scale notes: each round is one shuffle join on the edge list plus a
+    * groupBy-min — the textbook distributed CC (no driver-side graph).
+    * Dup clusters have tiny diameters (chains longer than ~10 near-dups
+    * are pathological), so the loop runs 2-4 rounds in practice; `maxIter`
+    * is a runaway bound, and non-convergence throws rather than silently
+    * returning wrong components. Labels are localCheckpoint'd per round so
+    * lineage doesn't stack across iterations.
+    *
+    * @return (id, comp) for every vertex that appears in a pair; comp is
+    *         the min id of its component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("dst_comp")).as("nbr_comp"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = updated.join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
+        .filter(col("comp") < col("prev")).isEmpty
+      labels = updated
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Near-dup clustering → survivors: exact connected components over the
+    * verified near-dup pairs ([[connectedComponents]] to fixpoint);
+    * survivor = min id per component. Returns df filtered to survivors. */
   def minhashSurvivors(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double): DataFrame = {
-    val dupIds = minhashNearDups(df, idCol, textCol, threshold)
-      .select(col("id_b").as(idCol)).distinct()
-    df.join(dupIds, Seq(idCol), "left_anti")
+    val pairs = minhashNearDups(df, idCol, textCol, threshold)
+      .select("id_a", "id_b")
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp")).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   // ---------- SimHash ----------

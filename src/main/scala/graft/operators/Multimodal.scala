@@ -7,12 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column handling for training-data
   * pipelines.
   *
-  * Media are opaque `binary` columns plus a typed metadata struct; the
-  * Spark-side plumbing (schema, partition-parallel batch decode, feature
-  * extraction shape, frame sampling) is real and tested, while the codec
-  * itself is STUBBED with a deterministic fake (this container has no
-  * image/audio libraries). Swapping in a real decoder means replacing
-  * [[StubCodec.decode]] only — the operator shapes don't change.
+  * Media are opaque `binary` columns plus a typed metadata struct.
+  * Image and audio decode are REAL pure-JVM codecs: [[PpmCodec]] parses
+  * binary P6 PPM (header + RGB payload) and [[WavCodec]] parses RIFF/WAVE
+  * PCM16 (chunk walk + sample decode); both reduce the decoded
+  * pixels/samples to an 8-dim pooled feature vector. Video stays a
+  * deterministic stub ([[StubCodec]]) — no video container library ships
+  * in this environment — behind the same [[MediaCodec]] interface, so
+  * swapping in a real one changes no operator shape.
   *
   * Scale design: decode runs inside mapPartitions so a real codec
   * amortizes per-partition init (model load, JNI handles) across rows —
@@ -35,10 +37,163 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Int, content_hash: Long,
       feature: Array[Float])
 
+  val FeatureDim = 8
+
+  /** Kind+magic-dispatching codec surface (Serializable: instances ride
+    * into the mapPartitions closure). */
+  trait MediaCodec extends Serializable {
+    def decode(kind: String, content: Array[Byte]): Array[Float]
+  }
+
+  /** Binary P6 PPM decoder (the netpbm format: `P6 <w> <h> <maxval>`
+    * header tokens with `#` comments, then w*h RGB byte triples).
+    * Features: mean R, mean G, mean B, mean luma (ITU-R 601 weights),
+    * then mean luma of 4 equal horizontal stripes — all normalized by
+    * maxval, so a decoded all-white image is all-1s. */
+  object PpmCodec {
+    def decode(content: Array[Byte]): Array[Float] = {
+      var pos = 0
+      def skipWs(): Unit = {
+        var inComment = false
+        while (pos < content.length &&
+               (inComment || content(pos).toChar.isWhitespace || content(pos) == '#')) {
+          if (content(pos) == '#') inComment = true
+          else if (content(pos) == '\n') inComment = false
+          pos += 1
+        }
+      }
+      def token(): String = {
+        skipWs()
+        val start = pos
+        while (pos < content.length && !content(pos).toChar.isWhitespace) pos += 1
+        new String(content, start, pos - start, "US-ASCII")
+      }
+      require(token() == "P6", "not a binary PPM")
+      val w = token().toInt; val h = token().toInt; val maxval = token().toInt
+      pos += 1 // single whitespace after maxval, then raster
+      require(w > 0 && h > 0 && maxval > 0 && maxval < 65536, "bad PPM header")
+      require(content.length - pos >= w * h * 3, "truncated PPM raster")
+      val f = new Array[Float](FeatureDim)
+      val stripeLuma = new Array[Double](4)
+      val stripeN = new Array[Long](4)
+      var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0
+      var y = 0
+      while (y < h) {
+        val stripe = math.min(3, y * 4 / h)
+        var x = 0
+        while (x < w) {
+          val o = pos + (y * w + x) * 3
+          val r = content(o) & 0xff; val g = content(o + 1) & 0xff
+          val b = content(o + 2) & 0xff
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sl += luma
+          stripeLuma(stripe) += luma; stripeN(stripe) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h; val mv = maxval.toDouble
+      f(0) = (sr / n / mv).toFloat; f(1) = (sg / n / mv).toFloat
+      f(2) = (sb / n / mv).toFloat; f(3) = (sl / n / mv).toFloat
+      (0 until 4).foreach { s =>
+        f(4 + s) = if (stripeN(s) == 0) 0f else (stripeLuma(s) / stripeN(s) / mv).toFloat
+      }
+      f
+    }
+
+    /** Deterministic P6 encoder (tests + synthetic corpus): pixel bytes
+      * cycle through the seed string. */
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3)
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      header ++ rgb
+    }
+  }
+
+  /** RIFF/WAVE PCM16 decoder: walks the chunk list (fmt / data, skipping
+    * others), validates PCM16, decodes little-endian samples normalized
+    * to [-1, 1). Features: mean |s| of 8 equal sample segments (channel-
+    * interleaved — per-channel pooling would just re-index the same
+    * arithmetic). */
+  object WavCodec {
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+    def decode(content: Array[Byte]): Array[Float] = {
+      require(content.length >= 44 &&
+        new String(content, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(content, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE file")
+      var pos = 12
+      var bitsPerSample = -1
+      var dataOff = -1; var dataLen = -1
+      while (pos + 8 <= content.length && (bitsPerSample < 0 || dataOff < 0)) {
+        val id = new String(content, pos, 4, "US-ASCII")
+        val sz = le32(content, pos + 4)
+        if (id == "fmt ") {
+          require(le16(content, pos + 8) == 1, "only PCM supported")
+          bitsPerSample = le16(content, pos + 22)
+          require(bitsPerSample == 16, "only PCM16 supported")
+        } else if (id == "data") { dataOff = pos + 8; dataLen = sz }
+        pos += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      require(bitsPerSample > 0 && dataOff >= 0, "missing fmt/data chunk")
+      require(dataOff + dataLen <= content.length, "truncated data chunk")
+      val nSamples = dataLen / 2
+      val f = new Array[Float](FeatureDim)
+      if (nSamples == 0) return f
+      val sums = new Array[Double](FeatureDim)
+      val counts = new Array[Long](FeatureDim)
+      var i = 0
+      while (i < nSamples) {
+        val s = le16(content, dataOff + i * 2).toShort
+        val seg = math.min(FeatureDim - 1, i * FeatureDim / nSamples)
+        sums(seg) += math.abs(s / 32768.0)
+        counts(seg) += 1
+        i += 1
+      }
+      (0 until FeatureDim).foreach { s =>
+        f(s) = if (counts(s) == 0) 0f else (sums(s) / counts(s)).toFloat
+      }
+      f
+    }
+
+    /** Minimal PCM16 mono encoder (tests + synthetic corpus). */
+    def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+  }
+
+  /** Production codec: image → PPM, audio → WAV (each verified by magic
+    * bytes), video → [[StubCodec]] (documented gap: no video container
+    * lib in this environment). */
+  object RealCodec extends MediaCodec {
+    def decode(kind: String, content: Array[Byte]): Array[Float] =
+      if (content == null || content.isEmpty) new Array[Float](FeatureDim)
+      else kind match {
+        case "image" if content.length >= 2 && content(0) == 'P' && content(1) == '6' =>
+          PpmCodec.decode(content)
+        case "audio" if content.length >= 4 &&
+            new String(content, 0, 4, "US-ASCII") == "RIFF" =>
+          WavCodec.decode(content)
+        case _ => StubCodec.decode(kind, content)
+      }
+  }
+
   /** STUB decode → feature vector: deterministic bytes → pseudo-features.
-    * A real implementation would decode pixels/samples here. */
-  object StubCodec {
-    val FeatureDim = 8
+    * Retained as the video fallback and the opaque-payload baseline. */
+  object StubCodec extends MediaCodec {
+    val FeatureDim = Multimodal.FeatureDim
     def decode(kind: String, content: Array[Byte]): Array[Float] = {
       // deterministic fake: chunked byte sums, normalized — stands in for
       // a pooled embedding; ??? is NOT used so pipelines run end-to-end
@@ -64,16 +219,17 @@ object Multimodal {
   }
 
   /** Partition-parallel decode + feature extraction. */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeatures(media: DataFrame,
+                      codec: MediaCodec = RealCodec): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "kind", "content").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init happens HERE for a real codec
+        // per-partition init happens HERE for a codec with heavy setup
         it.map { case (id, kind, content) =>
           val bytes = if (content == null) Array.emptyByteArray else content
           MediaFeatures(id, kind, bytes.length, fnv1a(bytes),
-            StubCodec.decode(kind, bytes))
+            codec.decode(kind, bytes))
         }
       }
   }
@@ -97,18 +253,49 @@ object Multimodal {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Deterministic synthetic media table for tests/demos: bytes derived
-    * from a seed column (documents text, say). */
+  /** Deterministic payload generator: image rows get a REAL binary P6
+    * PPM, audio rows a REAL RIFF PCM16 WAV (both derived from the seed
+    * string, so the corpus is reproducible at any scale factor and the
+    * real codecs are exercised end-to-end); video rows stay opaque seed
+    * bytes for the stub path. */
+  private[operators] def mediaBytes(kind: String, seed: String): Array[Byte] = {
+    val s = if (seed == null || seed.isEmpty) "x" else seed
+    kind match {
+      case "image" =>
+        val w = 16
+        val h = math.max(1, math.min(32, s.length / 4))
+        val rgb = Array.tabulate(w * h * 3)(i => s.charAt(i % s.length).toByte)
+        PpmCodec.encode(w, h, rgb)
+      case "audio" =>
+        val n = math.max(8, math.min(2048, s.length * 4))
+        val samples = Array.tabulate(n) { i =>
+          (((s.charAt(i % s.length).toInt * 523 + i * 31) % 65536) - 32768).toShort
+        }
+        WavCodec.encode(8000, samples)
+      case _ => s.getBytes("UTF-8")
+    }
+  }
+
+  private val mediaBytesUdf =
+    udf((kind: String, seed: String) => mediaBytes(kind, seed))
+
+  /** Deterministic synthetic media table for tests/demos: real PPM/WAV
+    * payloads derived from a seed column (documents text, say). */
   def syntheticMedia(spark: SparkSession, src: DataFrame,
                      idCol: String, seedCol: String): DataFrame =
     src.select(
       col(idCol).cast("long").as("media_id"),
       element_at(typedlit(Seq("image", "audio", "video")),
         (col(idCol) % 3 + 1).cast("int")).as("kind"),
-      encode(col(seedCol), "UTF-8").as("content"),
-      struct(
-        lit("application/octet-stream").as("mime"),
-        length(col(seedCol)).cast("int").as("width"),
-        lit(16).as("height"),
-        (length(col(seedCol)) * 40L).as("duration_ms")).as("meta"))
+      col(seedCol).as("__seed"))
+      .select(
+        col("media_id"), col("kind"),
+        mediaBytesUdf(col("kind"), col("__seed")).as("content"),
+        struct(
+          when(col("kind") === "image", lit("image/x-portable-pixmap"))
+            .when(col("kind") === "audio", lit("audio/wav"))
+            .otherwise(lit("application/octet-stream")).as("mime"),
+          length(col("__seed")).cast("int").as("width"),
+          lit(16).as("height"),
+          (length(col("__seed")) * 40L).as("duration_ms")).as("meta"))
 }

@@ -394,17 +394,45 @@ object PipelineQueries {
 
     // multimodal plumbing: synthetic media → partition-parallel stub
     // decode → per-kind feature aggregates; plus frame sampling counts
-    QueryDef.rowsOnly("q43_multimodal") { (s, d) =>
+    QueryDef.sql("q43_multimodal",
+      """WITH feats AS (SELECT * FROM read_parquet('__AUX__/q43_feats/*.parquet')),
+        |media AS (SELECT * FROM read_parquet('__AUX__/q43_media/*.parquet')),
+        |frame_stats AS (
+        |  SELECT count(*) AS n_videos,
+        |    CAST(SUM(CAST(FLOOR((duration_ms - 1) / 1000) AS BIGINT) + 1) AS BIGINT)
+        |      AS total_frames
+        |  FROM media WHERE kind = 'video' AND duration_ms IS NOT NULL)
+        |SELECT f.kind, count(*) AS n_media,
+        |  CAST(SUM(f.n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(CAST(f.f0 AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_f0,
+        |  fs.total_frames, fs.n_videos
+        |FROM feats f CROSS JOIN frame_stats fs
+        |GROUP BY f.kind, fs.total_frames, fs.n_videos
+        |ORDER BY f.kind""".stripMargin) { (s, d) =>
       val media = Multimodal.syntheticMedia(s, Tables.documents(s, d), "doc_id", "text")
-      val feats = Multimodal.extractFeatures(media).toDF()
-      val frames = Multimodal.sampleFrames(media, everyMs = 1000)
+      // the row-local stage (REAL PPM/WAV decode → feature vector) is
+      // aux-shared; the oracle re-derives the per-kind aggregates AND the
+      // frame-count arithmetic (floor((duration-1)/step)+1 ≡ the engine's
+      // sequence-explode count) over the same files. f0 is rounded 6dp
+      // then summed as DECIMAL on both sides (long-float-accumulation
+      // rule), never avg(double).
+      val feats = Aux.share(
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("media_id"), col("kind"), col("n_bytes"),
+            round(element_at(col("feature"), 1).cast("double"), 6).as("f0")),
+        d, "q43_feats")
+      Aux.share(
+        media.select(col("media_id"), col("kind"),
+          col("meta.duration_ms").as("duration_ms")),
+        d, "q43_media")
+      val frameStats = Multimodal.sampleFrames(media, everyMs = 1000)
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
-      val frameStats = frames.agg(
-        sum(col("n_frames")).as("total_frames"), count(lit(1)).as("n_videos"))
+        .agg(sum(col("n_frames")).as("total_frames"), count(lit(1)).as("n_videos"))
       feats.groupBy("kind").agg(
         count(lit(1)).as("n_media"),
-        sum(col("n_bytes")).as("total_bytes"),
-        round(avg(element_at(col("feature"), 1)), 6).as("avg_f0"))
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        (sum(col("f0").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("avg_f0"))
         .crossJoin(broadcast(frameStats))
         .orderBy("kind")
     }

@@ -328,18 +328,33 @@ object RelationalQueries {
 
     // HLL sketch count-distinct — the 100 TB cardinality tool (exact
     // countDistinct shuffles all distinct values; the sketch is O(1)
-    // memory per partition). Estimates are engine-specific → rows-only
-    // emission of exact, estimate, and the observed relative error;
-    // the ≤5% bound is asserted in ApproxSpec.
-    QueryDef.rowsOnly("q55_approx_distinct") { (s, d) =>
-      lineitem(s, d).agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
-        .withColumn("rel_err_parts",
-          round(abs(col("approx_parts") - col("exact_parts")).cast("double") /
-            col("exact_parts"), 6))
+    // memory per partition). Estimates are engine-specific, so the oracle
+    // gates a TOLERANCE: the Spark side emits `abs(approx-exact) <=
+    // 0.05*exact` per group as a 0/1 flag, the DuckDB side recomputes the
+    // exact cardinalities and asserts the flag is literally 1 — a hash
+    // match means the sketch met its error bound against an independently
+    // computed truth. (Unit-level ≤5% assertions also live in ApproxSpec.)
+    QueryDef.sql("q55_approx_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  CAST(1 AS BIGINT) AS parts_within_5pct,
+        |  CAST(1 AS BIGINT) AS orders_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .select(
+          col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+            lit(0.05) * col("exact_parts")).cast("long").as("parts_within_5pct"),
+          (abs(col("approx_orders") - col("exact_orders")).cast("double") <=
+            lit(0.05) * col("exact_orders")).cast("long").as("orders_within_5pct"))
+        .orderBy("l_returnflag")
     },
 
     // exact interpolated percentiles (continuous quantiles)

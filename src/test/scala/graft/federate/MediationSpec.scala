@@ -44,13 +44,29 @@ class MediationSpec extends AnyFunSuite {
     assert(df.filter(Mediation.combineFilters(Some(col("a") > 1), None).get).count() == 2)
   }
 
-  test("page: deterministic offset windows tile the table (S5)") {
+  test("pageAfter: keyset pages tile the table, no Window in the plan (S5)") {
     import spark.implicits._
     val df = (1 to 25).map(i => (i.toLong, s"r$i")).toDF("k", "v")
-    val p1 = Mediation.page(df, "k", 0, 10).select("k").collect().map(_.getLong(0))
-    val p2 = Mediation.page(df, "k", 10, 10).select("k").collect().map(_.getLong(0))
-    val p3 = Mediation.page(df, "k", 20, 10).select("k").collect().map(_.getLong(0))
-    assert(p1.toSeq == (1L to 10L) && p2.toSeq == (11L to 20L) && p3.toSeq == (21L to 25L))
+    val p1 = Mediation.pageAfter(df, "k", None, 10)
+    val k1 = p1.select("k").collect().map(_.getLong(0))
+    val k2 = Mediation.pageAfter(df, "k", Some(k1.last), 10)
+      .select("k").collect().map(_.getLong(0))
+    val k3 = Mediation.pageAfter(df, "k", Some(k2.last), 10)
+      .select("k").collect().map(_.getLong(0))
+    assert(k1.toSeq == (1L to 10L) && k2.toSeq == (11L to 20L) && k3.toSeq == (21L to 25L))
+    // the round-1 offset form planned a single-partition Window Exchange;
+    // keyset pages must plan as a distributed top-k with no Window at all
+    val plan = p1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
+  test("pageAll drives the nextStartId loop to exhaustion (S5)") {
+    import spark.implicits._
+    val df = (1 to 23).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    val pages = Mediation.pageAll(df, "k", 10).toSeq
+    assert(pages.size == 3)
+    assert(pages.flatMap(_.select("k").collect().map(_.getLong(0))) == (1L to 23L))
   }
 
   test("orderedDistinct keeps first-occurrence order (D2)") {

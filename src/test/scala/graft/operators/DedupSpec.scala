@@ -105,4 +105,72 @@ class DedupSpec extends AnyFunSuite {
       .toDF("x", "y").select(Dedup.jaccard(col("x"), col("y"))).collect().head.getDouble(0)
     assert(math.abs(j - 0.5) < 1e-12)
   }
+
+  /** Brute-force union-find reference for CC. */
+  private def ufComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    ids.map(i => i -> find(i)).toMap
+  }
+
+  private def sparkCC(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connected components: chain collapses to one min-labeled component") {
+    // a-b-c-d-e chain: the one-pass approximation kept interior nodes;
+    // the fixpoint must label everything with the chain min
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(sparkCC(chain) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("connected components: diamond + disjoint clique") {
+    val g = Seq((10L, 20L), (10L, 30L), (20L, 40L), (30L, 40L), // diamond
+                (7L, 8L), (8L, 9L), (7L, 9L))                   // clique
+    assert(sparkCC(g) == ufComponents(g))
+  }
+
+  test("connected components: random pair graphs match brute-force union-find") {
+    val rnd = new scala.util.Random(0xCC)
+    (1 to 5).foreach { trial =>
+      val n = 30 + trial * 10
+      val pairs = Seq.fill(n) {
+        val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+        if (a == b) (a, b + 40L) else (math.min(a, b), math.max(a, b))
+      }.distinct
+      assert(sparkCC(pairs) == ufComponents(pairs), s"trial $trial")
+    }
+  }
+
+  test("minhashSurvivors keeps exactly one doc per transitive near-dup chain") {
+    import spark.implicits._
+    // b is a near-dup of a, c a near-dup of b, but c vs a is below the
+    // threshold — a transitive chain where the fixpoint keeps only a
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val mid = base.replace("w15 ", "x15 ").replace("w30 ", "x30 ")
+    val far = mid.replace("w40 ", "x40 ").replace("w50 ", "x50 ")
+    val chain = Seq((1L, base), (2L, mid), (3L, far),
+      (9L, "totally different text about nothing in particular at all here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(chain, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)) &&
+      !pairs.contains((1L, 3L)),
+      s"fixture did not produce the open chain (pairs=$pairs)")
+    val surv = Dedup.minhashSurvivors(chain, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectedLosers = pairs.flatMap(p => Seq(p._1, p._2)) --
+      ufComponents(pairs.toSeq).values.toSet
+    assert(surv == Set(1L, 2L, 3L, 9L) -- expectedLosers)
+  }
 }

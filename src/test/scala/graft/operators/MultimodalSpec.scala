@@ -33,11 +33,64 @@ class MultimodalSpec extends AnyFunSuite {
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     val f2 = Multimodal.extractFeatures(media.repartition(3)).collect().sortBy(_.media_id)
     assert(f1.map(_.content_hash).toSeq == f2.map(_.content_hash).toSeq)
-    assert(f1.forall(_.feature.length == Multimodal.StubCodec.FeatureDim))
+    assert(f1.forall(_.feature.length == Multimodal.FeatureDim))
     // identical bytes → identical features & hash
     assert(f1(0).content_hash == f1(3).content_hash)
     assert(f1(0).feature.toSeq == f1(3).feature.toSeq)
-    assert(f1(0).n_bytes == "hello world".length)
+    assert(f1(0).n_bytes == Multimodal.mediaBytes("image", "hello world").length)
+  }
+
+  test("WAV codec: encode → decode recovers per-segment mean |amplitude|") {
+    val samples = Array[Short](0, 16384, -16384, 32767, -32768, 8192, -8192, 0)
+    val wav = Multimodal.WavCodec.encode(8000, samples)
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    val f = Multimodal.WavCodec.decode(wav)
+    val expected = samples.map(s => math.abs(s / 32768.0).toFloat)
+    assert(f.length == 8)
+    f.zip(expected).foreach { case (a, e) => assert(math.abs(a - e) < 1e-6f) }
+  }
+
+  test("WAV codec: chunk walk skips unknown chunks before data") {
+    val samples = Array[Short](16384, 16384)
+    val wav = Multimodal.WavCodec.encode(8000, samples)
+    // splice a 6-byte LIST chunk (odd→word-aligned) between fmt and data
+    val fmtEnd = 12 + 8 + 16
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5, 0)
+    val spliced = wav.take(fmtEnd) ++ junk ++ wav.drop(fmtEnd)
+    val f = Multimodal.WavCodec.decode(spliced)
+    // 2 samples land in segments 0 and 4 (i*8/n)
+    assert(math.abs(f(0) - 0.5f) < 1e-6f && math.abs(f(4) - 0.5f) < 1e-6f)
+  }
+
+  test("PPM codec: 2x2 red image gives exact channel/luma/stripe means") {
+    val rgb = Array.fill(4)(Array[Byte](255.toByte, 0, 0)).flatten
+    val ppm = Multimodal.PpmCodec.encode(2, 2, rgb)
+    val f = Multimodal.PpmCodec.decode(ppm)
+    // rows 0,1 land in stripes 0,2 (y*4/h); empty stripes are 0
+    val expected = Seq(1f, 0f, 0f, 0.299f, 0.299f, 0f, 0.299f, 0f)
+    f.zip(expected).foreach { case (a, e) => assert(math.abs(a - e) < 1e-6f) }
+  }
+
+  test("PPM codec: header comments are skipped") {
+    val rgb = Array[Byte](0, 255.toByte, 0)
+    val ppm = "P6\n# a comment line\n1 1\n255\n".getBytes("US-ASCII") ++ rgb
+    val f = Multimodal.PpmCodec.decode(ppm)
+    assert(math.abs(f(1) - 1f) < 1e-6f && math.abs(f(3) - 0.587f) < 1e-6f)
+  }
+
+  test("RealCodec dispatches by kind + magic; video falls back to stub") {
+    val img = Multimodal.mediaBytes("image", "some seed text")
+    assert(Multimodal.RealCodec.decode("image", img).toSeq ==
+      Multimodal.PpmCodec.decode(img).toSeq)
+    val wav = Multimodal.mediaBytes("audio", "some seed text")
+    assert(Multimodal.RealCodec.decode("audio", wav).toSeq ==
+      Multimodal.WavCodec.decode(wav).toSeq)
+    val vid = Multimodal.mediaBytes("video", "some seed text")
+    assert(Multimodal.RealCodec.decode("video", vid).toSeq ==
+      Multimodal.StubCodec.decode("video", vid).toSeq)
+    // corrupt magic on a typed kind degrades to the stub, never throws
+    assert(Multimodal.RealCodec.decode("image", "nonsense".getBytes).length == 8)
   }
 
   test("frame sampling: one row per everyMs in [0, duration)") {
