@@ -22,7 +22,9 @@ import org.apache.spark.sql.DataFrame
   * the driver's correctness scale, sf0.01).
   */
 object Aux {
-  val Root = "/root/repo/target/aux"
+  /** Overridable so the host layout isn't baked into oracle SQL
+    * (-Dgraft.aux.root=...); the default matches the driver's repo. */
+  val Root: String = sys.props.getOrElse("graft.aux.root", "/root/repo/target/aux")
   val Token = "__AUX__"
   /** The driver's correctness gate runs Verify at sf0.01. */
   val DefaultSfDir = "/root/testdata/sf0.01"

@@ -7,13 +7,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Timing methodology: a session-warmup action first (JVM/codegen/
   * parquet-footer costs land there, not in q1), then each query executed
-  * once with a count() action. AQE is on; shuffle partitions match the
-  * local core count (driver default otherwise).
+  * SPARK_GRAFT_BENCH_RUNS times (default 3) with a count() action;
+  * the reported per-query number is the MEDIAN of the runs (single-run
+  * numbers vary ±40% on this host, so medians are what make per-query
+  * comparisons against the baseline meaningful) and "value" is the sum
+  * of medians. AQE is on; shuffle partitions match the local core count.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,17 +34,25 @@ object Bench {
       spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
     }
 
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) sec else -1.0
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else median(times))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,15 +36,27 @@ object Federation {
     * tagged with provider/url/precedence columns and per-source limited
     * (limit pushdown ≡ max_results_per_provider, T4). When `orderCol` is
     * given the limit is an ordered top-k (TakeOrderedAndProject per
-    * source) — deterministic, unlike a bare limit's arbitrary rows. */
+    * source) — deterministic, unlike a bare limit's arbitrary rows.
+    *
+    * Failure tolerance layers: load()/analysis errors are always caught
+    * per source. With `probeSources = true`, each source additionally
+    * runs a 1-row execution probe, so sources that analyze fine but die
+    * at RUNTIME (corrupt file, dead connection) are also quarantined
+    * into `failures` instead of failing the whole union job later — the
+    * reference's per-provider fetch tolerance
+    * (Optimade_Server/server.py:130-147). Cost: one tiny Spark job per
+    * source; leave it off when sources are trusted local parquet and the
+    * single-plan scan parallelism matters more. */
   def fanOut(spark: SparkSession, sources: Seq[Source],
              filter: Option[Column] = None,
              perSourceLimit: Option[Int] = None,
-             orderCol: Option[String] = None): FanOutResult = {
+             orderCol: Option[String] = None,
+             probeSources: Boolean = false): FanOutResult = {
     val failures = Seq.newBuilder[(String, String)]
     val frames = sources.zipWithIndex.flatMap { case (s, rank) =>
       try {
         val base = s.load()
+        if (probeSources) base.limit(1).collect()
         val filtered = filter.fold(base)(base.filter)
         val ordered = orderCol.filter(_ => perSourceLimit.isDefined)
           .fold(filtered)(c => filtered.orderBy(col(c)))
@@ -67,19 +79,29 @@ object Federation {
 
   /** A7: observed counts per (provider, url) — the input to the planner.
     * Counts are capped at `capPerUrl` when given, matching the reference's
-    * stats which observe at most max_results_per_provider rows per URL. */
+    * stats which observe at most max_results_per_provider rows per URL.
+    * Providers are ordered by PRECEDENCE (min provider_rank, the registry
+    * order fanOut stamped), not alphabetically — the quota planner's
+    * leftover-distribution walks providers in order, so alphabetical
+    * ordering silently re-prioritized sources. */
   def stats(df: DataFrame, capPerUrl: Option[Int] = None): QuotaPlanner.Stats = {
-    val rows = df.groupBy("provider", "provider_url").count()
-      .orderBy("provider", "provider_url")
+    require(df.columns.contains("provider_rank"),
+      "stats expects a fanOut-tagged frame (provider_rank column)")
+    val rows = df.groupBy("provider", "provider_url")
+      .agg(count(lit(1)).as("n"), min(col("provider_rank")).as("rank"))
+      .orderBy(col("rank"), col("provider_url"))
       .collect()
-    rows.groupBy(_.getString(0)).toSeq
-      .sortBy { case (p, _) => rows.indexWhere(_.getString(0) == p) }
-      .map { case (p, rs) =>
-        p -> rs.map { r =>
-          val n = r.getLong(2).toInt
-          r.getString(1) -> capPerUrl.fold(n)(math.min(n, _))
-        }.toSeq
+    val byProvider = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[(String, Int)]]
+    rows.foreach { r =>
+      val n = r.getLong(2).toInt
+      val capped = r.getString(1) -> capPerUrl.fold(n)(math.min(n, _))
+      byProvider.updateWith(r.getString(0)) {
+        case Some(us) => Some(us :+ capped)
+        case None     => Some(Vector(capped))
       }
+    }
+    byProvider.toSeq.map { case (p, us) => p -> us.toSeq }
   }
 
   /** Apply a quota plan distributively: rank rows within each

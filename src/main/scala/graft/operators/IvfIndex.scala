@@ -80,4 +80,48 @@ object IvfIndex {
       val index = build(corpus, corpusIdCol, vecCol, nlist)
       topK(index, queries, queryIdCol, vecCol, k, nprobe)
     }
+
+  // ---------- persisted per-cell layout (the 100 TB path) ----------
+
+  /** Persist the index with the assigned corpus PARTITIONED BY CELL
+    * (hive-style `cell=N/` dirs) plus a tiny centroid sidecar. At scale
+    * this is the layout that makes nprobe real: a probe touches only its
+    * cells' files instead of scanning the whole corpus. */
+  def write(index: Index, path: String): Unit = {
+    graft.sources.StructureStore.writePartitioned(
+      index.assigned, s"$path/assigned", "cell")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted index. The centroid sidecar is nlist rows — a
+    * metadata-scale driver read, like fetching any model. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val centroids = spark.read.parquet(s"$path/centroids").orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+    Index(centroids, spark.read.parquet(s"$path/assigned"))
+  }
+
+  /** Top-k over a PERSISTED index with scan-level partition pruning: the
+    * distinct probed cell ids (≤ nQueries × nprobe ints — metadata, not
+    * data) drive an `isin` partition filter, so the parquet scan reads
+    * only the probed `cell=N/` directories; [[graft.sources
+    * .StructureStore.filesScanned]] proves it in IvfIndexSpec. The
+    * broadcast probe join then pairs each query with exactly its own
+    * cells' rows. */
+  def topKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                 queries: DataFrame, queryIdCol: String, vecCol: String,
+                 k: Int, nprobe: Int): DataFrame = {
+    val index = load(spark, path)
+    val q = probes(index, queries, queryIdCol, vecCol, nprobe)
+    val cells = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = index.assigned.filter(col("cell").isin(cells: _*))
+    Similarity.rankTopK(
+      pruned.join(broadcast(q), Seq("cell"))
+        .select(col("query_id"), col("qv"), col("corpus_id"), col("cv")), k)
+  }
 }

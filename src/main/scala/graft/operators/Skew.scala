@@ -21,9 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types where the small-side replication is semantics-preserving:
+    * every emitted row is witnessed by a big-side row, which carries
+    * exactly one salt. right/full outer would emit each UNMATCHED
+    * small-side row once per replica (`salts` duplicates) — rejected;
+    * swap the sides (salt the other input) instead. */
+  private val SafeJoinTypes = Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 1, "salts must be > 1")
+    require(SafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin: '$joinType' would duplicate unmatched small-side rows " +
+        "(one per salt replica); swap the inputs so the preserved side is the salted one")
     val bigSalted = big.withColumn("__salt",
       pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salts)).cast("int"))
     val smallSalted = small.withColumn("__salt",

@@ -101,17 +101,23 @@ object TextAnalysis {
     * k-gram winnowing. Pure function + cheap UDF. */
   val RollBase = 131L
   val RollMod = (1L << 61) - 1
+  /** (a*b) mod (2⁶¹−1) without 128-bit wrap: Math.multiplyHigh gives the
+    * full product hi:lo, and 2⁶⁴ ≡ 8 (mod p) folds the halves — the
+    * earlier split-multiply shifted a 61-bit partial left 32, silently
+    * wrapping the signed Long for large h. */
+  private def mulModP(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b) // a,b < 2^61 → hi < 2^58
+    val lo = a * b                   // low 64 bits
+    var r = (lo & RollMod) + (lo >>> 61) + (hi << 3)
+    while (r >= RollMod) r -= RollMod
+    r
+  }
   def rollingHash(s: String): Long = {
     var h = 0L
     var i = 0
     while (i < s.length) {
-      // (h*B + c) mod p with 61-bit p: use Math.multiplyHigh-free path via
-      // BigInt-free split multiply: h < 2^61, B small → h*B fits in 2^68;
-      // do the multiply in two 32-bit halves.
-      val hi = h >>> 32
-      val lo = h & 0xffffffffL
-      val prod = ((hi * RollBase) % RollMod << 32) % RollMod + lo * RollBase + s.charAt(i).toLong
-      h = prod % RollMod
+      h = mulModP(h, RollBase) + s.charAt(i).toLong
+      if (h >= RollMod) h -= RollMod
       i += 1
     }
     h

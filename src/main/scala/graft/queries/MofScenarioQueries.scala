@@ -12,10 +12,12 @@ import graft.sql.SqlGuard
   * re-dialects each scenario so DuckDB replays it over the same files;
   * planted-result assertions additionally live in MofScenarioSpec.
   *
-  * Cross-engine float rule (CLAUDE.md): q49 aggregates adsorption as
-  * DECIMAL(18,6) and casts to double only after the exact SUM — plain
+  * Cross-engine float rule (CLAUDE.md): q49 and q51 aggregate adsorption
+  * as DECIMAL(18,6) and cast to double only after the exact SUM — plain
   * AVG(double) differs in the last bit between engines (accumulation
-  * order), which was round 2's one red oracle row.
+  * order), which was round 2's one red oracle row. q51 additionally
+  * formats the rounded average through DECIMAL(18,2) before string
+  * concatenation so both engines render identical fixed-2dp text.
   *
   * Dialect deltas from the SQLite originals (SURVEY §7 hard parts, all
   * deliberate):
@@ -157,7 +159,8 @@ object MofScenarioQueries {
     "q51_mof_selectivity_matrix" ->
       """WITH adsorbate_performance AS (
         |  SELECT m.id, m.name, m.`database`, a.name AS adsorbate_name,
-        |    AVG(isd.adsorption) AS avg_adsorption, COUNT(*) AS data_points
+        |    CAST(SUM(CAST(isd.adsorption AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |      AS avg_adsorption, COUNT(*) AS data_points
         |  FROM mofs m
         |  JOIN isotherms i ON m.id = i.mof_id
         |  JOIN isotherm_data pd ON i.id = pd.isotherm_id
@@ -174,7 +177,8 @@ object MofScenarioQueries {
         |selectivity_matrix AS (
         |  SELECT m.id, m.name, m.`database`, m.adsorbate_count,
         |    array_join(sort_array(collect_list(
-        |      a.adsorbate_name || ':' || ROUND(a.avg_adsorption, 2))), ',')
+        |      a.adsorbate_name || ':' ||
+        |        CAST(CAST(ROUND(a.avg_adsorption, 2) AS DECIMAL(18,2)) AS STRING))), ',')
         |      AS adsorption_profile,
         |    MAX(a.avg_adsorption) AS max_adsorption,
         |    MIN(a.avg_adsorption) AS min_adsorption,

@@ -30,16 +30,30 @@ object StructureStore {
 
   /** Number of files actually READ for a predicate (post partition
     * pruning) — `DataFrame.inputFiles` reports the unpruned relation, so
-    * this executes the query and reads the scan's numFiles metric. */
-  def filesScanned(df: DataFrame): Long = {
+    * this executes the query and reads the scan's numFiles metric.
+    * Recurses through AQE wrappers (AdaptiveSparkPlanExec / query
+    * stages), which hide the scans from a plain collectLeaves. With
+    * multiple file scans in the plan, `pathContains` selects which
+    * relation(s) to count (substring of the scan's root path); scans of
+    * all relations are summed when it is empty. Returns -1 if no
+    * matching file scan exists. */
+  def filesScanned(df: DataFrame, pathContains: String = ""): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     // collect() runs THIS DataFrame's QueryExecution (count() would build
     // a fresh plan whose metrics we couldn't see)
     df.collect()
-    df.queryExecution.executedPlan.collectLeaves()
-      .collectFirst {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.metrics("numFiles").value
-      }.getOrElse(-1L)
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other =>
+        other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val matched = scans(df.queryExecution.executedPlan).filter(f =>
+      pathContains.isEmpty ||
+        f.relation.location.rootPaths.exists(_.toString.contains(pathContains)))
+    if (matched.isEmpty) -1L else matched.map(_.metrics("numFiles").value).sum
   }
 
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,

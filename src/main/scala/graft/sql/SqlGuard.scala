@@ -54,14 +54,19 @@ object SqlGuard {
     s
   }
 
-  private val LimitRe = "(?i)\\s+LIMIT\\s+\\d+".r
+  private val TrailingLimitRe = "(?i)\\s+LIMIT\\s+\\d+\\s*$".r
 
   /** Reference LIMIT policy: append `LIMIT n` when absent, rewrite an
-    * existing numeric LIMIT to n (server.py:110-117). */
+    * existing numeric LIMIT to n (server.py:110-117). Only the OUTERMOST
+    * (trailing) LIMIT is rewritten — an earlier blanket regex also
+    * rewrote LIMITs inside subqueries/CTEs, silently changing query
+    * semantics. A LIMIT that only occurs in a subquery is not the
+    * statement's result cap, so the policy appends a fresh outer one. */
   def applyLimit(sql: String, nResults: Int): String = {
     val s = stripTrailingSemicolon(sql)
-    if (!s.toUpperCase.contains("LIMIT")) s"$s LIMIT $nResults"
-    else LimitRe.replaceAllIn(s, s" LIMIT $nResults")
+    if (TrailingLimitRe.findFirstIn(s).isDefined)
+      TrailingLimitRe.replaceAllIn(s, s" LIMIT $nResults")
+    else s"$s LIMIT $nResults"
   }
 
   /** Full §3.1 entry point: guard → limit injection → spark.sql. */

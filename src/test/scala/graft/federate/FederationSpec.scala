@@ -56,6 +56,38 @@ class FederationSpec extends AnyFunSuite {
     assert(p1ids == Set("a1", "a2", "a3", "a4", "a5"))
   }
 
+  test("stats orders providers by precedence, not alphabetically (A7)") {
+    // 'zeta' is registered FIRST: it must lead the stats even though
+    // 'alpha' sorts before it — the planner walks providers in order
+    val res = fanOut(spark, Seq(
+      src("zeta", "u1", Seq("a", "b", "c")),
+      src("alpha", "u2", Seq("d"))))
+    assert(stats(res.data).map(_._1) == Seq("zeta", "alpha"))
+    assert(stats(res.data) == Seq("zeta" -> Seq("u1" -> 3), "alpha" -> Seq("u2" -> 1)))
+  }
+
+  test("probeSources quarantines sources that fail at EXECUTION time (O2)") {
+    import spark.implicits._
+    val execBoom = Source("rboom", "u9", () => {
+      val boomUdf = udf((i: Long) => {
+        if (i >= 0) throw new RuntimeException("exec fail"); i
+      })
+      spark.range(3).select(boomUdf(col("id")).cast("string").as("id"),
+        lit("x").as("payload"))
+    })
+    // without the probe the bad source passes analysis and would fail the
+    // whole union job at run time
+    val lazyRes = fanOut(spark, Seq(src("p1", "u1", Seq("a")), execBoom))
+    assert(lazyRes.failures.isEmpty)
+    assertThrows[Exception](lazyRes.data.collect())
+    // with the probe it lands in failures and the union executes
+    val res = fanOut(spark, Seq(src("p1", "u1", Seq("a")), execBoom),
+      probeSources = true)
+    assert(res.failures.map(_._1) == Seq("rboom@u9"))
+    assert(res.data.select("provider").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("p1"))
+  }
+
   test("ordered dedup: first provider wins (D1)") {
     val res = fanOut(spark, Seq(
       src("p1", "u1", Seq("x", "y")),

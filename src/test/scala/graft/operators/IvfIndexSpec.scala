@@ -41,4 +41,37 @@ class IvfIndexSpec extends AnyFunSuite {
     val i2 = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
     assert(i1.centroids.map(_.toSeq).toSeq == i2.centroids.map(_.toSeq).toSeq)
   }
+
+  test("persisted per-cell layout: probes prune files at the scan") {
+    val path = "/root/repo/target/test-ivf-store"
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+    IvfIndex.write(index, path)
+
+    val loaded = IvfIndex.load(spark, path)
+    assert(loaded.centroids.map(_.toSeq).toSeq == index.centroids.map(_.toSeq).toSeq)
+
+    val queries = emb.filter(col("vec_id") < 3)
+    val nprobe = 2
+    val stored = IvfIndex.topKStored(spark, path, queries, "vec_id", "embedding",
+      k = 5, nprobe = nprobe)
+    // same results as searching the in-memory index
+    val inMem = IvfIndex.topK(index, queries, "vec_id", "embedding", k = 5, nprobe = nprobe)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromDisk = stored.select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromDisk == inMem)
+
+    // the pruning assertion: the probed search reads only the probed
+    // cells' files, a full scan of the assigned corpus reads them all
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val totalFiles = graft.sources.StructureStore.filesScanned(assigned, "test-ivf-store")
+    val probedCells = IvfIndex.probes(loaded, queries, "vec_id", "embedding", nprobe)
+      .select("cell").distinct().count()
+    val scanned = graft.sources.StructureStore.filesScanned(
+      IvfIndex.topKStored(spark, path, queries, "vec_id", "embedding", 5, nprobe),
+      "test-ivf-store")
+    assert(probedCells < 8, s"fixture degenerate: all cells probed")
+    assert(scanned > 0 && scanned < totalFiles,
+      s"scan not pruned: $scanned of $totalFiles files for $probedCells/8 cells")
+  }
 }

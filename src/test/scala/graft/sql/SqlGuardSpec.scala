@@ -76,6 +76,13 @@ class SqlGuardSpec extends AnyFunSuite {
     assert(SqlGuard.applyLimit("SELECT * FROM t limit 500", 10) == "SELECT * FROM t LIMIT 10")
     // existing smaller limit is also rewritten (reference semantics)
     assert(SqlGuard.applyLimit("SELECT * FROM t LIMIT 3", 10) == "SELECT * FROM t LIMIT 10")
+    // a LIMIT inside a subquery is NOT the statement's result cap: it is
+    // preserved and the outer cap is appended (the old blanket regex
+    // rewrote it, changing subquery semantics)
+    assert(SqlGuard.applyLimit("SELECT * FROM (SELECT * FROM t LIMIT 5) u", 10) ==
+      "SELECT * FROM (SELECT * FROM t LIMIT 5) u LIMIT 10")
+    assert(SqlGuard.applyLimit("SELECT * FROM (SELECT * FROM t LIMIT 5) u LIMIT 99", 10) ==
+      "SELECT * FROM (SELECT * FROM t LIMIT 5) u LIMIT 10")
   }
 
   test("fetchSql end-to-end: guard + injected limit") {
