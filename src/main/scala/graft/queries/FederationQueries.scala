@@ -56,6 +56,35 @@ object FederationQueries {
       val fr = federatedQuery(s, sources, filter = None, nResults = 50,
         idCol = "o_orderkey", orderCol = "o_orderkey", maxReturned = 30)
       fr.data.select("o_orderkey", "o_totalprice", "provider")
+    },
+
+    // S2/S3/S5 live-source parity: the nation dimension served through
+    // the PagedJsonSource DataSourceV2 connector (paged "REST provider"
+    // with server-side filter pushdown + response_fields pruning). The
+    // jsonl provider DB is rebuilt from the driver's nation parquet (25
+    // rows — a dimension, not data); the oracle queries the parquet
+    // directly, so the whole connector path (count request, page
+    // planning, pushdown evaluation, row decoding) is what's under test.
+    QueryDef.sql("q61_v2_source",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey >= 2
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val db = s"${graft.Aux.dir(d)}/q61_provider.jsonl"
+      val rows = Tables.nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey").collect()
+        .map(r => Map[String, Any](
+          "n_nationkey" -> r.getInt(0), "n_name" -> r.getString(1),
+          "n_regionkey" -> r.getInt(2)))
+      graft.sources.PagedJsonClient.writeJsonl(
+        rows.toIndexedSeq, Seq("n_nationkey", "n_name", "n_regionkey"), db)
+      s.read.format("graft.sources.PagedJsonSource")
+        .option("path", db)
+        .option("schemaDDL", "n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("pageLimit", "5").load()
+        .filter(col("n_regionkey") >= 2)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
     }
   )
 }

@@ -1,0 +1,228 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector giving live federation sources (S2 OPTIMADE /
+  * S3 Bohrium / S5 OpenLAM) first-class Spark-source parity.
+  *
+  * The reference talks to each provider through a paged REST client: a
+  * filter string is sent server-side, results come back page by page
+  * sequentially (Optimade_Server/server.py:106-120, openlam iterate
+  * db.py:44-104). This connector reproduces that contract Spark-first:
+  *
+  *  - the "provider" is [[PagedJsonClient]], a line-JSON store standing
+  *    in for the remote HTTP endpoint (zero-egress environment; swapping
+  *    in a real HTTP client changes only that object — the Spark-facing
+  *    surface is identical);
+  *  - predicate pushdown ([[SupportsPushDownFilters]]) forwards
+  *    comparison/equality/null filters to the provider, exactly like the
+  *    reference compiling OPTIMADE filter strings — unsupported
+  *    predicates stay residual and Spark evaluates them post-scan;
+  *  - column pruning ([[SupportsPushDownRequiredColumns]]) mirrors
+  *    `response_fields`;
+  *  - pagination becomes PARALLEL InputPartitions: a count request plans
+  *    ceil(n/pageLimit) pages and every executor pulls its own page —
+  *    strictly better than the reference's sequential next-page loop,
+  *    and the shape a 1000-executor cluster needs.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.PagedJsonSource")
+  *     .option("path", "/data/provider_db.jsonl")
+  *     .option("schemaDDL", "id BIGINT, name STRING")
+  *     .option("pageLimit", "10")
+  *     .load()
+  * }}}
+  */
+class PagedJsonSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StructType.fromDDL(options.get("schemaDDL"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new PagedJsonTable(schema, properties.get("path"),
+      Option(properties.get("pageLimit")).map(_.toInt).getOrElse(10))
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+private[sources] class PagedJsonTable(schema: StructType, path: String,
+                                      pageLimit: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"paged_json($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedJsonScanBuilder(schema, path, pageLimit)
+}
+
+private[sources] class PagedJsonScanBuilder(schema: StructType, path: String,
+                                            pageLimit: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(PagedJsonClient.supported)
+    pushed = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new PagedJsonScan(required, pushed, path, pageLimit)
+}
+
+private[sources] final case class JsonPage(offset: Int, limit: Int)
+    extends InputPartition
+
+private[sources] class PagedJsonScan(required: StructType,
+                                     pushed: Array[Filter], path: String,
+                                     pageLimit: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PagedJsonScan(path=$path, pushed=${pushed.mkString(",")})"
+
+  /** The count request ≡ the reference reading meta.data_returned before
+    * paging; pages then read in parallel, one InputPartition each. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = PagedJsonClient.count(path, pushed)
+    val pages = math.max(1, math.ceil(n / pageLimit.toDouble).toInt)
+    Array.tabulate(pages)(p => JsonPage(p * pageLimit, pageLimit))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedJsonReaderFactory(required, pushed, path)
+}
+
+private[sources] class PagedJsonReaderFactory(required: StructType,
+                                              pushed: Array[Filter],
+                                              path: String)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val page = partition.asInstanceOf[JsonPage]
+    new PartitionReader[InternalRow] {
+      private val it = PagedJsonClient
+        .fetch(path, pushed, page.offset, page.limit)
+        .map(PagedJsonClient.toRow(_, required))
+      override def next(): Boolean = it.hasNext
+      override def get(): InternalRow = it.next()
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The simulated provider endpoint: a JSONL file queried with the pushed
+  * filter, offset-paged like the reference's REST APIs. Every method is a
+  * fresh pass over the file — matching a stateless HTTP server, and
+  * keeping the executor side trivially serializable. */
+object PagedJsonClient {
+  private val mapper = new ObjectMapper()
+
+  def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: IsNotNull | _: IsNull => true
+    case In(_, _) => true
+    case _ => false // StringContains etc. stay residual → Spark post-filters
+  }
+
+  private def records(path: String): Iterator[JsonNode] =
+    scala.io.Source.fromFile(path, "UTF-8").getLines()
+      .filter(_.nonEmpty).map(mapper.readTree)
+
+  private def cmp(node: JsonNode, attr: String, v: Any)(op: Int => Boolean): Boolean = {
+    val f = node.get(attr)
+    if (f == null || f.isNull) false
+    else v match {
+      case n: Number => op(java.lang.Double.compare(f.asDouble(), n.doubleValue()))
+      case s: String => op(f.asText().compareTo(s))
+      case b: Boolean => op(java.lang.Boolean.compare(f.asBoolean(), b))
+      case other => op(f.asText().compareTo(other.toString))
+    }
+  }
+
+  def matches(node: JsonNode, f: Filter): Boolean = f match {
+    case EqualTo(a, v)            => cmp(node, a, v)(_ == 0)
+    case GreaterThan(a, v)        => cmp(node, a, v)(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(node, a, v)(_ >= 0)
+    case LessThan(a, v)           => cmp(node, a, v)(_ < 0)
+    case LessThanOrEqual(a, v)    => cmp(node, a, v)(_ <= 0)
+    case IsNotNull(a)             => { val x = node.get(a); x != null && !x.isNull }
+    case IsNull(a)                => { val x = node.get(a); x == null || x.isNull }
+    case In(a, vs)                => vs.exists(v => cmp(node, a, v)(_ == 0))
+    case _                        => true
+  }
+
+  def count(path: String, filters: Array[Filter]): Int =
+    records(path).count(n => filters.forall(matches(n, _)))
+
+  def fetch(path: String, filters: Array[Filter], offset: Int,
+            limit: Int): Iterator[JsonNode] =
+    records(path).filter(n => filters.forall(matches(n, _)))
+      .slice(offset, offset + limit)
+
+  def toRow(node: JsonNode, schema: StructType): InternalRow = {
+    val values = schema.fields.map { fld =>
+      val f = node.get(fld.name)
+      if (f == null || f.isNull) null
+      else fld.dataType match {
+        case LongType    => f.asLong()
+        case IntegerType => f.asInt()
+        case DoubleType  => f.asDouble()
+        case BooleanType => f.asBoolean()
+        case StringType  => UTF8String.fromString(f.asText())
+        case ArrayType(StringType, _) =>
+          new GenericArrayData(
+            f.elements().asScala.map(e => UTF8String.fromString(e.asText())).toArray[Any])
+        case other =>
+          throw new IllegalArgumentException(s"unsupported type $other for ${fld.name}")
+      }
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  /** Write a deterministic provider database: one JSON object per row,
+    * fields in schema order — the test/demo stand-in for the remote DB. */
+  def writeJsonl(rows: Seq[Map[String, Any]], fields: Seq[String],
+                 path: String): Unit = {
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val obj = mapper.createObjectNode()
+      fields.foreach { f =>
+        r.get(f).foreach {
+          case null        => obj.putNull(f)
+          case l: Long     => obj.put(f, l)
+          case i: Int      => obj.put(f, i)
+          case d: Double   => obj.put(f, d)
+          case b: Boolean  => obj.put(f, b)
+          case s: String   => obj.put(f, s)
+          case xs: Seq[_]  =>
+            val arr = obj.putArray(f); xs.foreach(x => arr.add(x.toString))
+          case other       => obj.put(f, other.toString)
+        }
+      }
+      sb.append(mapper.writeValueAsString(obj)).append('\n')
+    }
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, sb.toString.getBytes("UTF-8"))
+  }
+}
