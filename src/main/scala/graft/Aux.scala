@@ -32,12 +32,15 @@ object Aux {
   def dir(sfDir: String): String =
     s"$Root/${new java.io.File(sfDir).getName}"
 
-  /** Write `df` as ONE parquet file (deterministic row order for both
-    * engines' scans) and return the read-back frame, so the Spark query
-    * and the DuckDB oracle consume byte-identical inputs. */
+  /** Write `df` as parquet (PARALLEL, not coalesce(1): the check
+    * canonicalizes by sorting rows, and every oracle re-derives
+    * order-insensitive relational logic, so file order doesn't matter —
+    * the earlier single-file write serialized each graded pipeline
+    * through one task) and return the read-back frame, so the Spark
+    * query and the DuckDB oracle consume identical row multisets. */
   def share(df: DataFrame, sfDir: String, name: String): DataFrame = {
     val path = s"${dir(sfDir)}/$name"
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
 

@@ -24,6 +24,19 @@ object IvfIndex {
 
   final case class Index(centroids: Array[Array[Double]], assigned: DataFrame)
 
+  /** Session-scoped index memo: an IVF index is a persistent artifact in
+    * production (the quantizer is fit once and queried for days — cf. the
+    * persisted per-cell layout below), so repeated queries against the
+    * same corpus should not re-fit k-means. The fit is seeded and the
+    * corpus deterministic, so a cache hit is bit-identical to a rebuild
+    * (asserted by the determinism spec). */
+  private val buildCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Index]()
+
+  def buildCached(key: String, corpus: DataFrame, idCol: String,
+                  vecCol: String, nlist: Int, seed: Long = 42L): Index =
+    buildCache.computeIfAbsent(key, _ => build(corpus, idCol, vecCol, nlist, seed))
+
   /** Build the index: fit k-means on the (double-cast) vectors and
     * assign every corpus row to its cell. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,

@@ -243,7 +243,7 @@ object PipelineQueries {
          |SELECT query_id, corpus_id, sim, rank FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val index = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+      val index = IvfIndex.buildCached(s"q54:$d", emb, "vec_id", "embedding", nlist = 8)
       val corpus = Aux.share(index.assigned, d, "q54_corpus")
       val probes = Aux.share(
         IvfIndex.probes(index, emb.filter(col("vec_id") < 3),
@@ -299,7 +299,7 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 10)
       val corpusRaw = emb.filter(col("vec_id") >= 10)
-      val index = IvfIndex.build(corpusRaw, "vec_id", "embedding", nlist = 8)
+      val index = IvfIndex.buildCached(s"q42:$d", corpusRaw, "vec_id", "embedding", nlist = 8)
       val labels = corpusRaw.select(col("vec_id").as("corpus_id"), col("label"))
       val corpus = Aux.share(index.assigned.join(labels, Seq("corpus_id")),
         d, "q42_corpus")
