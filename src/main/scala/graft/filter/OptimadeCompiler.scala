@@ -93,5 +93,27 @@ object OptimadeCompiler {
 
     case IsKnown(prop, known) =>
       if (known) ctx.resolve(prop).isNotNull else ctx.resolve(prop).isNull
+
+    // Correlated sets: per zipped property, transform the list into a
+    // per-index boolean match array, AND the arrays positionally
+    // (zip_with), then quantify. The HOF operands are evaluated once
+    // each (arrays, not re-captured expressions), so this stays one pass
+    // over the lists — no all-pairs blowup, arity is unbounded.
+    case ZipHas(props, mode, tuples) =>
+      def tupleHits(t: Seq[ZipTerm]): Column =
+        props.zip(t).map { case (p, term) =>
+          transform(ctx.resolve(p), x => cmp(x, term.op, lit_(term.value, ctx)))
+        }.reduceLeft((l, r) => zip_with(l, r, (x, y) => x && y))
+      mode match {
+        case HasAll =>
+          tuples.map(t => exists(tupleHits(t), p => p)).reduceLeft(_ && _)
+        case HasAny =>
+          tuples.map(t => exists(tupleHits(t), p => p)).reduceLeft(_ || _)
+        case HasOnly =>
+          // every index matches at least one of the listed tuples
+          forall(
+            tuples.map(tupleHits).reduceLeft((l, r) => zip_with(l, r, (x, y) => x || y)),
+            p => p)
+      }
   }
 }

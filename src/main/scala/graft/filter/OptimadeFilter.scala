@@ -15,8 +15,10 @@ import scala.util.parsing.combinator.RegexParsers
   * reference corpus (Optimade_Agent/agent.py:115-150, optimade_test dir):
   * comparisons = != < <= > >=, CONTAINS / STARTS [WITH] / ENDS [WITH],
   * HAS [ALL|ANY|ONLY], HAS <op> value, LENGTH [op] value, IS KNOWN/UNKNOWN,
-  * AND/OR/NOT with parentheses, string/number/property values, and
-  * constant-first comparisons.
+  * AND/OR/NOT with parentheses, string/number/property values,
+  * constant-first comparisons, and correlated (zipped) set membership
+  * over parallel list properties — `a:b HAS "Si":&gt;0.3`, including the
+  * HAS ALL/ANY/ONLY tuple-list forms.
   */
 object OptimadeFilter {
 
@@ -54,6 +56,17 @@ object OptimadeFilter {
   final case class HasMatch(prop: String, op: CompOp, value: Value) extends Expr
   final case class Length(prop: String, op: CompOp, value: Value) extends Expr
   final case class IsKnown(prop: String, known: Boolean) extends Expr
+
+  /** One component of a correlated-set tuple: optional operator (defaults
+    * to =) + value, e.g. the `>0.3` in `"Si":>0.3`. */
+  final case class ZipTerm(op: CompOp, value: Value)
+  /** Correlated (zipped) set membership over parallel list properties —
+    * `elements:elements_ratios HAS "Si":>0.3` asks for an INDEX where
+    * both component predicates hold simultaneously (OPTIMADE v1.0
+    * "correlated values" HAS forms). `tuples` are the comma-separated
+    * tuple list for ALL/ANY/ONLY; the bare HAS form is ALL of one. */
+  final case class ZipHas(props: Seq[String], mode: SetMode,
+                          tuples: Seq[Seq[ZipTerm]]) extends Expr
 
   private object P extends RegexParsers {
     override val skipWhitespace = true
@@ -110,8 +123,25 @@ object OptimadeFilter {
         case v ~ o ~ p => Comparison(p, o.flip, v)
       }
 
+    // correlated sets: `a:b HAS "Si":>0.3`, `a:b HAS ALL t1, t2`, ...
+    val zipProps: Parser[Seq[String]] =
+      ident ~ rep1(":" ~> ident) ^^ { case h ~ t => h +: t }
+    val zipTerm: Parser[ZipTerm] =
+      opt(op) ~ value ^^ { case o ~ v => ZipTerm(o.getOrElse(Eq), v) }
+    def zipTuple(n: Int): Parser[Seq[ZipTerm]] =
+      rep1sep(zipTerm, ":") ^? (
+        { case ts if ts.size == n => ts },
+        ts => s"zip tuple arity ${ts.size} != $n zipped properties")
+    def zipRhs(props: Seq[String]): Parser[Expr] = {
+      val n = props.size
+      ("HAS" ~> "ALL" ~> rep1sep(zipTuple(n), ",")) ^^ (ts => ZipHas(props, HasAll, ts)) |
+      ("HAS" ~> "ANY" ~> rep1sep(zipTuple(n), ",")) ^^ (ts => ZipHas(props, HasAny, ts)) |
+      ("HAS" ~> "ONLY" ~> rep1sep(zipTuple(n), ",")) ^^ (ts => ZipHas(props, HasOnly, ts)) |
+      ("HAS" ~> zipTuple(n)) ^^ (t => ZipHas(props, HasAll, Seq(t)))
+    }
+
     val comparison: Parser[Expr] =
-      constFirst | (ident into (p => rhs(p)))
+      constFirst | (zipProps into (ps => zipRhs(ps))) | (ident into (p => rhs(p)))
 
     lazy val phrase: Parser[Expr] =
       ("NOT" ~> phrase) ^^ Not.apply |

@@ -85,6 +85,26 @@ object OptimadeQueries {
         .orderBy("vec_id")
     },
 
+    // correlated set-zip (OPTIMADE v1.0 "correlated values"): per-order
+    // parallel arrays (partkeys:quantities, linenumber-sorted for
+    // determinism) filtered with `parts:qtys HAS <=200:>=45` — both
+    // component predicates must hit the SAME index. The oracle states the
+    // equivalent relational EXISTS directly on lineitem.
+    QueryDef.sql("q62_optimade_zip",
+      """SELECT DISTINCT l_orderkey AS o_key FROM lineitem
+        |WHERE l_partkey <= 200 AND l_quantity >= 45
+        |ORDER BY o_key""".stripMargin) { (s, d) =>
+      val perOrder = lineitem(s, d)
+        .groupBy(col("l_orderkey").as("o_key"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber"), col("l_partkey"), col("l_quantity")))).as("ls"))
+        .select(col("o_key"),
+          transform(col("ls"), x => x.getField("l_partkey")).as("parts"),
+          transform(col("ls"), x => x.getField("l_quantity")).as("qtys"))
+      OptimadeCompiler.where(perOrder, "parts:qtys HAS <=200:>=45")
+        .select("o_key").orderBy("o_key")
+    },
+
     // IS KNOWN + HAS ONLY over an embeddings-derived frame: label buckets
     QueryDef.sql("q28_optimade_known",
       """SELECT vec_id, label FROM embeddings

@@ -75,4 +75,32 @@ class OptimadeCompilerSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       OptimadeCompiler.where(structures, "x AND"))
   }
+
+  test("correlated set-zip: elements:ratios HAS with per-component operators") {
+    import spark.implicits._
+    val zipped = Seq(
+      ("z1", Seq("Si", "O"), Seq(0.33, 0.67)),
+      ("z2", Seq("Si", "C"), Seq(0.5, 0.5)),
+      ("z3", Seq("Al", "O"), Seq(0.4, 0.6))).toDF("id", "elements", "ratios")
+    def zids(f: String) = OptimadeCompiler.where(zipped, f)
+      .select("id").collect().map(_.getString(0)).toSet
+    // correlated: the O-ratio specifically, not any ratio
+    assert(zids("""elements:ratios HAS "O":>0.65""") == Set("z1"))
+    assert(zids("""elements:ratios HAS "O":>0.5""") == Set("z1", "z3"))
+    // equality defaults; both components must hit the SAME index
+    assert(zids("""elements:ratios HAS "Si":0.5""") == Set("z2"))
+    assert(zids("""elements:ratios HAS "Si":0.67""") == Set.empty)
+    // ALL = every tuple finds an index; ANY = at least one does
+    assert(zids("""elements:ratios HAS ALL "Si":>0.3, "O":>0.6""") == Set("z1"))
+    assert(zids("""elements:ratios HAS ANY "Si":>0.4, "Al":>0.3""") == Set("z2", "z3"))
+    // ONLY: every index matches one of the listed tuples
+    assert(zids("""elements:ratios HAS ONLY "Si":<0.4, "O":>0.6""") == Set("z1"))
+    // composes with the boolean algebra
+    assert(zids("""elements LENGTH 2 AND NOT elements:ratios HAS "O":>0.1""") == Set("z2"))
+  }
+
+  test("set-zip arity mismatch is a parse error") {
+    assert(OptimadeFilter.parse("""a:b HAS "x":1:2""").isLeft)
+    assert(OptimadeFilter.parse("""a:b:c HAS "x":1""").isLeft)
+  }
 }
