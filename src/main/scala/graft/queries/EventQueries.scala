@@ -45,6 +45,30 @@ object EventQueries {
         |ORDER BY user_id, session_idx""".stripMargin) { (s, d) =>
       EventStreams.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
         .orderBy("user_id", "session_idx")
+    },
+
+    // streaming-dedup twin: the stream is doubled (every 5th event
+    // re-delivered — at-least-once ingest), deduped on event_id, then
+    // aggregated; the oracle re-derives DISTINCT + aggregate in SQL.
+    // EventStreamsSpec proves dedupStream (watermark-bounded state)
+    // produces the same multiset on the same doubled input.
+    QueryDef.sql("q64_events_dedup",
+      """WITH doubled AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT event_id, event_type, value FROM events WHERE event_id % 5 = 0),
+        |d AS (SELECT DISTINCT event_id, event_type, value FROM doubled)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d).select("event_id", "ts", "event_type", "value")
+      val doubled = ev.unionByName(ev.filter(col("event_id") % 5 === 0))
+      EventStreams.dedupBatch(doubled)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
     }
   )
 }

@@ -385,6 +385,25 @@ object RelationalQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // skew-salted join, oracle-gated: the salted (key, salt) equi-join
+    // must produce EXACTLY the plain join's multiset — the oracle states
+    // the plain join, so a hash match proves the salting is semantics-
+    // preserving on real data (the salt spreads each hot l_suppkey over
+    // 8 reducers; SkewSpec additionally asserts the spread).
+    QueryDef.sql("q63_skew_salted",
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+      val dim = supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.Skew
+        .saltedJoin(lineitem(s, d), dim, "l_suppkey", salts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("s_nationkey")
+    },
+
     // semi + anti joins (EXISTS / NOT EXISTS rewrites of the J2 pattern)
     QueryDef.sql("q20_semi_anti",
       """SELECT c_mktsegment, 'with' AS kind, count(*) AS n

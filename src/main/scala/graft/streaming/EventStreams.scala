@@ -58,6 +58,21 @@ object EventStreams {
            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
 
+  /** Streaming exact dedup on event_id with watermark-BOUNDED state
+    * (dropDuplicatesWithinWatermark): the streaming twin of
+    * [[graft.operators.Dedup.exactSurvivors]] for event streams — an
+    * at-least-once ingest becomes exactly-once downstream, and the dedup
+    * state is evicted once the watermark passes, so memory is
+    * O(events per watermark horizon), not O(stream history). */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Batch twin of [[dedupStream]] (duplicate rows are exact copies, so
+    * the arbitrary survivor is value-identical). */
+  def dedupBatch(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
   // ---- stateful streaming: running per-user aggregates ----
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -96,4 +96,21 @@ class EventStreamsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lastPerUser == batch)
   }
+
+  test("streaming watermark-bounded dedup ≡ batch dedup on a doubled stream") {
+    // at-least-once ingest: every 3rd event re-delivered
+    val dupDir = Files.createTempDirectory("graft-events-dup").toString
+    val ev = spark.read.parquet(streamDir)
+    ev.unionByName(ev.filter(col("event_id") % 3 === 0))
+      .coalesce(1).write.mode("overwrite").parquet(dupDir)
+
+    val streamed = EventStreams.runStreamToMemory(
+      spark, dupDir, "dedup_stream", EventStreams.dedupStream(_))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val batch = EventStreams.dedupBatch(spark.read.parquet(dupDir))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // exactly-once downstream: no event_id appears twice
+    assert(streamed.distinct.size == streamed.size)
+  }
 }
