@@ -371,6 +371,27 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // approx percentile (t-digest-style sketch next to q56's exact
+    // interpolated percentile): same tolerance-gate pattern as q55 — the
+    // Spark side emits the EXACT percentile (which q56 already proves
+    // hash-matches quantile_cont) plus a 0/1 within-2% flag for the
+    // sketch; DuckDB recomputes the exact value and asserts the flag.
+    QueryDef.sql("q65_approx_percentile",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+        |  CAST(1 AS BIGINT) AS p50_within_2pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx_p50"))
+        .select(col("l_returnflag"), col("exact_p50"),
+          (abs(col("approx_p50") - col("exact_p50")) <=
+            lit(0.02) * col("exact_p50")).cast("long").as("p50_within_2pct"))
+        .orderBy("l_returnflag")
+    },
+
     // ROLLUP hierarchy totals (beyond-reference relational capability;
     // subtotal rows carry NULL group keys in both engines)
     QueryDef.sql("q58_rollup",
