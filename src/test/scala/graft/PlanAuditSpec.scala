@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits for the hot queries: these assert the plan SHAPE
+  * we designed for (broadcasts, pushdown, top-k, no cartesian products,
+  * codegen), so a regression that silently flips a join strategy or
+  * loses a pushed filter fails the suite instead of only showing up as a
+  * bench delta at 100× the data.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Executed plan string with AQE wrappers expanded (final plan). */
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // materialize so AQE finalizes its plan
+    def expand(p: SparkPlan): String = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: QueryStageExec => expand(q.plan)
+      case other => other.toString + other.children.map(expand).mkString
+    }
+    expand(df.queryExecution.executedPlan)
+  }
+
+  test("q07 5-way chain: dimension joins broadcast, no cartesian product") {
+    val p = planOf("q07_join_chain5")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product leaked:\n$p")
+  }
+
+  test("q17 range predicate reaches the parquet scan as PushedFilters") {
+    val p = planOf("q17_pred_range")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"predicate not pushed to scan:\n${p.take(4000)}")
+  }
+
+  test("q14 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q14_sort_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q37 LSH dedup: bucket equi-joins only, never a cartesian/NL join") {
+    val p = planOf("q37_dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the candidate path:\n${p.take(4000)}")
+  }
+
+  test("q63 salted join: equi-join on (key, salt), no window, no cartesian") {
+    val p = planOf("q63_skew_salted")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"unexpected operator:\n${p.take(4000)}")
+  }
+
+  test("entry(): aggregation runs inside WholeStageCodegen") {
+    val df = SparkEntry.entry(spark)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // AQE tree strings mark codegen stages with the "*(n)" prefix
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"no codegen span:\n${p.take(4000)}")
+  }
+}
