@@ -80,6 +80,52 @@ object FunctionQueries {
         .orderBy("name")
     },
 
+    // F14 — e-above-hull (openlam utils.py:139-190). The graded path is
+    // a binary phase diagram where the hull is the lower segment
+    // envelope, so BOTH engines state the identical interpolation
+    // arithmetic (a.e + (b.e-a.e)*(x-a.x)/(b.x-a.x) — mirrored ops are
+    // bit-identical, CLAUDE.md rule); the general k-element LP operator
+    // (PhaseHull.eAboveHullAll) is pinned against this same fixture plus
+    // ternary hand cases in PhaseHullSpec. Fixture: two binary systems
+    // with pure-element anchors, on-hull and above-hull references.
+    QueryDef.sql("q66_e_above_hull",
+      """WITH refs AS (SELECT * FROM read_parquet('__AUX__/q66_refs/*.parquet')),
+        |cands AS (SELECT * FROM read_parquet('__AUX__/q66_cands/*.parquet')),
+        |exact AS (
+        |  SELECT c.system, c.id, r.e AS hull_val
+        |  FROM cands c JOIN refs r ON c.system = r.system AND r.x = c.cx),
+        |interp AS (
+        |  SELECT c.system, c.id,
+        |    a.e + (b.e - a.e) * (c.cx - a.x) / (b.x - a.x) AS hull_val
+        |  FROM cands c
+        |  JOIN refs a ON c.system = a.system
+        |  JOIN refs b ON c.system = b.system
+        |  WHERE a.x < b.x AND a.x <= c.cx AND c.cx <= b.x),
+        |hull AS (
+        |  SELECT system, id, min(hull_val) AS hull_e
+        |  FROM (SELECT * FROM exact UNION ALL SELECT * FROM interp)
+        |  GROUP BY system, id)
+        |SELECT c.system, c.id, h.hull_e, c.ce - h.hull_e AS e_above_hull
+        |FROM cands c JOIN hull h ON c.system = h.system AND c.id = h.id
+        |ORDER BY c.system, c.id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val refs = graft.Aux.share(Seq(
+        ("A-B", 0.0, 0.0), ("A-B", 1.0, 0.0), ("A-B", 0.5, -0.3),
+        ("A-B", 0.25, -0.2), ("A-B", 0.75, -0.1), ("A-B", 0.5, 0.2),
+        ("A-C", 0.0, 0.0), ("A-C", 1.0, 0.0), ("A-C", 0.4, -0.16))
+        .toDF("system", "x", "e"), d, "q66_refs")
+      val cands = graft.Aux.share(Seq(
+        ("A-B", 1L, 0.5, -0.25), ("A-B", 2L, 0.375, -0.3),
+        ("A-B", 3L, 0.125, -0.05), ("A-B", 4L, 0.9, -0.02),
+        ("A-C", 5L, 0.2, -0.1), ("A-C", 6L, 0.7, -0.05))
+        .toDF("system", "id", "cx", "ce"), d, "q66_cands")
+      val hull = graft.operators.PhaseHull.binaryHullEnergy(refs, cands)
+      cands.join(hull, Seq("system", "id"))
+        .select(col("system"), col("id"), col("hull_e"),
+          (col("ce") - col("hull_e")).as("e_above_hull"))
+        .orderBy("system", "id")
+    },
+
     QueryDef.sql("q24_fn_normalize",
       """SELECT * FROM (VALUES
         |  ('SrTiO₃','SrTiO3'), ('H₂O','H2O'), ('Fe₂O₃','Fe2O3'),
