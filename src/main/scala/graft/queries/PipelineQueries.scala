@@ -96,6 +96,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // winnowing-style fingerprint dedup: the k-gram min rolling hash
+    // (Mersenne-prime polynomial hash, spec-tested against a BigInt
+    // reference) is the row-local stage, aux-shared; the oracle
+    // re-derives the duplicate grouping. Plants are EXACT copies, so
+    // their fingerprints must collide by construction.
+    QueryDef.sql("q67_winnowing",
+      """WITH fp AS (SELECT * FROM read_parquet('__AUX__/q67_fp/*.parquet'))
+        |SELECT fp, count(*) AS n_docs, min(doc_id) AS survivor_id
+        |FROM fp GROUP BY fp HAVING count(*) > 1
+        |ORDER BY fp""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val copies = docs.orderBy("doc_id").limit(4)
+        .withColumn("doc_id", col("doc_id") + 200000)
+      val fps = Aux.share(
+        docs.unionByName(copies).select(col("doc_id"),
+          TA.kgramMinHashUdf(8)(col("text")).as("fp")),
+        d, "q67_fp")
+      fps.groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("survivor_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy("fp")
+    },
+
     QueryDef.sql("q36_dedup_exact",
       """SELECT md5(text) AS text_md5, count(*) AS n_copies,
         |  min(doc_id) AS survivor_id
