@@ -71,10 +71,11 @@ private[sources] class PagedJsonTable(schema: StructType, path: String,
 private[sources] class PagedJsonScanBuilder(schema: StructType, path: String,
                                             pageLimit: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) = filters.partition(PagedJsonClient.supported)
@@ -86,8 +87,19 @@ private[sources] class PagedJsonScanBuilder(schema: StructType, path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** LIMIT pushdown ≡ the reference's n_results: the provider stops
+    * after `l` matching rows, so the page plan caps at ceil(l/pageLimit)
+    * partitions instead of paging the full result. Partial (returns
+    * false): residual filters may still drop rows AFTER the provider cut
+    * — Spark keeps its own Limit on top, which is exactly the
+    * max_results_per_provider contract. */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    false
+  }
+
   override def build(): Scan =
-    new PagedJsonScan(required, pushed, path, pageLimit)
+    new PagedJsonScan(required, pushed, path, pageLimit, limit)
 }
 
 private[sources] final case class JsonPage(offset: Int, limit: Int)
@@ -95,19 +107,28 @@ private[sources] final case class JsonPage(offset: Int, limit: Int)
 
 private[sources] class PagedJsonScan(required: StructType,
                                      pushed: Array[Filter], path: String,
-                                     pageLimit: Int)
+                                     pageLimit: Int, limit: Option[Int])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"PagedJsonScan(path=$path, pushed=${pushed.mkString(",")})"
+    s"PagedJsonScan(path=$path, pushed=${pushed.mkString(",")}, limit=$limit)"
 
   /** The count request ≡ the reference reading meta.data_returned before
-    * paging; pages then read in parallel, one InputPartition each. */
+    * paging; pages then read in parallel, one InputPartition each. A
+    * pushed LIMIT caps the page plan — the provider never serves more
+    * than n_results rows. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = PagedJsonClient.count(path, pushed)
-    val pages = math.max(1, math.ceil(n / pageLimit.toDouble).toInt)
-    Array.tabulate(pages)(p => JsonPage(p * pageLimit, pageLimit))
+    val n0 = PagedJsonClient.count(path, pushed)
+    val n = limit.fold(n0)(math.min(_, n0))
+    if (n == 0) Array(JsonPage(0, pageLimit))
+    else {
+      val pages = math.ceil(n / pageLimit.toDouble).toInt
+      Array.tabulate(pages) { p =>
+        val off = p * pageLimit
+        JsonPage(off, math.min(pageLimit, n - off))
+      }
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedJsonReaderFactory(required, pushed, path)

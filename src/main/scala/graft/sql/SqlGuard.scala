@@ -54,18 +54,22 @@ object SqlGuard {
     s
   }
 
-  private val TrailingLimitRe = "(?i)\\s+LIMIT\\s+\\d+\\s*$".r
+  private val TrailingLimitRe =
+    "(?i)\\s+LIMIT\\s+\\d+(\\s+OFFSET\\s+\\d+)?\\s*$".r
 
   /** Reference LIMIT policy: append `LIMIT n` when absent, rewrite an
     * existing numeric LIMIT to n (server.py:110-117). Only the OUTERMOST
     * (trailing) LIMIT is rewritten — an earlier blanket regex also
     * rewrote LIMITs inside subqueries/CTEs, silently changing query
     * semantics. A LIMIT that only occurs in a subquery is not the
-    * statement's result cap, so the policy appends a fresh outer one. */
+    * statement's result cap, so the policy appends a fresh outer one.
+    * A trailing OFFSET rides along unchanged (appending after it would
+    * produce invalid SQL). */
   def applyLimit(sql: String, nResults: Int): String = {
     val s = stripTrailingSemicolon(sql)
     if (TrailingLimitRe.findFirstIn(s).isDefined)
-      TrailingLimitRe.replaceAllIn(s, s" LIMIT $nResults")
+      TrailingLimitRe.replaceAllIn(s,
+        m => s" LIMIT $nResults${Option(m.group(1)).getOrElse("")}")
     else s"$s LIMIT $nResults"
   }
 

@@ -63,6 +63,22 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     assert(withC.count() == (0 until 37).count(_ % 2 == 1))
   }
 
+  test("LIMIT pushdown caps the page plan at n_results") {
+    // 37 matching rows, limit 12, pageLimit 10 → scan plans 2 pages
+    // (the post-limit RDD collapses partitions, so assert on the scan
+    // itself via its description in the executed plan)
+    val df = load().limit(12)
+    assert(df.collect().length == 12)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=Some(12)"),
+      s"limit not pushed to the provider scan:\n${plan.take(3000)}")
+    // limit composes with pushed filters: provider stops early on the
+    // filtered stream
+    val filtered = load().filter(col("band_gap") > 0.5).limit(3)
+    assert(filtered.collect().length == 3)
+    assert(filtered.queryExecution.executedPlan.toString.contains("limit=Some(3)"))
+  }
+
   test("column pruning mirrors response_fields") {
     val df = load().select("name")
     assert(df.schema.fieldNames.toSeq == Seq("name"))

@@ -83,6 +83,9 @@ class SqlGuardSpec extends AnyFunSuite {
       "SELECT * FROM (SELECT * FROM t LIMIT 5) u LIMIT 10")
     assert(SqlGuard.applyLimit("SELECT * FROM (SELECT * FROM t LIMIT 5) u LIMIT 99", 10) ==
       "SELECT * FROM (SELECT * FROM t LIMIT 5) u LIMIT 10")
+    // a trailing OFFSET is preserved; only the LIMIT value is rewritten
+    assert(SqlGuard.applyLimit("SELECT * FROM t LIMIT 500 OFFSET 20", 10) ==
+      "SELECT * FROM t LIMIT 10 OFFSET 20")
   }
 
   test("fetchSql end-to-end: guard + injected limit") {
