@@ -108,6 +108,48 @@ object Multimodal {
       val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
       header ++ rgb
     }
+
+    /** Nearest-neighbor resize: decode the raster, sample source pixels
+      * at (y*h/h2, x*w/w2), re-encode. Returns a valid P6 of w2×h2. */
+    def resize(content: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+      require(w2 > 0 && h2 > 0)
+      // re-parse the header the same way decode does
+      var pos = 0
+      def skipWs(): Unit = {
+        var inComment = false
+        while (pos < content.length &&
+               (inComment || content(pos).toChar.isWhitespace || content(pos) == '#')) {
+          if (content(pos) == '#') inComment = true
+          else if (content(pos) == '\n') inComment = false
+          pos += 1
+        }
+      }
+      def token(): String = {
+        skipWs()
+        val start = pos
+        while (pos < content.length && !content(pos).toChar.isWhitespace) pos += 1
+        new String(content, start, pos - start, "US-ASCII")
+      }
+      require(token() == "P6", "not a binary PPM")
+      val w = token().toInt; val h = token().toInt; token() // maxval
+      pos += 1
+      val out = new Array[Byte](w2 * h2 * 3)
+      var y = 0
+      while (y < h2) {
+        val sy = y * h / h2
+        var x = 0
+        while (x < w2) {
+          val sx = x * w / w2
+          val so = pos + (sy * w + sx) * 3
+          val to = (y * w2 + x) * 3
+          out(to) = content(so); out(to + 1) = content(so + 1)
+          out(to + 2) = content(so + 2)
+          x += 1
+        }
+        y += 1
+      }
+      encode(w2, h2, out)
+    }
   }
 
   /** RIFF/WAVE PCM16 decoder: walks the chunk list (fmt / data, skipping
@@ -156,6 +198,29 @@ object Multimodal {
         f(s) = if (counts(s) == 0) 0f else (sums(s) / counts(s)).toFloat
       }
       f
+    }
+
+    /** Decimation resample by an integer factor: keep every `factor`-th
+      * sample (a real resampler low-passes first; decimation is the
+      * deterministic dependency-free variant). Returns a valid PCM16
+      * mono WAV at rate/factor. */
+    def resample(content: Array[Byte], factor: Int): Array[Byte] = {
+      require(factor >= 1)
+      var pos = 12
+      var rate = -1
+      var dataOff = -1; var dataLen = -1
+      while (pos + 8 <= content.length && (rate < 0 || dataOff < 0)) {
+        val id = new String(content, pos, 4, "US-ASCII")
+        val sz = le32(content, pos + 4)
+        if (id == "fmt ") rate = le32(content, pos + 12)
+        else if (id == "data") { dataOff = pos + 8; dataLen = sz }
+        pos += 8 + sz + (sz & 1)
+      }
+      require(rate > 0 && dataOff >= 0, "missing fmt/data chunk")
+      val n = dataLen / 2
+      val kept = Array.tabulate((n + factor - 1) / factor)(i =>
+        le16(content, dataOff + i * factor * 2).toShort)
+      encode(rate / factor, kept)
     }
 
     /** Minimal PCM16 mono encoder (tests + synthetic corpus). */
@@ -233,6 +298,30 @@ object Multimodal {
         }
       }
   }
+
+  private val transcodeUdf = udf(
+    (kind: String, content: Array[Byte], imgW: Int, imgH: Int, audioFactor: Int) =>
+      if (content == null || content.isEmpty) content
+      else kind match {
+        case "image" if content.length >= 2 && content(0) == 'P' && content(1) == '6' =>
+          PpmCodec.resize(content, imgW, imgH)
+        case "audio" if content.length >= 4 &&
+            new String(content, 0, 4, "US-ASCII") == "RIFF" =>
+          WavCodec.resample(content, audioFactor)
+        case _ => content
+      })
+
+  /** Partition-parallel transcode — the resize/resample stage of a media
+    * pipeline: images nearest-neighbor-resized to imgW×imgH, audio
+    * decimated by audioFactor, video/opaque rows passed through. Output
+    * is the same schema with re-encoded (still valid PPM/WAV) content,
+    * so transcode composes with [[extractFeatures]] and
+    * [[dedupByContent]]. */
+  def transcode(media: DataFrame, imgW: Int, imgH: Int,
+                audioFactor: Int): DataFrame =
+    media.withColumn("content",
+      transcodeUdf(col("kind"), col("content"),
+        lit(imgW), lit(imgH), lit(audioFactor)))
 
   /** Frame sampling contract for video rows: every `everyMs` timestamp in
     * [0, duration) — pure Catalyst sequence, one row per sampled frame. */

@@ -79,6 +79,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(f(1) - 1f) < 1e-6f && math.abs(f(3) - 0.587f) < 1e-6f)
   }
 
+  test("PPM resize: nearest-neighbor picks exact source pixels, output re-decodes") {
+    // 2x2: red, green / blue, white — resize to 1x1 keeps the top-left
+    val rgb = Array[Byte](
+      255.toByte, 0, 0, 0, 255.toByte, 0,
+      0, 0, 255.toByte, 255.toByte, 255.toByte, 255.toByte)
+    val small = Multimodal.PpmCodec.resize(Multimodal.PpmCodec.encode(2, 2, rgb), 1, 1)
+    val f = Multimodal.PpmCodec.decode(small)
+    assert(math.abs(f(0) - 1f) < 1e-6f && f(1) == 0f && f(2) == 0f)
+    // upscale 1x1 red → 4x4 all red
+    val big = Multimodal.PpmCodec.resize(small, 4, 4)
+    val fb = Multimodal.PpmCodec.decode(big)
+    assert(math.abs(fb(0) - 1f) < 1e-6f && math.abs(fb(3) - 0.299f) < 1e-6f)
+  }
+
+  test("WAV resample: decimation keeps every Nth sample, halves the rate") {
+    val samples = Array[Short](100, 200, 300, 400, 500, 600, 700, 800)
+    val wav = Multimodal.WavCodec.encode(8000, samples)
+    val down = Multimodal.WavCodec.resample(wav, 2)
+    // decoded features see |s|/32768 of samples 100,300,500,700
+    val f = Multimodal.WavCodec.decode(down)
+    val expected = Array[Short](100, 300, 500, 700).map(s => (s / 32768.0).toFloat)
+    // 4 samples land in segments 0,2,4,6
+    assert(math.abs(f(0) - expected(0)) < 1e-6f)
+    assert(math.abs(f(6) - expected(3)) < 1e-6f)
+    assert(down.length == 44 + 8) // 4 samples
+  }
+
+  test("transcode operator: images shrink, audio decimates, video untouched") {
+    val out = Multimodal.transcode(media, imgW = 4, imgH = 2, audioFactor = 2)
+    val byId = out.collect().map(r =>
+      r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("content")).toMap
+    // image rows are now 4x2 PPMs
+    assert(new String(byId(0L), 0, 2, "US-ASCII") == "P6")
+    assert(byId(0L).length == "P6\n4 2\n255\n".length + 4 * 2 * 3)
+    // audio rows halved in sample count (still valid WAV)
+    val origAudio = media.filter(col("media_id") === 1).collect()
+      .head.getAs[Array[Byte]]("content")
+    assert(byId(1L).length < origAudio.length)
+    assert(Multimodal.WavCodec.decode(byId(1L)).length == 8)
+    // video passthrough
+    val origVideo = media.filter(col("media_id") === 2).collect()
+      .head.getAs[Array[Byte]]("content")
+    assert(byId(2L).sameElements(origVideo))
+    // composes with feature extraction
+    assert(Multimodal.extractFeatures(out).count() == 4)
+  }
+
   test("RealCodec dispatches by kind + magic; video falls back to stub") {
     val img = Multimodal.mediaBytes("image", "some seed text")
     assert(Multimodal.RealCodec.decode("image", img).toSeq ==
