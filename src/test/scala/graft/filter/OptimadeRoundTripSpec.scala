@@ -40,6 +40,13 @@ class OptimadeRoundTripSpec extends AnyFunSuite {
     case Length(p, op, v)    => s"$p LENGTH ${renderOp(op)} ${renderValue(v)}"
     case IsKnown(p, true)    => s"$p IS KNOWN"
     case IsKnown(p, false)   => s"$p IS UNKNOWN"
+    case ZipHas(props, mode, tuples) =>
+      val m = mode match {
+        case HasAll => "ALL "; case HasAny => "ANY "; case HasOnly => "ONLY "
+      }
+      val ts = tuples.map(_.map(t =>
+        s"${renderOp(t.op)} ${renderValue(t.value)}").mkString(" : ")).mkString(", ")
+      s"${props.mkString(":")} HAS $m$ts"
   }
 
   private def genIdent(rnd: Random): String = {
@@ -59,7 +66,7 @@ class OptimadeRoundTripSpec extends AnyFunSuite {
   private def genOp(rnd: Random): CompOp =
     Seq(Eq, Ne, Lt, Le, Gt, Ge)(rnd.nextInt(6))
 
-  private def genLeaf(rnd: Random): Expr = rnd.nextInt(6) match {
+  private def genLeaf(rnd: Random): Expr = rnd.nextInt(7) match {
     case 0 => Comparison(genIdent(rnd), genOp(rnd), genValue(rnd))
     case 1 => StringMatch(genIdent(rnd),
       Seq(Contains, StartsWith, EndsWith)(rnd.nextInt(3)), "H2O")
@@ -67,6 +74,12 @@ class OptimadeRoundTripSpec extends AnyFunSuite {
       Seq.fill(1 + rnd.nextInt(3))(StringVal(Seq("Si", "O", "Fe")(rnd.nextInt(3)))))
     case 3 => HasMatch(genIdent(rnd), genOp(rnd), NumberVal(rnd.nextInt(10).toDouble))
     case 4 => Length(genIdent(rnd), genOp(rnd), NumberVal(rnd.nextInt(10).toDouble))
+    case 5 =>
+      val k = 2 + rnd.nextInt(2) // 2- or 3-way zip
+      ZipHas(Seq.fill(k)(genIdent(rnd)),
+        Seq(HasAll, HasAny, HasOnly)(rnd.nextInt(3)),
+        Seq.fill(1 + rnd.nextInt(2))(
+          Seq.fill(k)(ZipTerm(genOp(rnd), genValue(rnd)))))
     case _ => IsKnown(genIdent(rnd), rnd.nextBoolean())
   }
 
