@@ -86,6 +86,63 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // the training-data pipeline END TO END in one graded query: language
+    // ID → quality gate → exact dedup (min-id survivor) → per-source
+    // corpus stats. Every stage is SQL-expressible, so the oracle
+    // re-derives the WHOLE pipeline — filters, dedup window, aggregates —
+    // over the raw documents table. Float discipline: the quality filter
+    // compares mirrored-arithmetic doubles (bit-identical, q52); the
+    // emitted quality stats are MIN/MAX (order-independent, exact) — an
+    // avg through DECIMAL(18,6) flaked when one value landed within an
+    // ulp of a .5e-6 quantization boundary where the engines' decimal
+    // rounding modes disagree.
+    QueryDef.sql("q68_pipeline_e2e", {
+      def hits(set: Seq[String]) =
+        set.map(w => s"'$w'").mkString("len(list_filter(string_split(text, ' '), t -> list_contains([", ", ", "], t)))")
+      val en = hits(TA.Stopwords("en")); val de = hits(TA.Stopwords("de"))
+      val es = hits(TA.Stopwords("es")); val fr = hits(TA.Stopwords("fr"))
+      val zh = hits(TA.Stopwords("zh"))
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, text,
+         |    CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+         |         WHEN $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+         |         WHEN $es >= $fr AND $es >= $zh THEN 'es'
+         |         WHEN $fr >= $zh THEN 'fr'
+         |         ELSE 'zh' END AS predicted,
+         |    (CAST($en AS DOUBLE) / len(string_split(text, ' '))) * 0.4
+         |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |    + least((CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3
+         |      AS quality,
+         |    len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |kept AS (
+         |  SELECT * FROM scored
+         |  WHERE predicted = 'en' AND quality >= CAST(0.45 AS DOUBLE)),
+         |surv AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM kept) WHERE rn = 1)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  MIN(quality) AS min_quality, MAX(quality) AS max_quality
+         |FROM surv GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("source"), col("text"),
+        TA.langId(col("text")).as("predicted"),
+        TA.qualityScore(col("text")).as("quality"),
+        TA.tokenCount(col("text")).as("n_tokens"))
+      val kept = scored.filter(
+        col("predicted") === "en" && col("quality") >= lit(0.45))
+      val surv = Dedup.exactSurvivors(kept, "text", "doc_id")
+      surv.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+        .orderBy("source")
+    },
+
     QueryDef.sql("q35_fingerprint",
       """SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
