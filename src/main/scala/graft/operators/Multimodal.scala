@@ -241,17 +241,29 @@ object Multimodal {
 
   /** Production codec: image → PPM, audio → WAV (each verified by magic
     * bytes), video → [[StubCodec]] (documented gap: no video container
-    * lib in this environment). */
+    * lib in this environment).
+    *
+    * Failure tolerance: a payload whose magic matches but whose body is
+    * corrupt (truncated raster, bad chunk sizes) degrades to the stub
+    * features instead of throwing — at corpus scale one bad file must
+    * not kill the extraction job. Corruption is still observable:
+    * [[dedupByContent]]/n_bytes carry the raw payload, and a validity
+    * flag can be recovered by re-running the strict decoder on
+    * suspects. */
   object RealCodec extends MediaCodec {
     def decode(kind: String, content: Array[Byte]): Array[Float] =
       if (content == null || content.isEmpty) new Array[Float](FeatureDim)
-      else kind match {
+      else try kind match {
         case "image" if content.length >= 2 && content(0) == 'P' && content(1) == '6' =>
           PpmCodec.decode(content)
         case "audio" if content.length >= 4 &&
             new String(content, 0, 4, "US-ASCII") == "RIFF" =>
           WavCodec.decode(content)
         case _ => StubCodec.decode(kind, content)
+      } catch {
+        case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+             _: NumberFormatException =>
+          StubCodec.decode(kind, content)
       }
   }
 
@@ -302,13 +314,18 @@ object Multimodal {
   private val transcodeUdf = udf(
     (kind: String, content: Array[Byte], imgW: Int, imgH: Int, audioFactor: Int) =>
       if (content == null || content.isEmpty) content
-      else kind match {
+      else try kind match {
         case "image" if content.length >= 2 && content(0) == 'P' && content(1) == '6' =>
           PpmCodec.resize(content, imgW, imgH)
         case "audio" if content.length >= 4 &&
             new String(content, 0, 4, "US-ASCII") == "RIFF" =>
           WavCodec.resample(content, audioFactor)
         case _ => content
+      } catch {
+        // corrupt-after-magic payloads pass through untouched rather than
+        // failing the whole transcode job
+        case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+             _: NumberFormatException => content
       })
 
   /** Partition-parallel transcode — the resize/resample stage of a media

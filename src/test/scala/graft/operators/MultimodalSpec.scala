@@ -140,6 +140,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.RealCodec.decode("image", "nonsense".getBytes).length == 8)
   }
 
+  test("corrupt-after-magic payloads degrade, never kill the job") {
+    // valid P6 magic, truncated raster
+    val truncated = "P6\n4 4\n255\nab".getBytes("US-ASCII")
+    val f = Multimodal.RealCodec.decode("image", truncated)
+    assert(f.toSeq == Multimodal.StubCodec.decode("image", truncated).toSeq)
+    // valid RIFF magic, garbage chunk structure
+    val badWav = "RIFFxxxxWAVEgarbagegarbagegarbagegarbagegarbage".getBytes("US-ASCII")
+    assert(Multimodal.RealCodec.decode("audio", badWav).length == 8)
+    // transcode passes both through unchanged instead of throwing
+    import spark.implicits._
+    val dirty = Seq((1L, "image", truncated), (2L, "audio", badWav))
+      .toDF("media_id", "kind", "content")
+    val out = Multimodal.transcode(dirty, 2, 2, 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("content")).toMap
+    assert(out(1L).sameElements(truncated) && out(2L).sameElements(badWav))
+  }
+
   test("frame sampling: one row per everyMs in [0, duration)") {
     val frames = Multimodal.sampleFrames(media, everyMs = 100)
     // only the video row (id 2, duration = len("video payload bytes")*40 = 760ms)
