@@ -48,8 +48,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * }}}
   */
 class PagedJsonSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    require(options.containsKey("schemaDDL"),
+      "PagedJsonSource requires .option(\"schemaDDL\", \"col TYPE, ...\") — " +
+        "the provider contract declares its response schema up front")
     StructType.fromDDL(options.get("schemaDDL"))
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
     new PagedJsonTable(schema, properties.get("path"),
@@ -165,9 +169,14 @@ object PagedJsonClient {
     case _ => false // StringContains etc. stay residual → Spark post-filters
   }
 
-  private def records(path: String): Iterator[JsonNode] =
-    scala.io.Source.fromFile(path, "UTF-8").getLines()
-      .filter(_.nonEmpty).map(mapper.readTree)
+  private def records(path: String): Iterator[JsonNode] = {
+    // eager read + close: a lazy Source iterator leaks the file handle
+    // when a page stops mid-stream (and a real HTTP client consumes the
+    // response body fully anyway — the provider DB is bounded)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
+    lines.iterator().asScala.filter(_.nonEmpty).map(mapper.readTree)
+  }
 
   private def cmp(node: JsonNode, attr: String, v: Any)(op: Int => Boolean): Boolean = {
     val f = node.get(attr)
