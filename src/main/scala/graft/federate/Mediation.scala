@@ -79,22 +79,29 @@ object Mediation {
   }
 
   /** Drive [[pageAfter]] to exhaustion, mirroring the reference's
-    * while-loop: collect each page's max key as the next cursor (one
-    * distributed job per page; key must be unique for lossless tiling). */
+    * while-loop: each page runs its top-k job ONCE (localCheckpoint
+    * materializes it; the cursor probe and the caller's actions reuse
+    * the checkpointed partitions), and pages are fetched lazily — no
+    * work for page N+1 until the caller asks. Key must be unique for
+    * lossless tiling. */
   def pageAll(df: DataFrame, keyCol: String, limit: Int): Iterator[DataFrame] =
     new Iterator[DataFrame] {
       private var cursor: Option[Long] = None
-      private var nextPage: Option[DataFrame] = fetch()
-      private def fetch(): Option[DataFrame] = {
-        val p = pageAfter(df, keyCol, cursor, limit)
+      private var done = false
+      private var pending: Option[DataFrame] = None
+      private def advance(): Unit = if (!done && pending.isEmpty) {
+        val p = pageAfter(df, keyCol, cursor, limit).localCheckpoint()
         val maxKey = p.agg(org.apache.spark.sql.functions.max(col(keyCol)))
           .collect().head
-        if (maxKey.isNullAt(0)) None
-        else { cursor = Some(maxKey.getLong(0)); Some(p) }
+        if (maxKey.isNullAt(0)) done = true
+        else { cursor = Some(maxKey.getLong(0)); pending = Some(p) }
       }
-      def hasNext: Boolean = nextPage.isDefined
+      def hasNext: Boolean = { advance(); pending.isDefined }
       def next(): DataFrame = {
-        val p = nextPage.get; nextPage = fetch(); p
+        advance()
+        val p = pending.getOrElse(throw new NoSuchElementException("no more pages"))
+        pending = None
+        p
       }
     }
 

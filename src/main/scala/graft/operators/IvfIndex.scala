@@ -35,7 +35,13 @@ object IvfIndex {
 
   def buildCached(key: String, corpus: DataFrame, idCol: String,
                   vecCol: String, nlist: Int, seed: Long = 42L): Index =
-    buildCache.computeIfAbsent(key, _ => build(corpus, idCol, vecCol, nlist, seed))
+    buildCache.compute(key, (_, cached) =>
+      // a hit whose DataFrame belongs to a stopped SparkContext (session
+      // torn down and rebuilt in the same JVM) must rebuild, not return
+      // a frame that fails on first action
+      if (cached != null &&
+          !cached.assigned.sparkSession.sparkContext.isStopped) cached
+      else build(corpus, idCol, vecCol, nlist, seed))
 
   /** Build the index: fit k-means on the (double-cast) vectors and
     * assign every corpus row to its cell. */

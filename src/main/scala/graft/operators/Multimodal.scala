@@ -51,7 +51,12 @@ object Multimodal {
     * then mean luma of 4 equal horizontal stripes — all normalized by
     * maxval, so a decoded all-white image is all-1s. */
   object PpmCodec {
-    def decode(content: Array[Byte]): Array[Float] = {
+    /** (width, height, maxval, raster offset). ONE parser for the strict
+      * and transform paths — decode and resize previously duplicated it,
+      * which is how their validation drifted. 8-bit samples only: a
+      * 16-bit P6 (maxval ≥ 256 ⇒ 2 bytes/sample per the netpbm spec) is
+      * rejected rather than silently decoded as interleaved bytes. */
+    private[operators] def parseHeader(content: Array[Byte]): (Int, Int, Int, Int) = {
       var pos = 0
       def skipWs(): Unit = {
         var inComment = false
@@ -71,8 +76,14 @@ object Multimodal {
       require(token() == "P6", "not a binary PPM")
       val w = token().toInt; val h = token().toInt; val maxval = token().toInt
       pos += 1 // single whitespace after maxval, then raster
-      require(w > 0 && h > 0 && maxval > 0 && maxval < 65536, "bad PPM header")
-      require(content.length - pos >= w * h * 3, "truncated PPM raster")
+      require(w > 0 && h > 0 && maxval > 0 && maxval < 256,
+        "bad PPM header (only 8-bit P6 supported)")
+      require(content.length - pos >= w.toLong * h * 3, "truncated PPM raster")
+      (w, h, maxval, pos)
+    }
+
+    def decode(content: Array[Byte]): Array[Float] = {
+      val (w, h, maxval, pos) = parseHeader(content)
       val f = new Array[Float](FeatureDim)
       val stripeLuma = new Array[Double](4)
       val stripeN = new Array[Long](4)
@@ -113,26 +124,7 @@ object Multimodal {
       * at (y*h/h2, x*w/w2), re-encode. Returns a valid P6 of w2×h2. */
     def resize(content: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
       require(w2 > 0 && h2 > 0)
-      // re-parse the header the same way decode does
-      var pos = 0
-      def skipWs(): Unit = {
-        var inComment = false
-        while (pos < content.length &&
-               (inComment || content(pos).toChar.isWhitespace || content(pos) == '#')) {
-          if (content(pos) == '#') inComment = true
-          else if (content(pos) == '\n') inComment = false
-          pos += 1
-        }
-      }
-      def token(): String = {
-        skipWs()
-        val start = pos
-        while (pos < content.length && !content(pos).toChar.isWhitespace) pos += 1
-        new String(content, start, pos - start, "US-ASCII")
-      }
-      require(token() == "P6", "not a binary PPM")
-      val w = token().toInt; val h = token().toInt; token() // maxval
-      pos += 1
+      val (w, h, _, pos) = parseHeader(content)
       val out = new Array[Byte](w2 * h2 * 3)
       var y = 0
       while (y < h2) {
@@ -162,26 +154,47 @@ object Multimodal {
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
     private def le16(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
 
-    def decode(content: Array[Byte]): Array[Float] = {
+    /** Parsed fmt + data chunk locations. */
+    private[operators] final case class WavInfo(
+        channels: Int, sampleRate: Int, bitsPerSample: Int,
+        dataOff: Int, dataLen: Int)
+
+    /** ONE chunk walker for decode and resample (previously duplicated,
+      * with diverging validation). Guards: a negative or non-advancing
+      * chunk size is corruption and throws (the old walk looped forever
+      * on size −8 because pos += 8 + sz + pad advanced by zero);
+      * PCM16 is validated here so every consumer gets it. */
+    private[operators] def parseChunks(content: Array[Byte]): WavInfo = {
       require(content.length >= 44 &&
         new String(content, 0, 4, "US-ASCII") == "RIFF" &&
         new String(content, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE file")
       var pos = 12
-      var bitsPerSample = -1
+      var channels = -1; var rate = -1; var bits = -1
       var dataOff = -1; var dataLen = -1
-      while (pos + 8 <= content.length && (bitsPerSample < 0 || dataOff < 0)) {
+      while (pos + 8 <= content.length && (bits < 0 || dataOff < 0)) {
         val id = new String(content, pos, 4, "US-ASCII")
         val sz = le32(content, pos + 4)
+        require(sz >= 0 && pos + 8 + sz >= pos + 8, s"corrupt chunk size $sz")
         if (id == "fmt ") {
+          require(sz >= 16 && pos + 24 <= content.length, "truncated fmt chunk")
           require(le16(content, pos + 8) == 1, "only PCM supported")
-          bitsPerSample = le16(content, pos + 22)
-          require(bitsPerSample == 16, "only PCM16 supported")
+          channels = le16(content, pos + 10)
+          rate = le32(content, pos + 12)
+          bits = le16(content, pos + 22)
+          require(bits == 16, "only PCM16 supported")
+          require(channels >= 1 && rate > 0, "bad fmt chunk")
         } else if (id == "data") { dataOff = pos + 8; dataLen = sz }
         pos += 8 + sz + (sz & 1) // chunks are word-aligned
       }
-      require(bitsPerSample > 0 && dataOff >= 0, "missing fmt/data chunk")
+      require(bits > 0 && dataOff >= 0, "missing fmt/data chunk")
       require(dataOff + dataLen <= content.length, "truncated data chunk")
-      val nSamples = dataLen / 2
+      WavInfo(channels, rate, bits, dataOff, dataLen)
+    }
+
+    def decode(content: Array[Byte]): Array[Float] = {
+      val info = parseChunks(content)
+      val dataOff = info.dataOff
+      val nSamples = info.dataLen / 2
       val f = new Array[Float](FeatureDim)
       if (nSamples == 0) return f
       val sums = new Array[Double](FeatureDim)
@@ -202,25 +215,20 @@ object Multimodal {
 
     /** Decimation resample by an integer factor: keep every `factor`-th
       * sample (a real resampler low-passes first; decimation is the
-      * deterministic dependency-free variant). Returns a valid PCM16
-      * mono WAV at rate/factor. */
+      * deterministic dependency-free variant). MONO PCM16 only — on a
+      * stereo stream keeping every Nth interleaved value would split
+      * channels, so multi-channel input is rejected (→ transcode
+      * passthrough) rather than silently corrupted. Returns a valid
+      * PCM16 mono WAV at rate/factor. */
     def resample(content: Array[Byte], factor: Int): Array[Byte] = {
       require(factor >= 1)
-      var pos = 12
-      var rate = -1
-      var dataOff = -1; var dataLen = -1
-      while (pos + 8 <= content.length && (rate < 0 || dataOff < 0)) {
-        val id = new String(content, pos, 4, "US-ASCII")
-        val sz = le32(content, pos + 4)
-        if (id == "fmt ") rate = le32(content, pos + 12)
-        else if (id == "data") { dataOff = pos + 8; dataLen = sz }
-        pos += 8 + sz + (sz & 1)
-      }
-      require(rate > 0 && dataOff >= 0, "missing fmt/data chunk")
-      val n = dataLen / 2
+      val info = parseChunks(content)
+      require(info.channels == 1, "resample supports mono only")
+      require(info.sampleRate / factor >= 1, s"factor $factor exceeds sample rate")
+      val n = info.dataLen / 2
       val kept = Array.tabulate((n + factor - 1) / factor)(i =>
-        le16(content, dataOff + i * factor * 2).toShort)
-      encode(rate / factor, kept)
+        le16(content, info.dataOff + i * factor * 2).toShort)
+      encode(info.sampleRate / factor, kept)
     }
 
     /** Minimal PCM16 mono encoder (tests + synthetic corpus). */
@@ -261,9 +269,10 @@ object Multimodal {
           WavCodec.decode(content)
         case _ => StubCodec.decode(kind, content)
       } catch {
-        case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
-             _: NumberFormatException =>
-          StubCodec.decode(kind, content)
+        // NonFatal, not an exception enumeration: a corrupt payload can
+        // surface as any parse-time exception (the first list missed
+        // StringIndexOutOfBounds from a negative chunk offset)
+        case scala.util.control.NonFatal(_) => StubCodec.decode(kind, content)
       }
   }
 
@@ -323,9 +332,8 @@ object Multimodal {
         case _ => content
       } catch {
         // corrupt-after-magic payloads pass through untouched rather than
-        // failing the whole transcode job
-        case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
-             _: NumberFormatException => content
+        // failing the whole transcode job (NonFatal: see RealCodec)
+        case scala.util.control.NonFatal(_) => content
       })
 
   /** Partition-parallel transcode — the resize/resample stage of a media
@@ -403,5 +411,7 @@ object Multimodal {
             .otherwise(lit("application/octet-stream")).as("mime"),
           length(col("__seed")).cast("int").as("width"),
           lit(16).as("height"),
-          (length(col("__seed")) * 40L).as("duration_ms")).as("meta"))
+          // floor at one frame's worth: an empty seed must not produce
+          // duration 0, which would crash sampleFrames' sequence(0, -1)
+          (greatest(length(col("__seed")), lit(1)) * 40L).as("duration_ms")).as("meta"))
 }

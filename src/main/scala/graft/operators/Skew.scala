@@ -26,7 +26,8 @@ object Skew {
     * exactly one salt. right/full outer would emit each UNMATCHED
     * small-side row once per replica (`salts` duplicates) — rejected;
     * swap the sides (salt the other input) instead. */
-  private val SafeJoinTypes = Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+  private val SafeJoinTypes =
+    Set("inner", "cross", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
 
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {

@@ -182,6 +182,13 @@ object PagedJsonClient {
     val f = node.get(attr)
     if (f == null || f.isNull) false
     else v match {
+      // integral-vs-integral compares as Long: Spark TRUSTS pushed
+      // filters (no post-scan re-check), and a double comparison
+      // collapses BIGINTs above 2^53 onto the same value
+      case n @ (_: java.lang.Long | _: java.lang.Integer |
+                _: java.lang.Short | _: java.lang.Byte)
+          if f.canConvertToLong && !f.isFloatingPointNumber =>
+        op(java.lang.Long.compare(f.asLong(), n.asInstanceOf[Number].longValue()))
       case n: Number => op(java.lang.Double.compare(f.asDouble(), n.doubleValue()))
       case s: String => op(f.asText().compareTo(s))
       case b: Boolean => op(java.lang.Boolean.compare(f.asBoolean(), b))

@@ -126,6 +126,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.extractFeatures(out).count() == 4)
   }
 
+  test("negative chunk sizes degrade instead of hanging the chunk walk") {
+    // RIFF header + a chunk declaring size -8: the old walk advanced pos
+    // by 8 + (-8) + 0 = 0 and spun forever
+    val bb = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(40)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("JUNK".getBytes("US-ASCII")).putInt(-8)
+    val evil = bb.array()
+    val f = Multimodal.RealCodec.decode("audio", evil) // must return, not hang
+    assert(f.toSeq == Multimodal.StubCodec.decode("audio", evil).toSeq)
+    // transcode likewise passes it through
+    import spark.implicits._
+    val out = Multimodal.transcode(
+      Seq((1L, "audio", evil)).toDF("media_id", "kind", "content"), 2, 2, 2)
+      .collect().head.getAs[Array[Byte]]("content")
+    assert(out.sameElements(evil))
+  }
+
+  test("16-bit PPM (maxval >= 256) is rejected, not mis-decoded") {
+    val ppm16 = "P6\n1 1\n65535\n".getBytes("US-ASCII") ++ Array[Byte](0, 1, 2, 3, 4, 5)
+    assertThrows[IllegalArgumentException](Multimodal.PpmCodec.decode(ppm16))
+    // and through the tolerant path it degrades to the stub
+    assert(Multimodal.RealCodec.decode("image", ppm16).toSeq ==
+      Multimodal.StubCodec.decode("image", ppm16).toSeq)
+  }
+
+  test("stereo WAV resample is rejected (passthrough), not channel-split") {
+    // hand-build a stereo PCM16 header + 4 interleaved samples
+    val bb = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(8000).putInt(8000 * 4)
+      .putShort(4).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(8)
+    Seq[Short](100, -100, 200, -200).foreach(bb.putShort)
+    val stereo = bb.array()
+    assertThrows[IllegalArgumentException](Multimodal.WavCodec.resample(stereo, 2))
+    import spark.implicits._
+    val out = Multimodal.transcode(
+      Seq((1L, "audio", stereo)).toDF("media_id", "kind", "content"), 2, 2, 2)
+      .collect().head.getAs[Array[Byte]]("content")
+    assert(out.sameElements(stereo))
+    // decode still pools the interleaved samples (documented behavior)
+    assert(Multimodal.WavCodec.decode(stereo).length == 8)
+  }
+
   test("RealCodec dispatches by kind + magic; video falls back to stub") {
     val img = Multimodal.mediaBytes("image", "some seed text")
     assert(Multimodal.RealCodec.decode("image", img).toSeq ==

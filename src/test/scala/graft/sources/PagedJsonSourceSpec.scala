@@ -79,6 +79,25 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     assert(filtered.queryExecution.executedPlan.toString.contains("limit=Some(3)"))
   }
 
+  test("pushed equality on BIGINT beyond 2^53 stays exact") {
+    val bigPath = "/root/repo/target/test-paged-json/big.jsonl"
+    val a = (1L << 53) + 1 // collapses onto 2^53 as a double
+    val b = 1L << 53
+    PagedJsonClient.writeJsonl(
+      Seq(Map[String, Any]("id" -> a, "name" -> "a"),
+          Map[String, Any]("id" -> b, "name" -> "b")),
+      Seq("id", "name"), bigPath)
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", bigPath).option("schemaDDL", "id BIGINT, name STRING")
+      .load()
+    // Spark trusts the pushed filter — the provider must not return the
+    // 2^53 row for the 2^53+1 equality
+    val names = df.filter(col("id") === a)
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(names == Seq("a"), s"double-collapsed comparison: $names")
+    assert(df.filter(col("id") > b).count() == 1)
+  }
+
   test("column pruning mirrors response_fields") {
     val df = load().select("name")
     assert(df.schema.fieldNames.toSeq == Seq("name"))
