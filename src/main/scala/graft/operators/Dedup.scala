@@ -173,6 +173,60 @@ object Dedup {
       minhashSigs(df, idCol, textCol, shingleK, numHashes),
       threshold, bands, numHashes / bands)
 
+  /** (id, shingle) posting list — each document's DISTINCT k-shingles,
+    * exploded to rows. The row-local stage of the exact n-gram Jaccard
+    * pipeline (everything downstream is relational; graft.Aux pattern). */
+  def ngramPostings(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(array_distinct(shinglesUdf(k)(col(textCol)))).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup via a POSTING-LIST (inverted-index)
+    * join — the third dedup family next to MinHash-LSH and SimHash, and
+    * unlike them sketch-free: candidate pairs are documents sharing at
+    * least one RARE shingle (document frequency ≤ maxDf; high-df
+    * shingles contribute candidates quadratically while carrying no
+    * dedup signal, the standard inverted-index guard — a near-dup pair
+    * at any useful threshold shares many rare shingles, so the cap costs
+    * no recall on non-degenerate corpora), verified with the exact set
+    * Jaccard |A∩B| / (|A|+|B|−|A∩B|) recomputed relationally from the
+    * same postings. No all-pairs stage anywhere: candidate cost is
+    * Σ_rare-shingle df², verification touches candidates only — the
+    * layout that scales out (postings shuffle on shingle, pair counts
+    * shuffle on (id_a,id_b)). Jaccard is emitted as the RAW int-ratio
+    * double (bit-identical across engines; round() is not). */
+  def ngramJaccardNearDupsFromPostings(postings: DataFrame, threshold: Double,
+                                       maxDf: Long): DataFrame = {
+    val rare = postings.groupBy("shingle")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select("shingle")
+    val rp = postings.join(rare, Seq("shingle"))
+    val cands = rp.select(col("shingle"), col("id").as("id_a"))
+      .join(rp.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sizes = postings.groupBy("id").agg(count(lit(1)).as("sz"))
+    val common = cands
+      .join(postings.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(postings.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full exact n-gram Jaccard near-dup pipeline. */
+  def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, k: Int = 3,
+                           maxDf: Long = 4): DataFrame =
+    ngramJaccardNearDupsFromPostings(
+      ngramPostings(df, idCol, textCol, k), threshold, maxDf)
+
   /** Connected components of an undirected pair graph (id_a, id_b) by
     * iterated min-label propagation: every vertex starts labeled with its
     * own id; each round takes the min over its closed neighborhood; after

@@ -125,6 +125,19 @@ object IvfIndex {
     Index(centroids, spark.read.parquet(s"$path/assigned"))
   }
 
+  /** Paths this JVM already persisted via [[storeCached]] — an index
+    * store is immutable once written (content is deterministic per
+    * (corpus, seed)), so repeat executions in one session skip the
+    * rewrite, exactly like [[graft.Aux.share]]. */
+  private val storeWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Persist `index` at `path` once per session and return the path. */
+  def storeCached(index: Index, path: String): String = {
+    if (storeWritten.add(path)) write(index, path)
+    path
+  }
+
   /** Top-k over a PERSISTED index with scan-level partition pruning: the
     * distinct probed cell ids (≤ nQueries × nprobe ints — metadata, not
     * data) drive an `isin` partition filter, so the parquet scan reads
@@ -136,11 +149,20 @@ object IvfIndex {
                  queries: DataFrame, queryIdCol: String, vecCol: String,
                  k: Int, nprobe: Int): DataFrame = {
     val index = load(spark, path)
-    val q = probes(index, queries, queryIdCol, vecCol, nprobe)
-    val cells = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    val pruned = index.assigned.filter(col("cell").isin(cells: _*))
+    topKStoredWithProbes(spark, path,
+      probes(index, queries, queryIdCol, vecCol, nprobe), k)
+  }
+
+  /** [[topKStored]] with the probe list supplied by the caller (the
+    * oracle-gated queries materialize probes to aux parquet first, so the
+    * same frame feeds both the Spark search and the DuckDB re-derivation). */
+  def topKStoredWithProbes(spark: org.apache.spark.sql.SparkSession,
+                           path: String, probes: DataFrame, k: Int): DataFrame = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = assigned.filter(col("cell").isin(cells: _*))
     Similarity.rankTopK(
-      pruned.join(broadcast(q), Seq("cell"))
+      pruned.join(broadcast(probes), Seq("cell"))
         .select(col("query_id"), col("qv"), col("corpus_id"), col("cv")), k)
   }
 }

@@ -239,6 +239,38 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // exact n-gram Jaccard dedup via posting-list (inverted-index) join —
+    // the sketch-free third dedup family. Only the shingling UDF is
+    // row-local; the df cap, candidate join, common-count and Jaccard
+    // verify are ALL re-derived by the oracle from the shared postings.
+    QueryDef.sql("q69_ngram_jaccard",
+      """WITH post AS (SELECT * FROM read_parquet('__AUX__/q69_postings/*.parquet')),
+        |rare AS (SELECT shingle FROM post GROUP BY shingle HAVING count(*) <= 4),
+        |rp AS (SELECT p.id, p.shingle FROM post p JOIN rare r ON p.shingle = r.shingle),
+        |cands AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM rp a JOIN rp b ON a.shingle = b.shingle AND a.id < b.id),
+        |sizes AS (SELECT id, count(*) AS sz FROM post GROUP BY id),
+        |com AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS n_common
+        |  FROM cands c
+        |  JOIN post pa ON pa.id = c.id_a
+        |  JOIN post pb ON pb.id = c.id_b AND pb.shingle = pa.shingle
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT m.id_a, m.id_b,
+        |  CAST(m.n_common AS DOUBLE) / (sa.sz + sb.sz - m.n_common) AS jaccard
+        |FROM com m
+        |JOIN sizes sa ON m.id_a = sa.id
+        |JOIN sizes sb ON m.id_b = sb.id
+        |WHERE CAST(m.n_common AS DOUBLE) / (sa.sz + sb.sz - m.n_common) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val postings = Aux.share(
+        Dedup.ngramPostings(docsWithPlants(s, d), "doc_id", "text"),
+        d, "q69_postings")
+      Dedup.ngramJaccardNearDupsFromPostings(postings, threshold = 0.6, maxDf = 4)
+        .orderBy("id_a", "id_b")
+    },
+
     // brute-force exact cosine top-5 for three query vectors — oracle
     // mirrors the fold arithmetic with DuckDB list functions
     QueryDef.sql("q39_embed_topk",
@@ -307,11 +339,16 @@ object PipelineQueries {
     },
 
     // IVF-partitioned ANN (k-means cells, nprobe=3 of 8): the second
-    // scale path next to sign-LSH. Cell assignments + probe lists are
-    // aux-shared; the oracle re-derives the cell join + ranking (the
-    // k-means fit itself is pinned by IvfIndexSpec recall tests).
+    // scale path next to sign-LSH — and the query now runs against the
+    // PERSISTED per-cell store (hive `cell=N/` layout, probes prune at
+    // the parquet scan), the exact layout a 100 TB corpus would use. The
+    // oracle reads the same store via hive_partitioning and re-derives
+    // the cell join + ranking (the k-means fit itself is pinned by
+    // IvfIndexSpec recall tests; the file-pruning assertion lives there
+    // too).
     QueryDef.sql("q54_embed_ivf",
-      s"""WITH c AS (SELECT * FROM read_parquet('__AUX__/q54_corpus/*.parquet')),
+      s"""WITH c AS (SELECT corpus_id, cv, CAST(cell AS INT) AS cell
+         |  FROM read_parquet('__AUX__/q54_store/assigned/*/*.parquet', hive_partitioning = 1)),
          |p AS (SELECT * FROM read_parquet('__AUX__/q54_probes/*.parquet')),
          |scored AS (
          |  SELECT p.query_id, c.corpus_id, ${duckCosine("p.qv", "c.cv")} AS sim
@@ -324,13 +361,12 @@ object PipelineQueries {
          |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val index = IvfIndex.buildCached(s"q54:$d", emb, "vec_id", "embedding", nlist = 8)
-      val corpus = Aux.share(index.assigned, d, "q54_corpus")
+      val store = IvfIndex.storeCached(index, s"${Aux.dir(d)}/q54_store")
+      val loaded = IvfIndex.load(s, store)
       val probes = Aux.share(
-        IvfIndex.probes(index, emb.filter(col("vec_id") < 3),
+        IvfIndex.probes(loaded, emb.filter(col("vec_id") < 3),
           "vec_id", "embedding", nprobe = 3), d, "q54_probes")
-      Similarity.rankTopK(
-        corpus.join(broadcast(probes), Seq("cell"))
-          .select(col("query_id"), col("qv"), col("corpus_id"), col("cv")), k = 5)
+      IvfIndex.topKStoredWithProbes(s, store, probes, k = 5)
         .orderBy("query_id", "rank")
     },
 

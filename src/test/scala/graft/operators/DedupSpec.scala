@@ -57,6 +57,31 @@ class DedupSpec extends AnyFunSuite {
     assert(j14 == 1.0)
   }
 
+  test("ngram Jaccard posting-list pairs match brute-force all-pairs Jaccard") {
+    val got = Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
+      threshold = 0.5, k = 3, maxDf = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // brute force: every pair, exact set Jaccard over the same shingles
+    val sh = docs.select(col("doc_id"),
+      Dedup.shinglesUdf(3)(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val want = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("j", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.5)
+      .select("id_a", "id_b", "j")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == want)
+    assert(got.contains((1L, 4L)) && got((1L, 4L)) == 1.0) // exact dup pair found
+  }
+
+  test("ngram Jaccard df cap drops candidates from stopword-like shingles only") {
+    // with maxDf = 1 every shared shingle is over-cap → no candidates at all
+    val none = Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
+      threshold = 0.5, k = 3, maxDf = 1)
+    assert(none.count() == 0)
+  }
+
   test("minhash survivors drop later near-dups") {
     val surv = Dedup.minhashSurvivors(docs, "doc_id", "text", threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
