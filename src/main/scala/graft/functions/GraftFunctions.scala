@@ -30,6 +30,26 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hill_formula", exprs => HillFormulaExpr(exprs.head), "scala_udf")
 
+  // Vector kernels (similarity/ANN hot path) — native one-pass codegen'd
+  // expressions; see VectorExprs scaladoc for the bit-compatibility
+  // contract with the composed higher-order-function forms.
+  def cosine_sim(a: Column, b: Column): Column = {
+    ensureVectorRegistered(SparkSession.active)
+    call_function("cosine_sim", a, b)
+  }
+
+  def sign_bucket(vec: Column, planes: Column): Column = {
+    ensureVectorRegistered(SparkSession.active)
+    call_function("sign_bucket", vec, planes)
+  }
+
+  private def ensureVectorRegistered(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_bucket", exprs => SignBucketExpr(exprs(0), exprs(1)), "scala_udf")
+  }
+
   // F4 — space-group number → short HM / unicode symbol via map literals
   private lazy val shortHMCol: Column =
     typedlit(SpaceGroups.shortHM.zipWithIndex.map { case (s, i) => (i + 1) -> s }.toMap)

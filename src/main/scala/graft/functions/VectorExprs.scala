@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Native codegen'd vector kernels for the similarity/ANN family.
+  *
+  * The composed form — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` etc. —
+  * is correct but interpreted: Spark's higher-order functions don't
+  * implement doGenCode, so every candidate pair in a top-k join falls out
+  * of whole-stage codegen and allocates the zipped intermediate array.
+  * These expressions keep the candidate loop inside generated code and
+  * compute dot + both norms in ONE pass with no allocation.
+  *
+  * Bit-compatibility contract (asserted in VectorExprsSpec): each
+  * accumulator sums in element order, exactly like the left fold of the
+  * HOF form, so results are bit-identical to the composed expressions AND
+  * to the DuckDB oracle mirrors (list_sum over list_transform preserves
+  * the same order).
+  *
+  * Null semantics mirror the folds:
+  *  - null array input → null (nullSafeEval);
+  *  - any null element (or a length mismatch, which zip_with pads with
+  *    nulls) poisons the fold → cosine returns null;
+  *  - in sign_bucket a null per-plane dot makes `when(d > 0, bit)` fall
+  *    to otherwise(0) → that plane contributes bit 0, result non-null.
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.CosineSimExpr.compute($a, $b);
+         |${ev.isNull} = (${ev.value}_r == null);
+         |${ev.value} = ${ev.isNull} ? -1.0 : ${ev.value}_r.doubleValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimExpr {
+  /** Static entry point for generated code. Boxed return: null signals
+    * the poisoned-fold cases (length mismatch / null element). */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+}
+
+/** Sign-LSH bucket key: bit i set iff vec · planes(i) > 0 — the native
+  * form of the transform/when/shiftleft composition in Dedup.signBucket.
+  * `right` is the plane matrix literal (array of array of double). */
+case class SignBucketExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sign_bucket"
+
+  override def nullSafeEval(vec: Any, planes: Any): Any =
+    SignBucketExpr.compute(
+      vec.asInstanceOf[ArrayData], planes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, p) =>
+      s"${ev.value} = graft.functions.SignBucketExpr.compute($v, $p);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SignBucketExpr {
+  /** Static entry point for generated code. A null vector element makes
+    * every dot null → every bit 0 via the when/otherwise mirror, never a
+    * null bucket. */
+  def compute(vec: ArrayData, planes: ArrayData): Long = {
+    val bits = planes.numElements()
+    var bucket = 0L
+    var b = 0
+    while (b < bits) {
+      val plane = planes.getArray(b)
+      val n = math.min(vec.numElements(), plane.numElements())
+      var d = 0.0
+      var nullDot = plane.numElements() != vec.numElements()
+      var i = 0
+      while (i < n && !nullDot) {
+        if (vec.isNullAt(i)) nullDot = true
+        else d += vec.getDouble(i) * plane.getDouble(i)
+        i += 1
+      }
+      if (!nullDot && d > 0) bucket += (1L << b)
+      b += 1
+    }
+    bucket
+  }
+}

@@ -371,16 +371,33 @@ object Dedup {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Composed higher-order-function cosine — interpreted; kept as the
+    * reference implementation the native expression is asserted
+    * bit-identical to (VectorExprsSpec). */
+  private[operators] def cosineHof(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
-  /** Sign-LSH bucket key: one bit per hyperplane. */
-  def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+  /** Cosine similarity — native one-pass codegen'd kernel
+    * ([[graft.functions.CosineSimExpr]]); bit-identical to [[cosineHof]]
+    * and to the DuckDB oracle mirror, but stays inside whole-stage
+    * codegen on the candidate-pair hot path. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_sim(a, b)
+
+  /** Composed HOF sign-bucket — interpreted reference implementation. */
+  private[operators] def signBucketHof(vec: Column, planes: Seq[Seq[Double]]): Column =
     aggregate(
       zip_with(
         transform(typedlit(planes), p => dot(vec, p)),
         sequence(lit(0), lit(planes.size - 1)),
         (d, i) => when(d > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
+
+  /** Sign-LSH bucket key: one bit per hyperplane — native codegen'd
+    * kernel ([[graft.functions.SignBucketExpr]]), bit-identical to
+    * [[signBucketHof]]; this is the O(corpus) bucketing pass. */
+  def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    graft.functions.GraftFunctions.sign_bucket(vec, typedlit(planes))
 
   /** (id, v, bucket): the materialized stage of the embedding near-dup
     * pipeline (double-cast vector + sign-LSH bucket), aux-shareable with
@@ -389,7 +406,7 @@ object Dedup {
                        bits: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(dim, bits)
     df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", signBucket(col("v"), planes))
   }
 

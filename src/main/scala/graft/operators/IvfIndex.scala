@@ -48,7 +48,7 @@ object IvfIndex {
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             nlist: Int, seed: Long = 42L): Index = {
     val vecs = corpus.select(col(idCol).as("corpus_id"),
-      transform(col(vecCol), x => x.cast("double")).as("cv"))
+      col(vecCol).cast("array<double>").as("cv"))
       .withColumn("features", array_to_vector(col("cv")))
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cell")
@@ -69,7 +69,7 @@ object IvfIndex {
              vecCol: String, nprobe: Int): DataFrame = {
     val centroidsLit = typedlit(index.centroids.map(_.toSeq).toSeq)
     queries.select(col(queryIdCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("qv"))
+      col(vecCol).cast("array<double>").as("qv"))
       .withColumn("cellDists",
         transform(centroidsLit, c => sqDist(col("qv"), c)))
       .withColumn("probe", explode(slice(

@@ -42,9 +42,9 @@ object Similarity {
                      queryIdCol: String, corpusIdCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("qv")))
+      col(vecCol).cast("array<double>").as("qv")))
     val c = corpus.select(col(corpusIdCol).as("corpus_id"),
-      transform(col(vecCol), x => x.cast("double")).as("cv"))
+      col(vecCol).cast("array<double>").as("cv"))
     rankTopK(c.crossJoin(q), k)
   }
 
@@ -56,11 +56,11 @@ object Similarity {
               vecCol: String, k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(dim, bits)
     val c = corpus.select(col(corpusIdCol).as("corpus_id"),
-      transform(col(vecCol), x => x.cast("double")).as("cv"))
+      col(vecCol).cast("array<double>").as("cv"))
       .withColumn("bucket", signBucket(col("cv"), planes))
     // query probes: own bucket + flip each bit once
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("qv"))
+      col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qbucket", signBucket(col("qv"), planes))
       .withColumn("probe", explode(concat(
         array(col("qbucket")),

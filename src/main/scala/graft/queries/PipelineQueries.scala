@@ -318,13 +318,13 @@ object PipelineQueries {
       val planes = Dedup.hyperplanes(64, 8)
       val corpus = Aux.share(
         emb.select(col("vec_id").as("corpus_id"),
-          transform(col("embedding"), x => x.cast("double")).as("cv"))
+          col("embedding").cast("array<double>").as("cv"))
           .withColumn("bucket", Dedup.signBucket(col("cv"), planes)),
         d, "q40_corpus")
       val queries = Aux.share(
         emb.filter(col("vec_id") < 3)
           .select(col("vec_id").as("query_id"),
-            transform(col("embedding"), x => x.cast("double")).as("qv"))
+            col("embedding").cast("array<double>").as("qv"))
           .withColumn("qbucket", Dedup.signBucket(col("qv"), planes))
           .withColumn("probes", concat(array(col("qbucket")),
             transform(sequence(lit(0), lit(7)),

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class VectorExprsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def randVecs(n: Int, dim: Int, seed: Long) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map(i => (i.toLong,
+        Seq.fill(dim)(rnd.nextGaussian() * (if (rnd.nextBoolean()) 100 else 0.01)),
+        Seq.fill(dim)(rnd.nextGaussian())))
+      .toDF("id", "a", "b")
+  }
+
+  test("native cosine is bit-identical to the composed HOF fold") {
+    val df = randVecs(500, 64, seed = 7)
+    val both = df.select(
+      Dedup.cosine(col("a"), col("b")).as("native"),
+      graft.operators.DedupTestAccess.cosineHof(col("a"), col("b")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native sign_bucket is bit-identical to the composed HOF form") {
+    val planes = Dedup.hyperplanes(16, 8)
+    val df = randVecs(300, 16, seed = 11)
+    val both = df.select(
+      Dedup.signBucket(col("a"), planes).as("native"),
+      graft.operators.DedupTestAccess.signBucketHof(col("a"), planes).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("cosine null semantics: null input, length mismatch, null element") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0), Seq(1.0, 2.0)),         // ok
+      (2L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)))     // length mismatch
+      .toDF("id", "a", "b")
+    val out = df.select(col("id"), Dedup.cosine(col("a"), col("b")).as("c"))
+      .orderBy("id").collect()
+    assert(!out(0).isNullAt(1) && math.abs(out(0).getDouble(1) - 1.0) < 1e-12)
+    assert(out(1).isNullAt(1))
+    // null array input → null
+    val nullIn = df.select(Dedup.cosine(lit(null).cast("array<double>"), col("b")))
+      .collect()
+    assert(nullIn.forall(_.isNullAt(0)))
+    // null ELEMENT poisons the fold → null (mirrors zip_with/aggregate)
+    val withNullElem = spark.sql(
+      "SELECT array(1.0D, NULL, 3.0D) AS a, array(1.0D, 2.0D, 3.0D) AS b")
+    graft.functions.GraftFunctions.cosine_sim(col("a"), col("b")) // ensure registered
+    assert(withNullElem.select(Dedup.cosine(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
+  test("expressions survive both codegen and interpreted eval paths") {
+    val df = randVecs(50, 8, seed = 3)
+    val planes = Dedup.hyperplanes(8, 4)
+    val codegen = df.select(Dedup.cosine(col("a"), col("b")).as("c"),
+      Dedup.signBucket(col("a"), planes).as("s")).collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(Dedup.cosine(col("a"), col("b")).as("c"),
+        Dedup.signBucket(col("a"), planes).as("s")).collect()
+      codegen.zip(interp).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x.getDouble(0)) ==
+               java.lang.Double.doubleToLongBits(y.getDouble(0)))
+        assert(x.getLong(1) == y.getLong(1))
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+  }
+}

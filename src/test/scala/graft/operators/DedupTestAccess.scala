@@ -1,0 +1,12 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+
+/** Test bridge: exposes the private[operators] HOF reference
+  * implementations to specs outside this package (VectorExprsSpec
+  * asserts the native kernels bit-identical to them). */
+object DedupTestAccess {
+  def cosineHof(a: Column, b: Column): Column = Dedup.cosineHof(a, b)
+  def signBucketHof(vec: Column, planes: Seq[Seq[Double]]): Column =
+    Dedup.signBucketHof(vec, planes)
+}
