@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * pipelines.
   *
   * Media are opaque `binary` columns plus a typed metadata struct.
-  * Image and audio decode are REAL pure-JVM codecs: [[PpmCodec]] parses
-  * binary P6 PPM (header + RGB payload) and [[WavCodec]] parses RIFF/WAVE
-  * PCM16 (chunk walk + sample decode); both reduce the decoded
-  * pixels/samples to an 8-dim pooled feature vector. Video stays a
-  * deterministic stub ([[StubCodec]]) — no video container library ships
-  * in this environment — behind the same [[MediaCodec]] interface, so
-  * swapping in a real one changes no operator shape.
+  * ALL THREE modalities decode through REAL pure-JVM codecs:
+  * [[PpmCodec]] parses binary P6 PPM (header + RGB payload),
+  * [[WavCodec]] parses RIFF/WAVE PCM16 (chunk walk + sample decode),
+  * and [[PpmStreamCodec]] parses PPM frame streams (the ffmpeg
+  * `image2pipe -vcodec ppm` container: consecutive P6 frames) with true
+  * frame extraction. Each reduces decoded pixels/samples/frames to an
+  * 8-dim pooled feature vector behind the same [[MediaCodec]]
+  * interface; [[StubCodec]] remains the opaque-payload fallback.
   *
   * Scale design: decode runs inside mapPartitions so a real codec
   * amortizes per-partition init (model load, JNI handles) across rows —
@@ -56,8 +57,9 @@ object Multimodal {
       * which is how their validation drifted. 8-bit samples only: a
       * 16-bit P6 (maxval ≥ 256 ⇒ 2 bytes/sample per the netpbm spec) is
       * rejected rather than silently decoded as interleaved bytes. */
-    private[operators] def parseHeader(content: Array[Byte]): (Int, Int, Int, Int) = {
-      var pos = 0
+    private[operators] def parseHeader(content: Array[Byte],
+                                       start: Int = 0): (Int, Int, Int, Int) = {
+      var pos = start
       def skipWs(): Unit = {
         var inComment = false
         while (pos < content.length &&
@@ -247,9 +249,90 @@ object Multimodal {
     }
   }
 
-  /** Production codec: image → PPM, audio → WAV (each verified by magic
-    * bytes), video → [[StubCodec]] (documented gap: no video container
-    * lib in this environment).
+  /** PPM-stream video decoder: the format ffmpeg emits for
+    * `-f image2pipe -vcodec ppm` — consecutive binary P6 frames, nothing
+    * between them. A real, public, library-free container; every frame
+    * is itself a decodable PPM, so frame extraction composes with the
+    * whole image pipeline (decode / resize / dedup).
+    *
+    * Features (8-dim contract): mean R, G, B, luma over ALL frames, then
+    * mean luma of 4 equal TEMPORAL segments — the time-axis analogue of
+    * the image codec's spatial stripes, so a static clip has f4≈f5≈f6≈f7
+    * and a fade-in ramps them. */
+  object PpmStreamCodec {
+    /** (headerOff, rasterOff, w, h, maxval) per frame. */
+    private[operators] def frameOffsets(content: Array[Byte]): Seq[(Int, Int, Int, Int, Int)] = {
+      val frames = Seq.newBuilder[(Int, Int, Int, Int, Int)]
+      var pos = 0
+      var n = 0
+      while (pos < content.length) {
+        val (w, h, maxval, rasterOff) = PpmCodec.parseHeader(content, pos)
+        frames += ((pos, rasterOff, w, h, maxval))
+        pos = rasterOff + w * h * 3
+        n += 1
+        require(n <= MaxFrames, s"more than $MaxFrames frames")
+      }
+      require(n > 0, "empty PPM stream")
+      frames.result()
+    }
+    private val MaxFrames = 100000
+
+    /** Number of frames (metadata-cheap: header walk only). */
+    def frameCount(content: Array[Byte]): Int = frameOffsets(content).size
+
+    /** The i-th frame as a standalone, valid P6 PPM. */
+    def frameAt(content: Array[Byte], i: Int): Array[Byte] = {
+      val fs = frameOffsets(content)
+      require(i >= 0 && i < fs.size, s"frame $i of ${fs.size}")
+      val (headerOff, rasterOff, w, h, _) = fs(i)
+      java.util.Arrays.copyOfRange(content, headerOff, rasterOff + w * h * 3)
+    }
+
+    def decode(content: Array[Byte]): Array[Float] = {
+      val fs = frameOffsets(content)
+      val nFrames = fs.size
+      val f = new Array[Float](FeatureDim)
+      var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var nPix = 0L
+      val segLuma = new Array[Double](4)
+      val segN = new Array[Long](4)
+      var fi = 0
+      while (fi < nFrames) {
+        val (_, rasterOff, w, h, maxval) = fs(fi)
+        val seg = math.min(3, fi * 4 / nFrames)
+        val mv = maxval.toDouble
+        var p = 0
+        val n = w * h
+        while (p < n) {
+          val o = rasterOff + p * 3
+          val r = content(o) & 0xff; val g = content(o + 1) & 0xff
+          val b = content(o + 2) & 0xff
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r / mv; sg += g / mv; sb += b / mv; sl += luma / mv
+          segLuma(seg) += luma / mv; segN(seg) += 1
+          p += 1
+        }
+        nPix += n
+        fi += 1
+      }
+      f(0) = (sr / nPix).toFloat; f(1) = (sg / nPix).toFloat
+      f(2) = (sb / nPix).toFloat; f(3) = (sl / nPix).toFloat
+      (0 until 4).foreach { s =>
+        f(4 + s) = if (segN(s) == 0) 0f else (segLuma(s) / segN(s)).toFloat
+      }
+      f
+    }
+
+    /** Concatenate standalone P6 frames into a stream (each input is
+      * validated — garbage in the middle of a stream is unrecoverable). */
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+      frames.foreach(fr => PpmCodec.parseHeader(fr))
+      frames.flatten.toArray
+    }
+  }
+
+  /** Production codec: image → PPM, audio → WAV, video → PPM frame
+    * stream (each verified by magic bytes — a P6 magic under kind=video
+    * is the stream's first frame).
     *
     * Failure tolerance: a payload whose magic matches but whose body is
     * corrupt (truncated raster, bad chunk sizes) degrades to the stub
@@ -267,6 +350,8 @@ object Multimodal {
         case "audio" if content.length >= 4 &&
             new String(content, 0, 4, "US-ASCII") == "RIFF" =>
           WavCodec.decode(content)
+        case "video" if content.length >= 2 && content(0) == 'P' && content(1) == '6' =>
+          PpmStreamCodec.decode(content)
         case _ => StubCodec.decode(kind, content)
       } catch {
         // NonFatal, not an exception enumeration: a corrupt payload can
@@ -277,7 +362,7 @@ object Multimodal {
   }
 
   /** STUB decode → feature vector: deterministic bytes → pseudo-features.
-    * Retained as the video fallback and the opaque-payload baseline. */
+    * Retained as the opaque-payload / corrupt-payload fallback. */
   object StubCodec extends MediaCodec {
     val FeatureDim = Multimodal.FeatureDim
     def decode(kind: String, content: Array[Byte]): Array[Float] = {
@@ -356,6 +441,28 @@ object Multimodal {
         explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs)))
           .as("frame_ts_ms"))
 
+  private val extractFramesUdf = udf((content: Array[Byte], everyK: Int) =>
+    if (content == null || content.isEmpty) Seq.empty[(Int, Array[Byte])]
+    else try {
+      val n = PpmStreamCodec.frameCount(content)
+      (0 until n by everyK).map(i => (i, PpmStreamCodec.frameAt(content, i)))
+    } catch {
+      case scala.util.control.NonFatal(_) => Seq.empty[(Int, Array[Byte])]
+    })
+
+  /** REAL frame extraction for PPM-stream video rows: every `everyK`-th
+    * frame decoded out of the container as a standalone valid P6 — one
+    * output row per sampled frame, so the result feeds straight back
+    * into the image pipeline ([[extractFeatures]], [[transcode]],
+    * [[dedupByContent]]). Non-stream/corrupt payloads yield no rows
+    * (same degrade-don't-kill policy as [[RealCodec]]). */
+  def extractFrames(media: DataFrame, everyK: Int = 1): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(extractFramesUdf(col("content"), lit(everyK))).as("fr"))
+      .select(col("media_id"), col("fr._1").as("frame_idx"),
+        col("fr._2").as("frame_content"))
+
   /** Exact binary dedup on content hash + length (cheap pre-filter before
     * byte-equality if collisions matter). */
   def dedupByContent(media: DataFrame): DataFrame = {
@@ -368,10 +475,10 @@ object Multimodal {
   }
 
   /** Deterministic payload generator: image rows get a REAL binary P6
-    * PPM, audio rows a REAL RIFF PCM16 WAV (both derived from the seed
-    * string, so the corpus is reproducible at any scale factor and the
-    * real codecs are exercised end-to-end); video rows stay opaque seed
-    * bytes for the stub path. */
+    * PPM, audio rows a REAL RIFF PCM16 WAV, video rows a REAL 4-frame
+    * PPM stream with per-frame brightness variation (all derived from
+    * the seed string, so the corpus is reproducible at any scale factor
+    * and all three real codecs are exercised end-to-end). */
   private[operators] def mediaBytes(kind: String, seed: String): Array[Byte] = {
     val s = if (seed == null || seed.isEmpty) "x" else seed
     kind match {
@@ -386,6 +493,15 @@ object Multimodal {
           (((s.charAt(i % s.length).toInt * 523 + i * 31) % 65536) - 32768).toShort
         }
         WavCodec.encode(8000, samples)
+      case "video" =>
+        val w = 8; val h = 8
+        val frames = (0 until 4).map { fi =>
+          val rgb = Array.tabulate(w * h * 3) { i =>
+            ((s.charAt((i + fi) % s.length).toInt + fi * 20) % 256).toByte
+          }
+          PpmCodec.encode(w, h, rgb)
+        }
+        PpmStreamCodec.encode(frames)
       case _ => s.getBytes("UTF-8")
     }
   }
@@ -408,6 +524,7 @@ object Multimodal {
         struct(
           when(col("kind") === "image", lit("image/x-portable-pixmap"))
             .when(col("kind") === "audio", lit("audio/wav"))
+            .when(col("kind") === "video", lit("video/x-ppm-stream"))
             .otherwise(lit("application/octet-stream")).as("mime"),
           length(col("__seed")).cast("int").as("width"),
           lit(16).as("height"),

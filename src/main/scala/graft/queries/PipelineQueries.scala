@@ -551,6 +551,32 @@ object PipelineQueries {
           .as("avg_f0"))
         .crossJoin(broadcast(frameStats))
         .orderBy("kind")
+    },
+
+    // REAL video frame extraction (PPM-stream container → every 2nd
+    // frame → per-frame image decode): the row-local (media_id,
+    // frame_idx, luma) stage is aux-shared; the oracle re-derives the
+    // per-video grouping. Emitted floats are MIN/MAX of shared values
+    // (order-independent, exact — never a cross-engine avg).
+    QueryDef.sql("q70_video_frames",
+      """WITH fr AS (SELECT * FROM read_parquet('__AUX__/q70_frames/*.parquet'))
+        |SELECT media_id, count(*) AS n_frames,
+        |  MIN(luma) AS min_luma, MAX(luma) AS max_luma
+        |FROM fr GROUP BY media_id
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
+      val media = Multimodal.syntheticMedia(s, Tables.documents(s, d), "doc_id", "text")
+      val frameLuma = udf((b: Array[Byte]) =>
+        Multimodal.PpmCodec.decode(b)(3).toDouble)
+      val feats = Aux.share(
+        Multimodal.extractFrames(media, everyK = 2)
+          .select(col("media_id"), col("frame_idx"),
+            frameLuma(col("frame_content")).as("luma")),
+        d, "q70_frames")
+      feats.groupBy("media_id").agg(
+        count(lit(1)).as("n_frames"),
+        min(col("luma")).as("min_luma"),
+        max(col("luma")).as("max_luma"))
+        .orderBy("media_id")
     }
   )
 }

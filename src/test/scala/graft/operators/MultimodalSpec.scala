@@ -175,7 +175,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.WavCodec.decode(stereo).length == 8)
   }
 
-  test("RealCodec dispatches by kind + magic; video falls back to stub") {
+  test("RealCodec dispatches by kind + magic; opaque video falls back to stub") {
     val img = Multimodal.mediaBytes("image", "some seed text")
     assert(Multimodal.RealCodec.decode("image", img).toSeq ==
       Multimodal.PpmCodec.decode(img).toSeq)
@@ -184,9 +184,60 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.WavCodec.decode(wav).toSeq)
     val vid = Multimodal.mediaBytes("video", "some seed text")
     assert(Multimodal.RealCodec.decode("video", vid).toSeq ==
-      Multimodal.StubCodec.decode("video", vid).toSeq)
+      Multimodal.PpmStreamCodec.decode(vid).toSeq)
+    // a video payload without the P6 stream magic stays on the stub path
+    val opaque = "not a stream".getBytes("US-ASCII")
+    assert(Multimodal.RealCodec.decode("video", opaque).toSeq ==
+      Multimodal.StubCodec.decode("video", opaque).toSeq)
     // corrupt magic on a typed kind degrades to the stub, never throws
     assert(Multimodal.RealCodec.decode("image", "nonsense".getBytes).length == 8)
+  }
+
+  test("PPM stream codec: temporal pooling over hand-built solid frames") {
+    def solid(r: Int, g: Int, b: Int) = Multimodal.PpmCodec.encode(2, 2,
+      Array.tabulate(12)(i => Seq(r, g, b)(i % 3).toByte))
+    val stream = Multimodal.PpmStreamCodec.encode(
+      Seq(solid(255, 0, 0), solid(255, 255, 255)))
+    assert(Multimodal.PpmStreamCodec.frameCount(stream) == 2)
+    val f = Multimodal.PpmStreamCodec.decode(stream)
+    assert(math.abs(f(0) - 1.0f) < 1e-6)            // mean R
+    assert(math.abs(f(1) - 0.5f) < 1e-6)            // mean G
+    assert(math.abs(f(2) - 0.5f) < 1e-6)            // mean B
+    assert(math.abs(f(3) - (0.299f + 1.0f) / 2) < 1e-6) // mean luma
+    // temporal segments: frame0 → seg0, frame1 → seg2 (fi*4/nFrames)
+    assert(math.abs(f(4) - 0.299f) < 1e-6 && f(5) == 0f)
+    assert(math.abs(f(6) - 1.0f) < 1e-6 && f(7) == 0f)
+  }
+
+  test("PPM stream: frameAt round-trips standalone decodable frames") {
+    val frames = (0 until 3).map(i => Multimodal.PpmCodec.encode(2, 1,
+      Array.fill(6)((40 * i).toByte)))
+    val stream = Multimodal.PpmStreamCodec.encode(frames)
+    (0 until 3).foreach { i =>
+      val fr = Multimodal.PpmStreamCodec.frameAt(stream, i)
+      assert(fr.sameElements(frames(i)))
+      assert(Multimodal.PpmCodec.decode(fr).length == Multimodal.FeatureDim)
+    }
+    // garbage after a valid frame is corruption → RealCodec degrades to stub
+    val corrupt = stream ++ "garbage".getBytes("US-ASCII")
+    assert(Multimodal.RealCodec.decode("video", corrupt).toSeq ==
+      Multimodal.StubCodec.decode("video", corrupt).toSeq)
+  }
+
+  test("extractFrames: every Kth frame as rows that feed the image pipeline") {
+    import spark.implicits._
+    val vid = Multimodal.mediaBytes("video", "frame sampling seed") // 4 frames
+    val opaque = "not a stream".getBytes("US-ASCII")
+    val df = Seq((1L, "video", vid), (2L, "video", opaque),
+      (3L, "image", Multimodal.mediaBytes("image", "img")))
+      .toDF("media_id", "kind", "content")
+    val frames = Multimodal.extractFrames(df, everyK = 2).collect()
+    assert(frames.map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((1L, 0), (1L, 2))) // image row excluded, opaque video yields none
+    frames.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("frame_content")
+      assert(Multimodal.PpmCodec.decode(bytes).length == Multimodal.FeatureDim)
+    }
   }
 
   test("corrupt-after-magic payloads degrade, never kill the job") {
