@@ -43,11 +43,25 @@ object GraftFunctions {
     call_function("sign_bucket", vec, planes)
   }
 
+  def hamming_dist(a: Column, b: Column): Column = {
+    ensureVectorRegistered(SparkSession.active)
+    call_function("hamming_dist", a, b)
+  }
+
+  def simhash_blocks(bits: Column): Column = {
+    ensureVectorRegistered(SparkSession.active)
+    call_function("simhash_blocks", bits)
+  }
+
   private def ensureVectorRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sign_bucket", exprs => SignBucketExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming_dist", exprs => HammingDistExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_blocks", exprs => SimhashBlocksExpr(exprs.head), "scala_udf")
   }
 
   // F4 — space-group number → short HM / unicode symbol via map literals

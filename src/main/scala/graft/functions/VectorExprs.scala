@@ -69,6 +69,87 @@ object CosineSimExpr {
   }
 }
 
+/** Hamming distance between two int bit-arrays — native form of
+  * `size(filter(zip_with(a, b, _ =!= _), identity))`. Mirrored null
+  * semantics: zip_with pads a length mismatch with nulls and the filter
+  * drops the resulting null predicates, so positions beyond the common
+  * prefix (or with a null element) contribute 0 — never a null result. */
+case class HammingDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hamming_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HammingDistExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HammingDistExpr.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object HammingDistExpr {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getInt(i) != b.getInt(i)) d += 1
+      i += 1
+    }
+    d
+  }
+}
+
+/** The 4 16-bit SimHash block keys as array<long> — native form of the
+  * transform/slice/zip_with composition in Dedup.simhashBlocks. Mirrored
+  * null semantics: a block whose 16 positions aren't all present and
+  * non-null folds to a null entry (acc + null), exactly like the HOF. */
+case class SimhashBlocksExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_blocks"
+
+  override def nullSafeEval(bits: Any): Any =
+    SimhashBlocksExpr.compute(bits.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimhashBlocksExpr.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimhashBlocksExpr {
+  def compute(bits: ArrayData): ArrayData = {
+    val out = new Array[Any](4)
+    var b = 0
+    while (b < 4) {
+      var key = 0L
+      var ok = true
+      var pos = 0
+      while (pos < 16 && ok) {
+        val idx = b * 16 + pos
+        if (idx >= bits.numElements() || bits.isNullAt(idx)) ok = false
+        else key += bits.getInt(idx).toLong << pos
+        pos += 1
+      }
+      out(b) = if (ok) java.lang.Long.valueOf(key) else null
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Sign-LSH bucket key: bit i set iff vec · planes(i) > 0 — the native
   * form of the transform/when/shiftleft composition in Dedup.signBucket.
   * `right` is the plane matrix literal (array of array of double). */

@@ -315,8 +315,8 @@ object Dedup {
   val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) => if (text == null) null else simhashBitsOf(text))
 
-  /** 16-bit block keys b0..b3 of the simhash bit array. */
-  def simhashBlocks(bits: Column): Column =
+  /** Composed HOF block keys — interpreted reference implementation. */
+  private[operators] def simhashBlocksHof(bits: Column): Column =
     transform(sequence(lit(0), lit(3)), b =>
       aggregate(
         zip_with(slice(bits, b * 16 + 1, lit(16)),
@@ -324,9 +324,21 @@ object Dedup {
                  (bit, pos) => bit.cast("long") * call_function("shiftleft", lit(1L), pos)),
         lit(0L), (acc, x) => acc + x))
 
-  /** Hamming distance between two simhash bit arrays. */
-  def hamming(a: Column, b: Column): Column =
+  /** 16-bit block keys b0..b3 of the simhash bit array — native
+    * codegen'd kernel ([[graft.functions.SimhashBlocksExpr]]), identical
+    * to [[simhashBlocksHof]]; this is the O(corpus) bucketing pass. */
+  def simhashBlocks(bits: Column): Column =
+    graft.functions.GraftFunctions.simhash_blocks(bits)
+
+  /** Composed HOF hamming — interpreted reference implementation. */
+  private[operators] def hammingHof(a: Column, b: Column): Column =
     size(filter(zip_with(a, b, (x, y) => x =!= y), p => p))
+
+  /** Hamming distance between two simhash bit arrays — native codegen'd
+    * kernel ([[graft.functions.HammingDistExpr]]), identical to
+    * [[hammingHof]] (candidate-verify hot path). */
+  def hamming(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.hamming_dist(a, b)
 
   /** SimHash near-dup pairs from a materialized (id, bits) frame
     * (aux-shareable with the SQL oracle): block-bucket candidates

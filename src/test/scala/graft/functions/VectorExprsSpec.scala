@@ -65,6 +65,32 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(withNullElem.select(Dedup.cosine(col("a"), col("b"))).collect()(0).isNullAt(0))
   }
 
+  test("native hamming_dist and simhash_blocks match the HOF forms") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val df = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextInt(2)), Seq.fill(64)(rnd.nextInt(2)))
+    }.toDF("id", "a", "b")
+    val rows = df.select(
+      Dedup.hamming(col("a"), col("b")).as("nh"),
+      graft.operators.DedupTestAccess.hammingHof(col("a"), col("b")).as("hh"),
+      Dedup.simhashBlocks(col("a")).as("nb"),
+      graft.operators.DedupTestAccess.simhashBlocksHof(col("a")).as("hb"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+    // short bit array: blocks beyond the data fold to null, like the HOF
+    val shortBits = Seq((1L, Seq.fill(20)(1))).toDF("id", "a")
+    val sr = shortBits.select(
+      Dedup.simhashBlocks(col("a")).as("nb"),
+      graft.operators.DedupTestAccess.simhashBlocksHof(col("a")).as("hb"))
+      .collect().head
+    assert(sr.getSeq[Any](0) == sr.getSeq[Any](1))
+    assert(sr.getSeq[Any](0).count(_ == null) == 3) // only block 0 complete
+  }
+
   test("expressions survive both codegen and interpreted eval paths") {
     val df = randVecs(50, 8, seed = 3)
     val planes = Dedup.hyperplanes(8, 4)

@@ -9,4 +9,6 @@ object DedupTestAccess {
   def cosineHof(a: Column, b: Column): Column = Dedup.cosineHof(a, b)
   def signBucketHof(vec: Column, planes: Seq[Seq[Double]]): Column =
     Dedup.signBucketHof(vec, planes)
+  def hammingHof(a: Column, b: Column): Column = Dedup.hammingHof(a, b)
+  def simhashBlocksHof(bits: Column): Column = Dedup.simhashBlocksHof(bits)
 }
