@@ -53,6 +53,11 @@ object GraftFunctions {
     call_function("simhash_blocks", bits)
   }
 
+  def stopword_hits(tokens: Column, set: Column): Column = {
+    ensureVectorRegistered(SparkSession.active)
+    call_function("stopword_hits", tokens, set)
+  }
+
   private def ensureVectorRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimExpr(exprs(0), exprs(1)), "scala_udf")
@@ -62,6 +67,8 @@ object GraftFunctions {
       "hamming_dist", exprs => HammingDistExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_blocks", exprs => SimhashBlocksExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "stopword_hits", exprs => StopwordHitsExpr(exprs(0), exprs(1)), "scala_udf")
   }
 
   // F4 — space-group number → short HM / unicode symbol via map literals

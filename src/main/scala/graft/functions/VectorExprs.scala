@@ -150,6 +150,56 @@ object SimhashBlocksExpr {
   }
 }
 
+/** Count of tokens contained in a (small, literal) stopword set — the
+  * native form of `size(filter(tokens, array_contains(set, _)))`, which
+  * is an interpreted per-row filter; language ID evaluates it once per
+  * language over every document. Null semantics mirror the HOF: a null
+  * token never matches (contributes 0); the result is never null for
+  * non-null inputs. Linear probe over the set (≤ tens of entries —
+  * same cost model as array_contains). */
+case class StopwordHitsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "stopword_hits"
+
+  override def nullSafeEval(tokens: Any, set: Any): Any =
+    StopwordHitsExpr.compute(
+      tokens.asInstanceOf[ArrayData], set.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = graft.functions.StopwordHitsExpr.compute($t, $s);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object StopwordHitsExpr {
+  def compute(tokens: ArrayData, set: ArrayData): Int = {
+    val nTok = tokens.numElements()
+    val nSet = set.numElements()
+    var hits = 0
+    var i = 0
+    while (i < nTok) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        var j = 0
+        var found = false
+        while (j < nSet && !found) {
+          if (!set.isNullAt(j) && set.getUTF8String(j).equals(t)) found = true
+          j += 1
+        }
+        if (found) hits += 1
+      }
+      i += 1
+    }
+    hits
+  }
+}
+
 /** Sign-LSH bucket key: bit i set iff vec · planes(i) > 0 — the native
   * form of the transform/when/shiftleft composition in Dedup.signBucket.
   * `right` is the plane matrix literal (array of array of double). */

@@ -53,9 +53,16 @@ object TextAnalysis {
     "zh" -> Seq("的", "了", "和", "是", "在", "有", "我", "他", "这", "中",
       "大", "来", "上", "国", "个", "到", "说", "们", "为", "子"))
 
-  /** Count of tokens (with multiplicity) found in `set`. */
-  def stopwordHits(text: Column, set: Seq[String]): Column =
+  /** Composed HOF hit count — interpreted reference implementation. */
+  private[operators] def stopwordHitsHof(text: Column, set: Seq[String]): Column =
     size(filter(tokens(text), t => array_contains(typedlit(set), t)))
+
+  /** Count of tokens (with multiplicity) found in `set` — native
+    * codegen'd kernel ([[graft.functions.StopwordHitsExpr]]), identical
+    * counts to [[stopwordHitsHof]]; language ID runs this once per
+    * language over every document, so it's a corpus-scale inner loop. */
+  def stopwordHits(text: Column, set: Seq[String]): Column =
+    graft.functions.GraftFunctions.stopword_hits(tokens(text), typedlit(set))
 
   def stopwordRatio(text: Column, lang: String = "en"): Column =
     stopwordHits(text, Stopwords(lang)).cast("double") / tokenCount(text)

@@ -91,6 +91,24 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(sr.getSeq[Any](0).count(_ == null) == 3) // only block 0 complete
   }
 
+  test("native stopword_hits matches the HOF filter count") {
+    import spark.implicits._
+    import graft.operators.{TextAnalysis => TA}
+    val texts = Seq(
+      "the cat and the dog in the house",
+      "no matches here whatsoever",
+      "the the the", "", "der und das the")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    Seq("en", "de", "zh").foreach { lang =>
+      val rows = texts.select(
+        TA.stopwordHits(col("text"), TA.Stopwords(lang)).as("native"),
+        graft.operators.TextAnalysisTestAccess
+          .stopwordHitsHof(col("text"), TA.Stopwords(lang)).as("hof"))
+        .collect()
+      rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    }
+  }
+
   test("expressions survive both codegen and interpreted eval paths") {
     val df = randVecs(50, 8, seed = 3)
     val planes = Dedup.hyperplanes(8, 4)
