@@ -58,6 +58,11 @@ object GraftFunctions {
     call_function("stopword_hits", tokens, set)
   }
 
+  def lsh_bands(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    ensureVectorRegistered(SparkSession.active)
+    call_function("lsh_bands", sig, lit(bands), lit(rowsPerBand))
+  }
+
   private def ensureVectorRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimExpr(exprs(0), exprs(1)), "scala_udf")
@@ -69,6 +74,10 @@ object GraftFunctions {
       "simhash_blocks", exprs => SimhashBlocksExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "stopword_hits", exprs => StopwordHitsExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_bands", exprs => LshBandsExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "scala_udf")
   }
 
   // F4 — space-group number → short HM / unicode symbol via map literals

@@ -150,6 +150,64 @@ object SimhashBlocksExpr {
   }
 }
 
+/** MinHash LSH band keys: array of (band, bucket) structs where bucket
+  * = xxhash64(comma-joined band slice of the signature) — the native
+  * form of the transform/slice/concat_ws/xxhash64 composition in
+  * Dedup.lshBuckets, evaluated once per corpus row. Exact mirror of the
+  * HOF: the slice clamps at the signature end, null slots are skipped
+  * by the comma join (concat_ws semantics), and the hash is XXH64 with
+  * the SQL builtin's seed 42 over the UTF-8 bytes — so bucket values
+  * are bit-identical to the composed form (VectorExprsSpec). */
+case class LshBandsExpr(child: Expression, bands: Int, rowsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("bucket", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "lsh_bands"
+
+  override def nullSafeEval(sig: Any): Any =
+    LshBandsExpr.compute(sig.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LshBandsExpr.compute($c, $bands, $rowsPerBand);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshBandsExpr {
+  def compute(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder
+      var i = b * rowsPerBand
+      val end = math.min(sig.numElements(), b * rowsPerBand + rowsPerBand)
+      var first = true
+      while (i < end) {
+        if (!sig.isNullAt(i)) {
+          if (!first) sb.append(',')
+          sb.append(sig.getLong(i))
+          first = false
+        }
+        i += 1
+      }
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      out(b) = org.apache.spark.sql.catalyst.InternalRow(b, h)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Count of tokens contained in a (small, literal) stopword set — the
   * native form of `size(filter(tokens, array_contains(set, _)))`, which
   * is an interpreted per-row filter; language ID evaluates it once per

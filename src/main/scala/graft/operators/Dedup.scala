@@ -99,14 +99,21 @@ object Dedup {
         sequence(lit(0), size(tokens) - k),
         i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
 
-  /** LSH banding: split the signature into `bands` equal rows and hash
-    * each band → (band_idx, band_hash) bucket keys, exploded to rows. */
-  def lshBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+  /** Composed HOF banding — interpreted reference implementation. */
+  private[operators] def lshBucketsHof(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(b.as("band"),
              xxhash64(concat_ws(",",
                transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
                  x => x.cast("string")))).as("bucket")))
+
+  /** LSH banding: split the signature into `bands` equal rows and hash
+    * each band → (band_idx, band_hash) bucket keys, exploded to rows —
+    * native codegen'd kernel ([[graft.functions.LshBandsExpr]]),
+    * bit-identical buckets to [[lshBucketsHof]] (same XXH64-seed-42 over
+    * the same comma-joined text); this is the O(corpus) banding pass. */
+  def lshBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    graft.functions.GraftFunctions.lsh_bands(sig, bands, rowsPerBand)
 
   /** (id, sig, sh): the materialized row-local stage of the MinHash
     * pipeline — everything downstream (banding, candidate join, exact

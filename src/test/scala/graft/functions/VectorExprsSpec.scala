@@ -91,6 +91,32 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(sr.getSeq[Any](0).count(_ == null) == 3) // only block 0 complete
   }
 
+  test("native lsh_bands matches the HOF banding bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 200).map(i => (i.toLong, Seq.fill(64)(rnd.nextLong())))
+      .toDF("id", "sig")
+    val rows = df.select(
+      Dedup.lshBuckets(col("sig"), 16, 4).as("native"),
+      graft.operators.DedupTestAccess.lshBucketsHof(col("sig"), 16, 4).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      val n = r.getSeq[org.apache.spark.sql.Row](0)
+      val h = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(n.map(x => (x.getInt(0), x.getLong(1))) ==
+             h.map(x => (x.getInt(0), x.getLong(1))))
+    }
+    // short signature: trailing bands hash the clamped (possibly empty)
+    // slice, identically in both forms
+    val short = Seq((1L, Seq(1L, 2L, 3L, 4L, 5L))).toDF("id", "sig")
+    val sr = short.select(
+      Dedup.lshBuckets(col("sig"), 4, 4).as("native"),
+      graft.operators.DedupTestAccess.lshBucketsHof(col("sig"), 4, 4).as("hof"))
+      .collect().head
+    assert(sr.getSeq[org.apache.spark.sql.Row](0).map(x => (x.getInt(0), x.getLong(1))) ==
+           sr.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getLong(1))))
+  }
+
   test("native stopword_hits matches the HOF filter count") {
     import spark.implicits._
     import graft.operators.{TextAnalysis => TA}

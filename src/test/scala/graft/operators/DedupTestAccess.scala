@@ -11,4 +11,6 @@ object DedupTestAccess {
     Dedup.signBucketHof(vec, planes)
   def hammingHof(a: Column, b: Column): Column = Dedup.hammingHof(a, b)
   def simhashBlocksHof(bits: Column): Column = Dedup.simhashBlocksHof(bits)
+  def lshBucketsHof(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    Dedup.lshBucketsHof(sig, bands, rowsPerBand)
 }
