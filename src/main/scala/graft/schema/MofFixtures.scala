@@ -130,19 +130,32 @@ object MofFixtures {
     if (!spark.catalog.tableExists("mofs")) {
       val versionFile = java.nio.file.Paths.get(StarDir, "_fixture_version")
       val want = fixtureVersion
-      val upToDate = java.nio.file.Files.exists(versionFile) &&
+      def upToDate = java.nio.file.Files.exists(versionFile) &&
         java.nio.file.Files.readString(versionFile).trim == want &&
         StarTables.forall(t => java.nio.file.Files.exists(
           java.nio.file.Paths.get(StarDir, t, "_SUCCESS")))
       if (!upToDate) {
-        val shredded = MofSchema.shred(nested(spark))
-        require(shredded.keySet == StarTables.toSet,
-          s"StarTables out of sync with shred output: ${shredded.keySet}")
-        shredded.foreach { case (name, df) =>
-          df.coalesce(1).write.mode("overwrite").parquet(s"$StarDir/$name")
-        }
+        // Cross-JVM file lock: on a cold start (no stamp yet) two
+        // concurrently launched sessions (Verify ∥ Bench) must not both
+        // rewrite the shared star; the second waits, re-checks the stamp
+        // under the lock, and skips.
         java.nio.file.Files.createDirectories(versionFile.getParent)
-        java.nio.file.Files.writeString(versionFile, want)
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(StarDir, "_lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val lock = ch.lock()
+        try {
+          if (!upToDate) {
+            val shredded = MofSchema.shred(nested(spark))
+            require(shredded.keySet == StarTables.toSet,
+              s"StarTables out of sync with shred output: ${shredded.keySet}")
+            shredded.foreach { case (name, df) =>
+              df.coalesce(1).write.mode("overwrite").parquet(s"$StarDir/$name")
+            }
+            java.nio.file.Files.writeString(versionFile, want)
+          }
+        } finally { lock.release(); ch.close() }
       }
       StarTables.foreach { name =>
         spark.read.parquet(s"$StarDir/$name").createOrReplaceTempView(name)
