@@ -24,8 +24,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   *  - null array input → null (nullSafeEval);
   *  - any null element (or a length mismatch, which zip_with pads with
   *    nulls) poisons the fold → cosine returns null;
-  *  - in sign_bucket a null per-plane dot makes `when(d > 0, bit)` fall
-  *    to otherwise(0) → that plane contributes bit 0, result non-null.
+  *  - in sign_bucket a null per-plane dot (from a null ELEMENT) makes
+  *    `when(d > 0, bit)` fall to otherwise(0) → that plane contributes
+  *    bit 0, result non-null; a wholly NULL vector returns null (a
+  *    deliberate, documented divergence — see SignBucketExpr).
   */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -77,8 +79,11 @@ object CosineSimExpr {
 case class HammingDistExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // nullable: a NULL array input must yield NULL (like size(null) in the
+  // HOF form) — declaring false would both skip codegen's child null
+  // guards (NPE) and let the optimizer fold IsNull to false.
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def prettyName: String = "hamming_dist"
 
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -260,7 +265,15 @@ object StopwordHitsExpr {
 
 /** Sign-LSH bucket key: bit i set iff vec · planes(i) > 0 — the native
   * form of the transform/when/shiftleft composition in Dedup.signBucket.
-  * `right` is the plane matrix literal (array of array of double). */
+  * `right` is the plane matrix literal (array of array of double).
+  *
+  * DELIBERATE divergence from the HOF form on a NULL vector: the HOF
+  * folds every null dot to bit 0 and returns bucket 0L, which at corpus
+  * scale piles every null-embedding row into a REAL bucket (they then
+  * join as candidates of every bucket-0 query). The native expression
+  * returns NULL instead — null vectors drop out of bucket equi-joins,
+  * which is the semantics a dedup/ANN pipeline actually wants. Asserted
+  * in VectorExprsSpec; non-null inputs remain bit-identical. */
 case class SignBucketExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 

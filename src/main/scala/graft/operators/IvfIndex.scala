@@ -129,12 +129,19 @@ object IvfIndex {
     * store is immutable once written (content is deterministic per
     * (corpus, seed)), so repeat executions in one session skip the
     * rewrite, exactly like [[graft.Aux.share]]. */
-  private val storeWritten =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val storeWritten = scala.collection.mutable.Set.empty[String]
 
-  /** Persist `index` at `path` once per session and return the path. */
+  /** Persist `index` at `path` once per session and return the path.
+    * The lock is held ACROSS the write (not check-then-act): a second
+    * concurrent caller must block until the store is complete, not read
+    * a half-written one. */
   def storeCached(index: Index, path: String): String = {
-    if (storeWritten.add(path)) write(index, path)
+    storeWritten.synchronized {
+      if (!storeWritten.contains(path)) {
+        write(index, path)
+        storeWritten += path
+      }
+    }
     path
   }
 
@@ -149,7 +156,9 @@ object IvfIndex {
                  queries: DataFrame, queryIdCol: String, vecCol: String,
                  k: Int, nprobe: Int): DataFrame = {
     val index = load(spark, path)
-    topKStoredWithProbes(spark, path,
+    // reuse the load()'s assigned frame — a second read.parquet of the
+    // same store would re-pay the driver-side file listing
+    storedTopK(index.assigned,
       probes(index, queries, queryIdCol, vecCol, nprobe), k)
   }
 
@@ -157,8 +166,15 @@ object IvfIndex {
     * oracle-gated queries materialize probes to aux parquet first, so the
     * same frame feeds both the Spark search and the DuckDB re-derivation). */
   def topKStoredWithProbes(spark: org.apache.spark.sql.SparkSession,
-                           path: String, probes: DataFrame, k: Int): DataFrame = {
-    val assigned = spark.read.parquet(s"$path/assigned")
+                           path: String, probes: DataFrame, k: Int): DataFrame =
+    storedTopK(spark.read.parquet(s"$path/assigned"), probes, k)
+
+  /** Same, reusing an already-[[load]]ed index (no second store read). */
+  def topKStoredWithProbes(index: Index, probes: DataFrame, k: Int): DataFrame =
+    storedTopK(index.assigned, probes, k)
+
+  private def storedTopK(assigned: DataFrame, probes: DataFrame,
+                         k: Int): DataFrame = {
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val pruned = assigned.filter(col("cell").isin(cells: _*))
     Similarity.rankTopK(

@@ -444,8 +444,13 @@ object Multimodal {
   private val extractFramesUdf = udf((content: Array[Byte], everyK: Int) =>
     if (content == null || content.isEmpty) Seq.empty[(Int, Array[Byte])]
     else try {
-      val n = PpmStreamCodec.frameCount(content)
-      (0 until n by everyK).map(i => (i, PpmStreamCodec.frameAt(content, i)))
+      // one header walk for the whole stream, then O(1) slices — calling
+      // frameAt per frame would re-walk all headers each time (O(F²))
+      val offsets = PpmStreamCodec.frameOffsets(content)
+      (0 until offsets.size by everyK).map { i =>
+        val (headerOff, rasterOff, w, h, _) = offsets(i)
+        (i, java.util.Arrays.copyOfRange(content, headerOff, rasterOff + w * h * 3))
+      }
     } catch {
       case scala.util.control.NonFatal(_) => Seq.empty[(Int, Array[Byte])]
     })

@@ -366,7 +366,7 @@ object PipelineQueries {
       val probes = Aux.share(
         IvfIndex.probes(loaded, emb.filter(col("vec_id") < 3),
           "vec_id", "embedding", nprobe = 3), d, "q54_probes")
-      IvfIndex.topKStoredWithProbes(s, store, probes, k = 5)
+      IvfIndex.topKStoredWithProbes(loaded, probes, k = 5)
         .orderBy("query_id", "rank")
     },
 

@@ -109,11 +109,19 @@ object MofFixtures {
     "isotherms", "isotherm_data", "isotherm_species_data",
     "mof_adsorbates", "heats", "heat_data", "heat_species_data")
 
-  /** Content stamp of the fixture corpus: case-class toString is
-    * deterministic across JVM runs (fixed Double rendering), so equal
-    * stamps ⇔ equal fixture definitions. */
+  /** BUMP whenever [[MofSchema.shred]]'s OUTPUT changes (new column,
+    * different surrogate keys, join fix): the content stamp below hashes
+    * only the fixture corpus, so without this constant a shred edit
+    * would silently keep serving the stale on-disk star — and the
+    * oracles read the same files, so Verify could not catch it. */
+  private val ShredVersion = 1
+
+  /** Content stamp of the fixture corpus + shred logic version:
+    * case-class toString is deterministic across JVM runs (fixed Double
+    * rendering), so equal stamps ⇔ equal fixture definitions. */
   private def fixtureVersion: String =
-    scala.util.hashing.MurmurHash3.orderedHash(nestedDocs.map(_.toString)).toString
+    s"v$ShredVersion-" +
+      scala.util.hashing.MurmurHash3.orderedHash(nestedDocs.map(_.toString)).toString
 
   /** Shred the fixture corpus and materialize the star tables as
     * single-file parquet — but only when the on-disk star does not

@@ -140,7 +140,7 @@ class VectorExprsSpec extends AnyFunSuite {
     val planes = Dedup.hyperplanes(8, 4)
     val codegen = df.select(Dedup.cosine(col("a"), col("b")).as("c"),
       Dedup.signBucket(col("a"), planes).as("s")).collect()
-    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
       val interp = df.select(Dedup.cosine(col("a"), col("b")).as("c"),
@@ -150,9 +150,21 @@ class VectorExprsSpec extends AnyFunSuite {
                java.lang.Double.doubleToLongBits(y.getDouble(0)))
         assert(x.getLong(1) == y.getLong(1))
       }
-    } finally {
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
-      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
     }
+  }
+
+  test("null-input pins: hamming null array → null; sign_bucket null vec → null") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1, 0, 1))).toDF("id", "bits")
+      .withColumn("nullbits", lit(null).cast("array<int>"))
+    val h = df.select(Dedup.hamming(col("nullbits"), col("bits"))).collect().head
+    assert(h.isNullAt(0)) // like size(null) in the HOF form
+    val planes = Dedup.hyperplanes(3, 2)
+    val v = df.select(Dedup.signBucket(lit(null).cast("array<double>"), planes))
+      .collect().head
+    assert(v.isNullAt(0)) // documented divergence: HOF folds null vec to 0L
   }
 }
