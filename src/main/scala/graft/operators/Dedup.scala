@@ -234,6 +234,20 @@ object Dedup {
     ngramJaccardNearDupsFromPostings(
       ngramPostings(df, idCol, textCol, k), threshold, maxDf)
 
+  /** Survivors after exact n-gram Jaccard dedup: min-id survivor per
+    * connected component of the near-dup pair graph (same fixpoint CC
+    * tail as [[minhashSurvivors]], so transitive chains collapse to one
+    * document). */
+  def ngramSurvivors(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, k: Int = 3,
+                     maxDf: Long = 4): DataFrame = {
+    val pairs = ngramJaccardNearDups(df, idCol, textCol, threshold, k, maxDf)
+      .select("id_a", "id_b")
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp")).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Connected components of an undirected pair graph (id_a, id_b) by
     * iterated min-label propagation: every vertex starts labeled with its
     * own id; each round takes the min over its closed neighborhood; after

@@ -75,6 +75,12 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((1L, 4L)) && got((1L, 4L)) == 1.0) // exact dup pair found
   }
 
+  test("ngram survivors keep one doc per near-dup component") {
+    val surv = Dedup.ngramSurvivors(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 3L, 5L)) // {1,2,4} collapse to min id 1
+  }
+
   test("ngram Jaccard df cap drops candidates from stopword-like shingles only") {
     // with maxDf = 1 every shared shingle is over-cap → no candidates at all
     val none = Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
