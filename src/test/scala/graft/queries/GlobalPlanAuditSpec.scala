@@ -7,6 +7,8 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Machine-checked 100 TB plan properties over EVERY SparkEntry query —
+  * the breadth complement of graft.PlanAuditSpec (deep physical-plan
+  * asserts on the hot queries).
   * the scale design isn't just prose: a regression that introduces an
   * unconditioned join, a global (single-partition) window, or a scan
   * that stops receiving pushed filters fails the suite.
@@ -14,7 +16,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * Checks run on the optimized logical plan (stable across AQE) at
   * sf0.001; pushdown/pruning checks inspect the physical parquet scans.
   */
-class PlanAuditSpec extends AnyFunSuite {
+class GlobalPlanAuditSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
