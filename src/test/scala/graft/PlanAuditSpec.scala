@@ -63,6 +63,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected operator:\n${p.take(4000)}")
   }
 
+  test("q53 hill micro-bench: the 1M-row eval stays inside WholeStageCodegen") {
+    val df = SparkEntry.queries("q53_hill_throughput_1m")(spark, sf)
+    df.collect()
+    val p = planOf("q53_hill_throughput_1m")
+    assert(p.contains("hill_formula"), s"hill expression missing:\n${p.take(2000)}")
+    // the project evaluating hill_formula must carry the codegen marker —
+    // an interpreted fallback would silently cost the 1M-eval throughput
+    // AQE-expanded tree strings mark codegen stages with "*(n)" on the line
+    val projLine = p.linesIterator.find(_.contains("hill_formula")).get
+    assert(projLine.contains("*("),
+      s"hill eval outside codegen:\n${p.take(2000)}")
+  }
+
   test("entry(): aggregation runs inside WholeStageCodegen") {
     val df = SparkEntry.entry(spark)
     df.collect()
