@@ -49,10 +49,17 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else median(times))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver records only the LAST ~2000 chars of this process's
+    // output and JSON-parses what it finds there (BENCH_r0{1..4}.json all
+    // have parsed:null because the full-name 9-decimal line was ~2500
+    // chars and lost its opening brace to the window). Short qNN keys +
+    // 3-decimal values keep the line under ~1100 chars, clear of the
+    // sbt [success] footer that follows it.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -69,7 +69,7 @@ object MofScenarioQueries {
         |    AND n_atom > 0)
         |SELECT name, `database`, surface_area_m2g, void_fraction,
         |  efficiency_score, sa_rank, total_count,
-        |  (sa_rank * 100.0 / total_count) AS percentile
+        |  (CAST(sa_rank AS DOUBLE) * 100.0 / total_count) AS percentile
         |FROM ranked_mofs
         |WHERE sa_rank <= total_count * 0.05 AND void_fraction > 0.5
         |ORDER BY efficiency_score DESC, name""".stripMargin,

@@ -6,8 +6,9 @@ for each query, read <outDir>/<name> parquet (Spark result), run the
 oracle SQL from oracle_sql.json in DuckDB over the same sf tables,
 sort columns by name + rows by all columns, and compare cell values.
 """
-import json, math, sys
+import glob, json, math, sys
 import duckdb
+import pyarrow.parquet as pq
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -36,8 +37,15 @@ def norm(v):
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:
-        spark_df = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
-        duck_df = con.execute(sql).df()
+        # Read the Spark result with pyarrow, NOT duckdb: duckdb's .df()
+        # silently coerces DECIMAL to float64, which hid a decimal-typed
+        # Spark column (q47 percentile) from this local gate while the
+        # driver's native read hash-mismatched it (r03+r04 q47 flake).
+        spark_df = pq.read_table(
+            sorted(glob.glob(f"{outdir}/{name}/*.parquet"))).to_pandas()
+        # .arrow() not .df(): pandas conversion coerces date32 to a
+        # midnight timestamp and DECIMAL to float64; arrow keeps both.
+        duck_df = con.execute(sql).arrow().to_pandas()
         sc, sr = canon(spark_df)
         dc, dr = canon(duck_df)
         if sc != dc:
