@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver machine-parses the LAST ~2000 chars of `sbt -batch
+// "runMain graft.Bench"` output. sbt's default LoggedOutput strategy
+// decorates every forked-process line with "[info] "/"[error] ", which
+// makes the JSON line unparseable (BENCH_r05.json parsed:null). Pass the
+// forked JVM's stdout/stderr through raw instead. Unscoped so run,
+// runMain and test forks all inherit it.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +33,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the r05 bench gate showed a late-run (q57-q68) slowdown
+  // cluster consistent with heap/GC pressure accumulating over 70x3
+  // queries in one JVM; the host has 128 GiB, so give the local[32]
+  // driver+executor JVM real headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// Opt-in GC log for bench investigations (file path, e.g.
+// SPARK_GRAFT_GC_LOG=/tmp/bench_gc.log); off by default so the driver's
+// tail window stays clean.
+javaOptions ++= sys.env.get("SPARK_GRAFT_GC_LOG").map(f => s"-Xlog:gc:file=$f").toSeq

@@ -39,6 +39,10 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
+    // Per-run detail is buffered and printed BEFORE the final JSON line:
+    // the driver tail-reads the last ~2000 chars of combined output, so
+    // nothing may be emitted after the JSON.
+    val detail = new StringBuilder
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -47,8 +51,13 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         if (ok) sec else -1.0
       }
+      detail.append(f"bench-detail $name%-28s ${times.map(t => f"$t%.3f").mkString(" ")}%n")
       name -> (if (times.exists(_ < 0)) -1.0 else median(times))
     }
+    // r05 gate showed a q57-q68 late-run slowdown cluster with medians
+    // only; per-run numbers distinguish "every run slow" (plan/state)
+    // from "first run slow" (cache/compile) for the next investigation.
+    print(detail.toString)
     // The driver records only the LAST ~2000 chars of this process's
     // output and JSON-parses what it finds there (BENCH_r0{1..4}.json all
     // have parsed:null because the full-name 9-decimal line was ~2500
@@ -56,7 +65,10 @@ object Bench {
     // 3-decimal values keep the line under ~1100 chars, clear of the
     // sbt [success] footer that follows it.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == results.size,
+      s"short bench keys collide: ${shortKeys.diff(shortKeys.distinct).distinct.mkString(",")}")
+    val qs = shortKeys.zip(results.map(_._2)).map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")

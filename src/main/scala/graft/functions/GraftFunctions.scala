@@ -26,9 +26,24 @@ object GraftFunctions {
     call_function("hill_formula", c)
   }
 
+  // Register-once-per-session guards. createOrReplaceTempFunction is
+  // idempotent but each call after the first logs a "replaced a
+  // previously registered function" WARN — hundreds of them per bench
+  // run, polluting the only output channel the round driver tail-reads —
+  // and is registry churn on the query-construction hot path. Weak keys
+  // so dropped sessions (tests create many) don't accumulate.
+  private val hillRegistered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private val vectorRegistered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   private def ensureHillRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hill_formula", exprs => HillFormulaExpr(exprs.head), "scala_udf")
+    if (hillRegistered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "hill_formula", exprs => HillFormulaExpr(exprs.head), "scala_udf")
+    }
 
   // Vector kernels (similarity/ANN hot path) — native one-pass codegen'd
   // expressions; see VectorExprs scaladoc for the bit-compatibility
@@ -64,6 +79,7 @@ object GraftFunctions {
   }
 
   private def ensureVectorRegistered(spark: SparkSession): Unit = {
+    if (vectorRegistered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -201,21 +201,32 @@ object Dedup {
     * Σ_rare-shingle df², verification touches candidates only — the
     * layout that scales out (postings shuffle on shingle, pair counts
     * shuffle on (id_a,id_b)). Jaccard is emitted as the RAW int-ratio
-    * double (bit-identical across engines; round() is not). */
+    * double (bit-identical across engines; round() is not).
+    *
+    * Input contract: the math is set Jaccard, so postings must be
+    * DISTINCT per (id, shingle) — duplicated rows inflate df, set sizes
+    * AND intersection counts, silently skewing every emitted jaccard.
+    * By default this is enforced with a defensive `.distinct()` (one
+    * extra shuffle of the postings). Callers whose postings are distinct
+    * by construction — [[ngramPostings]] uses `array_distinct`, so the
+    * internal pipeline is — pass `assumeDistinct = true` to skip it. */
   def ngramJaccardNearDupsFromPostings(postings: DataFrame, threshold: Double,
-                                       maxDf: Long): DataFrame = {
-    val rare = postings.groupBy("shingle")
+                                       maxDf: Long,
+                                       assumeDistinct: Boolean = false): DataFrame = {
+    val p = if (assumeDistinct) postings.select("id", "shingle")
+            else postings.select("id", "shingle").distinct()
+    val rare = p.groupBy("shingle")
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
       .select("shingle")
-    val rp = postings.join(rare, Seq("shingle"))
+    val rp = p.join(rare, Seq("shingle"))
     val cands = rp.select(col("shingle"), col("id").as("id_a"))
       .join(rp.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sizes = postings.groupBy("id").agg(count(lit(1)).as("sz"))
+    val sizes = p.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = cands
-      .join(postings.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(postings.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .join(p.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(p.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
@@ -232,7 +243,8 @@ object Dedup {
                            threshold: Double, k: Int = 3,
                            maxDf: Long = 4): DataFrame =
     ngramJaccardNearDupsFromPostings(
-      ngramPostings(df, idCol, textCol, k), threshold, maxDf)
+      ngramPostings(df, idCol, textCol, k), threshold, maxDf,
+      assumeDistinct = true)
 
   /** Survivors after exact n-gram Jaccard dedup: min-id survivor per
     * connected component of the near-dup pair graph (same fixpoint CC
@@ -428,7 +440,15 @@ object Dedup {
 
   /** Sign-LSH bucket key: one bit per hyperplane — native codegen'd
     * kernel ([[graft.functions.SignBucketExpr]]), bit-identical to
-    * [[signBucketHof]]; this is the O(corpus) bucketing pass. */
+    * [[signBucketHof]]; this is the O(corpus) bucketing pass.
+    *
+    * NULL semantics (caller-visible): a wholly NULL vector yields a NULL
+    * bucket — the row silently drops out of every downstream bucket
+    * equi-join, so null-vector rows are never near-dup candidates (this
+    * deliberately diverges from [[signBucketHof]], whose fold poisons to
+    * a different shape; see SignBucketExpr). A null ELEMENT only makes
+    * its plane's `when(d > 0, bit)` fall through to 0 — the bucket stays
+    * non-null. Pre-filter `vec IS NOT NULL` if dropping is not wanted. */
   def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     graft.functions.GraftFunctions.sign_bucket(vec, typedlit(planes))
 

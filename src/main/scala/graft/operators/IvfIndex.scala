@@ -131,14 +131,37 @@ object IvfIndex {
     * rewrite, exactly like [[graft.Aux.share]]. */
   private val storeWritten = scala.collection.mutable.Set.empty[String]
 
+  /** Content stamp of an index: centroid hash (deterministic k-means
+    * output, driver-resident) + the assigned frame's multiset
+    * fingerprint. Equal stamps ⇔ the persisted store already holds this
+    * exact index. */
+  private def storeStamp(index: Index): String = {
+    val centroidHash = scala.util.hashing.MurmurHash3.orderedHash(
+      index.centroids.iterator.map(_.toSeq))
+    s"c$centroidHash-${graft.Aux.fingerprint(index.assigned)}"
+  }
+
   /** Persist `index` at `path` once per session and return the path.
-    * The lock is held ACROSS the write (not check-then-act): a second
-    * concurrent caller must block until the store is complete, not read
-    * a half-written one. */
+    * Cross-session safety is the same content-stamp + lock-across-write
+    * discipline as [[graft.Aux.share]] / MofFixtures.registerStar: a new
+    * session whose index content matches the on-disk `_content_version`
+    * SKIPS the rewrite (so it can never race a concurrently running
+    * reader — the q47-of-r03 hazard class), and a cold-start write holds
+    * a cross-JVM file lock so a second session blocks rather than reads
+    * a half-written store. The stamp/lock live at the store ROOT, which
+    * [[write]] does not overwrite (only its `assigned`/`centroids`
+    * subdirs). */
   def storeCached(index: Index, path: String): String = {
     storeWritten.synchronized {
       if (!storeWritten.contains(path)) {
-        write(index, path)
+        val root = java.nio.file.Paths.get(path)
+        graft.Aux.writeStamped(root.resolve("_content_version"),
+                               root.resolve("_lock"),
+                               storeStamp(index),
+                               complete = java.nio.file.Files.exists(
+                                 root.resolve("centroids").resolve("_SUCCESS"))) {
+          write(index, path)
+        }
         storeWritten += path
       }
     }

@@ -87,11 +87,25 @@ case class MinHashUnionAgg(
 
 object MinHashUnionAgg {
 
-  private def ensureRegistered(spark: SparkSession, numHashes: Int): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      s"minhash_union_$numHashes",
-      exprs => MinHashUnionAgg(exprs.head, numHashes).toAggregateExpression(),
-      "scala_udf")
+  // Once-per-(session, numHashes) guard: repeat createOrReplaceTempFunction
+  // calls WARN-spam the output channel the round driver tail-reads (see
+  // GraftFunctions for the same pattern). Weak session keys.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.Set[Integer]]())
+
+  private def ensureRegistered(spark: SparkSession, numHashes: Int): Unit = {
+    val perSession = registered.synchronized {
+      registered.computeIfAbsent(spark,
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]())
+    }
+    if (perSession.add(numHashes)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        s"minhash_union_$numHashes",
+        exprs => MinHashUnionAgg(exprs.head, numHashes).toAggregateExpression(),
+        "scala_udf")
+    }
+  }
 
   /** Aggregate Column: group-level union signature from row signatures
     * (produce row signatures with [[Dedup.minhashSigUdf]]). */

@@ -75,6 +75,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((1L, 4L)) && got((1L, 4L)) == 1.0) // exact dup pair found
   }
 
+  test("ngram Jaccard from postings: duplicated (id, shingle) rows are defused by default") {
+    val postings = Dedup.ngramPostings(docs, "doc_id", "text", k = 3)
+    // raw postings with every row tripled — what an external caller with a
+    // non-distinct posting list would feed in
+    val tripled = postings.union(postings).union(postings)
+    val clean = Dedup.ngramJaccardNearDupsFromPostings(postings,
+        threshold = 0.5, maxDf = 4, assumeDistinct = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val defended = Dedup.ngramJaccardNearDupsFromPostings(tripled,
+        threshold = 0.5, maxDf = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(defended == clean) // default distinct() makes duplicates harmless
+    // and the hazard being defended against is real: trusting tripled
+    // postings inflates df past the cap and skews set sizes
+    val trusted = Dedup.ngramJaccardNearDupsFromPostings(tripled,
+        threshold = 0.5, maxDf = 4, assumeDistinct = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(trusted != clean)
+  }
+
   test("ngram survivors keep one doc per near-dup component") {
     val surv = Dedup.ngramSurvivors(docs, "doc_id", "text", threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
