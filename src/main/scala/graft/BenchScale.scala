@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IvfIndex}
+
+/** Scale-stress harness for the dedup/ANN families: measures how runtime
+  * grows with corpus size, so the "candidate cost is Σ df²" / "probe
+  * touches nprobe cells" scale claims in the scaladocs are MEASURED, not
+  * argued.
+  *
+  * Method: synthesize k× fixtures under /tmp/graft_scale from the sf0.1
+  * documents/embeddings tables (driver data is fixed and read-only).
+  * Documents are scaled by unioning k copies with offset ids and
+  * per-copy word salting (`regexp_replace` appends a copy tag to every
+  * word), so copies share NO word-3-shingles — the corpus behaves like k
+  * independent corpora of identical density rather than one corpus where
+  * every doc gained k−1 planted near-dups (which would quadratically
+  * inflate the true answer, not the algorithm's overhead). Embeddings
+  * are scaled with offset ids and unchanged vectors: IVF cell density
+  * grows k× and per-probe scan cost should follow it linearly.
+  *
+  * For each family the per-scale wall time is a median over
+  * SPARK_GRAFT_BENCH_RUNS runs (default 3), and the growth exponent
+  * alpha is the least-squares slope of log(time) vs log(k). Fixed
+  * per-query overhead (~0.25 s session cost at local[32]) biases alpha
+  * DOWNWARD at these sizes, so the check is one-sided: alpha well above
+  * 1 (superlinear) is the failure signal. Prints one JSON line per
+  * family plus a summary; exits nonzero if any family exceeds
+  * ALPHA_MAX (default 1.35).
+  */
+object BenchScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val alphaMax = sys.env.getOrElse("SPARK_GRAFT_ALPHA_MAX", "1.35").toDouble
+    val scratch = "/tmp/graft_scale"
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- synthesize the k× fixtures (materialized so timings measure
+    // scan→operator, not the union-generation DAG) ----
+    val docs = tables.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val emb = tables.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    scales.foreach { k =>
+      val dDir = s"$scratch/k$k/documents.parquet"
+      val eDir = s"$scratch/k$k/embeddings.parquet"
+      if (!new java.io.File(dDir).exists()) {
+        (0 until k).map { c =>
+          docs.select((col("doc_id") + lit(c.toLong * 1000000L)).as("doc_id"),
+            (if (c == 0) col("text")
+             else regexp_replace(col("text"), "(\\S+)", "$1~c" + c)).as("text"))
+        }.reduce(_.unionByName(_))
+          .repartition(cpus.toInt).write.mode("overwrite").parquet(dDir)
+      }
+      if (!new java.io.File(eDir).exists()) {
+        (0 until k).map { c =>
+          emb.select((col("vec_id") + lit(c.toLong * 1000000L)).as("vec_id"),
+            col("embedding"))
+        }.reduce(_.unionByName(_))
+          .repartition(cpus.toInt).write.mode("overwrite").parquet(eDir)
+      }
+    }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def time(body: => Long): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    // least-squares slope of log(t) vs log(k)
+    def alpha(ks: Seq[Int], ts: Seq[Double]): Double = {
+      val xs = ks.map(k => math.log(k.toDouble))
+      val ys = ts.map(math.log)
+      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+      xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        xs.map(x => (x - mx) * (x - mx)).sum
+    }
+
+    val queryVecs = emb.filter(col("vec_id") < 3)
+
+    // Each family reads the materialized k× fixture and runs the SAME
+    // operator pipeline as its oracle-gated query (q37/q38/q69/q54),
+    // minus the aux-parquet round-trip the oracle needs.
+    val families: Seq[(String, Int => Long)] = Seq(
+      "minhash_lsh" -> { k =>
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        Dedup.minhashNearDupsFromSigs(
+          Dedup.minhashSigs(d, "doc_id", "text"),
+          threshold = 0.5, bands = 16, rowsPerBand = 4).count()
+      },
+      "simhash" -> { k =>
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        Dedup.simhashNearDupsFromBits(
+          d.select(col("doc_id").as("id"), Dedup.simhashUdf(col("text")).as("bits")),
+          maxHamming = 3).count()
+      },
+      "ngram_jaccard" -> { k =>
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        Dedup.ngramJaccardNearDupsFromPostings(
+          Dedup.ngramPostings(d, "doc_id", "text"),
+          threshold = 0.6, maxDf = 4, assumeDistinct = true).count()
+      },
+      "ivf_build" -> { k =>
+        val e = spark.read.parquet(s"$scratch/k$k/embeddings.parquet")
+        IvfIndex.build(e, "vec_id", "embedding", nlist = 8).assigned.count()
+      },
+      "ivf_search" -> { k =>
+        val e = spark.read.parquet(s"$scratch/k$k/embeddings.parquet")
+        val idx = IvfIndex.buildCached(s"scale:k$k", e, "vec_id", "embedding", nlist = 8)
+        idx.assigned.cache().count() // pin assignment so search timing is search
+        IvfIndex.topK(idx, queryVecs, "vec_id", "embedding", k = 5, nprobe = 3).count()
+      },
+    )
+
+    // warmup: session + codegen
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    families.foreach { case (_, fn) => fn(scales.head) }
+
+    var worst = ("", 0.0)
+    val lines = families.map { case (name, fn) =>
+      val ts = scales.map { k => k -> median((1 to runs).map(_ => time(fn(k)))) }
+      val a = alpha(ts.map(_._1), ts.map(_._2))
+      if (a > worst._2) worst = (name, a)
+      val tsJson = ts.map { case (k, t) => f""""k$k":$t%.3f""" }.mkString(",")
+      f"""{"family":"$name","alpha":$a%.2f,$tsJson,"runs":$runs}"""
+    }
+    spark.sparkContext.setLogLevel("ERROR")
+    lines.foreach(println)
+    println(f"""{"metric":"scale_alpha_max","family":"${worst._1}","value":${worst._2}%.2f,"limit":$alphaMax,"scales":"${scales.mkString(",")}"}""")
+    spark.stop()
+    if (worst._2 > alphaMax) sys.exit(1)
+  }
+}

@@ -6,12 +6,34 @@ for each query, read <outDir>/<name> parquet (Spark result), run the
 oracle SQL from oracle_sql.json in DuckDB over the same sf tables,
 sort columns by name + rows by all columns, and compare cell values.
 """
-import glob, json, math, sys
+import datetime, glob, json, math, os, subprocess, sys
 import duckdb
 import pyarrow.parquet as pq
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+# Staleness guard: a PASS over output generated before the last edit is
+# not a gate (round 5 shipped exactly that — /tmp/verify_out predated the
+# q47 fix commit). Print when the Verify dump was produced and what HEAD
+# is, and refuse output older than the newest tracked source file.
+dump_mtime = os.path.getmtime(f"{outdir}/oracle_sql.json")
+head = subprocess.run(["git", "-C", os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "log", "-1", "--format=%h %ci"],
+                      capture_output=True, text=True).stdout.strip()
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+tracked = subprocess.run(["git", "-C", repo, "ls-files", "src", "build.sbt"],
+                         capture_output=True, text=True).stdout.split()
+src_mtime = max((os.path.getmtime(os.path.join(repo, f))
+                 for f in tracked if os.path.exists(os.path.join(repo, f))), default=0)
+print(f"verify dump: {datetime.datetime.fromtimestamp(dump_mtime):%Y-%m-%d %H:%M:%S}"
+      f"  (HEAD: {head})")
+if dump_mtime < src_mtime:
+    newest = max((f for f in tracked if os.path.exists(os.path.join(repo, f))),
+                 key=lambda f: os.path.getmtime(os.path.join(repo, f)))
+    print(f"STALE: {outdir} predates {newest} "
+          f"({datetime.datetime.fromtimestamp(src_mtime):%H:%M:%S}) — re-run graft.Verify")
+    sys.exit(2)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
