@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators: deterministic sampling,
+  * vocabulary building, PII scrubbing, benchmark decontamination and
+  * sequence-packing bookkeeping — the selection/cleaning stages that sit
+  * between dedup ([[Dedup]]) and training in a large-scale data
+  * pipeline. (The reference engine stops at fetch/filter/join; these are
+  * the net-new pipeline stages this engine adds, like [[TextAnalysis]].)
+  *
+  * Everything here is integer/string-deterministic by construction — no
+  * RNG state, no floats — so results are bit-identical across engines,
+  * runs and partitionings, and every operator is oracle-gated
+  * (q71–q75).
+  */
+object Curation {
+
+  /** Deterministic hash-ordered stratified sample: per stratum keep the
+    * `n` rows with the smallest `(md5(id), id)`. md5 of the id string is
+    * uniform over strata members, so this IS a uniform without-
+    * replacement sample, but carries no RNG state: reproducible across
+    * runs, engines (md5 hex compares bytewise the same everywhere) and
+    * cluster sizes, unlike `df.sample` whose output depends on partition
+    * layout. One shuffle on the stratum key; the window never runs
+    * unpartitioned. Output adds `sample_rank` (1-based hash-order rank
+    * inside the stratum). */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       n: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+
+  /** Shuffle-free rate sampling: keep a row iff `md5(id)` sorts below
+    * `hexThreshold` (rate = the hex-prefix mass, e.g. "29" ≈ 0x29/256 ≈
+    * 16%). A pure filter — no shuffle, no state, evaluated at the scan —
+    * which is the form that survives 100 TB: sampling decisions must
+    * never require co-locating anything. */
+  def samplePredicate(idCol: Column, hexThreshold: String): Column =
+    md5(idCol.cast("string")) < lit(hexThreshold)
+
+  /** Corpus vocabulary: whitespace token → total occurrences (`tf`) and
+    * document frequency (`df_docs`), thresholded at `minTf`. explode →
+    * groupBy(token) is the canonical word-count shape: partial (map-
+    * side) aggregation absorbs the token explosion before the single
+    * shuffle on token. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+                 minTf: Long): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("id")).as("df_docs"))
+      .filter(col("tf") >= minTf)
+
+  /** Email + E.164-ish phone patterns, written to the common subset of
+    * Java regex and RE2 (char classes + bounded repetition only) so the
+    * DuckDB oracle matches byte-for-byte. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\+[0-9]{7,15}"
+
+  /** PII scrub: emails then phone numbers replaced with typed tags.
+    * Row-local regexp_replace — codegen'd, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+
+  /** Benchmark decontamination screen: flag corpus documents sharing at
+    * least one shingle with a held-out benchmark set, with the hit
+    * count. `postings` is a distinct (id, shingle) inverted index
+    * ([[Dedup.ngramPostings]]); `isBench` is a predicate over `id`
+    * selecting the benchmark rows. The benchmark shingle set is
+    * broadcast — benchmark suites are fixed-size (thousands of docs)
+    * regardless of corpus scale, so at 100 TB this stays a map-side
+    * semi-join-with-count: one pass over corpus postings, no shuffle of
+    * the corpus side. Postings are unique per (id, shingle) and the
+    * bench side is distinct, so count(*) counts distinct contaminated
+    * shingles. */
+  def contaminationScreen(postings: DataFrame, isBench: Column): DataFrame = {
+    val bench = postings.filter(isBench).select("shingle").distinct()
+    postings.filter(!isBench)
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Concat-and-chunk sequence-packing bookkeeping: documents are
+    * conceptually concatenated in `idCol` order within a
+    * (stratum, shard) stream and cut every `budget` tokens; each doc is
+    * assigned the pack where it starts (`pack_id`) and its token offset
+    * inside that pack (`pack_offset`). This is the bookkeeping for
+    * GPT-style pretraining packing, and the sharded form is the one that
+    * scales: the running sum is per (stratum, shard), so shard width
+    * bounds window-partition size no matter how large the corpus — the
+    * audit-banned unpartitioned window never appears. */
+  def packAssignments(df: DataFrame, strataCol: String, shardCol: String,
+                      idCol: String, nTokensCol: String,
+                      budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(strataCol), col(shardCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum_before",
+        coalesce(sum(col(nTokensCol).cast("long")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $budget"))
+      .withColumn("pack_offset", col("cum_before") % budget)
+  }
+}

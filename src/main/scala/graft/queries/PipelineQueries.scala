@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Aux
-import graft.operators.{Dedup, IvfIndex, Multimodal, Similarity, TextAnalysis => TA}
+import graft.operators.{Curation, Dedup, IvfIndex, Multimodal, Similarity, TextAnalysis => TA}
 import graft.tables.Tables
 
 /** Training-data pipeline operators (dedup family, similarity search,
@@ -35,6 +35,19 @@ object PipelineQueries {
     val plants = docs.orderBy("doc_id").limit(3)
       .withColumn("doc_id", col("doc_id") + 100000)
       .withColumn("text", concat(col("text"), lit(" appended tail token")))
+    docs.unionByName(plants)
+  }
+
+  /** Documents plus 3 planted rows carrying an email and a phone number
+    * (under ids ≥ 200000) so the PII scrub has deterministic positives —
+    * the synthetic corpus contains none. Mirrored literally by q73's
+    * oracle SQL. */
+  private def docsWithPii(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val plants = docs.orderBy("doc_id").limit(3)
+      .withColumn("doc_id", col("doc_id") + 200000)
+      .withColumn("text", concat(col("text"),
+        lit(" reach me at alice.smith@example.com or +14155550123")))
     docs.unionByName(plants)
   }
 
@@ -577,6 +590,108 @@ object PipelineQueries {
         min(col("luma")).as("min_luma"),
         max(col("luma")).as("max_luma"))
         .orderBy("media_id")
+    },
+
+    // ---------- curation family (Curation.scala): the selection/
+    // cleaning stages between dedup and training. All five are integer/
+    // string-deterministic — no floats anywhere — so the oracles mirror
+    // the logic directly with no decimal discipline needed. ----------
+
+    // Deterministic hash-ordered stratified sample: 20 docs per lang by
+    // (md5(doc_id), doc_id) order. md5 hex compares bytewise identically
+    // in Spark and DuckDB, so the selected SET and the ranks match.
+    QueryDef.sql("q71_stratified_sample",
+      """SELECT lang, doc_id, sample_rank FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 20 ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      Curation.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 20)
+        .select("lang", "doc_id", "sample_rank")
+        .orderBy("lang", "doc_id")
+    },
+
+    // Corpus vocabulary: top-100 tokens by total occurrences with doc
+    // frequency. (tf DESC, token) is a total order — token is the group
+    // key — so the LIMIT boundary is deterministic on both engines.
+    QueryDef.sql("q72_vocabulary",
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |WHERE token <> '' GROUP BY token HAVING count(*) >= 5
+        |ORDER BY tf DESC, token LIMIT 100""".stripMargin) { (s, d) =>
+      Curation.vocabulary(Tables.documents(s, d), "doc_id", "text", minTf = 5L)
+        .orderBy(desc("tf"), col("token")).limit(100)
+    },
+
+    // PII scrub over documents + 3 planted rows carrying an email and a
+    // phone number (the synthetic corpus has none). Patterns are in the
+    // Java-regex ∩ RE2 subset, so Spark's regexp_replace and DuckDB's
+    // (with 'g') produce identical bytes; counts are taken on the
+    // PRE-redaction text on both sides.
+    QueryDef.sql("q73_pii_redaction",
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    text || ' reach me at alice.smith@example.com or +14155550123' AS text
+        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 3))
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '${Curation.EmailRe}')) AS n_emails,
+        |  len(regexp_extract_all(text, '${Curation.PhoneRe}')) AS n_phones,
+        |  regexp_replace(regexp_replace(text, '${Curation.EmailRe}', '<EMAIL>', 'g'),
+        |    '${Curation.PhoneRe}', '<PHONE>', 'g') AS redacted
+        |FROM corpus ORDER BY doc_id""".stripMargin) { (s, d) =>
+      docsWithPii(s, d).select(col("doc_id"),
+          Curation.emailCount(col("text")).as("n_emails"),
+          Curation.phoneCount(col("text")).as("n_phones"),
+          Curation.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: corpus docs sharing ≥1 word-3-shingle
+    // with the held-out set (doc_id % 97 = 0), with hit counts. Reuses
+    // q69's shared posting index; the benchmark shingle set is broadcast
+    // (fixed-size regardless of corpus scale).
+    QueryDef.sql("q74_decontamination",
+      """WITH post AS (SELECT * FROM read_parquet('__AUX__/q69_postings/*.parquet')),
+        |bench AS (SELECT DISTINCT shingle FROM post WHERE id % 97 = 0)
+        |SELECT p.id, count(*) AS n_hits
+        |FROM post p JOIN bench b ON p.shingle = b.shingle
+        |WHERE p.id % 97 <> 0
+        |GROUP BY p.id ORDER BY id""".stripMargin) { (s, d) =>
+      val postings = Aux.share(
+        Dedup.ngramPostings(docsWithPlants(s, d), "doc_id", "text"),
+        d, "q69_postings")
+      Curation.contaminationScreen(postings, col("id") % 97 === 0)
+        .orderBy("id")
+    },
+
+    // Concat-and-chunk packing bookkeeping: 512-token packs per
+    // (lang, shard-of-100-docs) stream. Pure integer window arithmetic;
+    // DuckDB's windowed sum is HUGEINT → cast to BIGINT (CLAUDE.md).
+    QueryDef.sql("q75_pack_chunks",
+      """WITH t AS (
+        |  SELECT doc_id, lang, doc_id // 100 AS shard,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, shard, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, lang, shard, n_tokens,
+        |  cum_before // 512 AS pack_id, cum_before % 512 AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        expr("doc_id div 100").as("shard"),
+        TA.tokenCount(col("text")).as("n_tokens"))
+      Curation.packAssignments(t, "lang", "shard", "doc_id", "n_tokens",
+          budget = 512L)
+        .select("doc_id", "lang", "shard", "n_tokens", "pack_id", "pack_offset")
+        .orderBy("doc_id")
     }
   )
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def corpus = {
+    import spark.implicits._
+    (0L until 100L).map(i => (i, if (i % 2 == 0) "even" else "odd",
+      s"tok${i % 7} tok${i % 5} tok${i % 3} shared common filler"))
+      .toDF("id", "grp", "text")
+  }
+
+  test("stratifiedSample: exact quota per stratum, deterministic, a subset") {
+    val s1 = Curation.stratifiedSample(corpus, "grp", "id", 10)
+    val perGrp = s1.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGrp == Map("even" -> 10L, "odd" -> 10L))
+    val ids1 = s1.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.stratifiedSample(corpus, "grp", "id", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2 && ids1.subsetOf((0L until 100L).toSet))
+    // quota larger than the stratum → whole stratum, no padding
+    val all = Curation.stratifiedSample(corpus, "grp", "id", 1000).count()
+    assert(all == 100L)
+  }
+
+  test("samplePredicate: pure filter (no shuffle) at a plausible rate") {
+    val sampled = corpus.filter(Curation.samplePredicate(col("id"), "29"))
+    // no Exchange anywhere in the physical plan — the scale contract
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling introduced a shuffle:\n$plan")
+    val n = sampled.count()
+    // 0x29/256 ≈ 16% of 100 ids; md5 is uniform, allow a wide band
+    assert(n >= 4 && n <= 35, s"rate off: $n/100")
+  }
+
+  test("vocabulary: exact tf/df on a hand-checked corpus") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b a"), (2L, "a c"), (3L, "b  b")).toDF("id", "text")
+    val v = Curation.vocabulary(tiny, "id", "text", minTf = 1L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // "b  b" double space yields an empty token, which must be dropped
+    assert(v == Map("a" -> (3L, 2L), "b" -> (3L, 2L), "c" -> (1L, 1L)))
+  }
+
+  test("redactPii: emails and phones tagged, counts on pre-redaction text") {
+    import spark.implicits._
+    val rows = Seq(
+      "write to jane.doe+x@sub.example.org or call +4915123456789 now",
+      "no pii here at all",
+      "two mails a@b.co c@d.io").toDF("text")
+      .select(Curation.redactPii(col("text")).as("r"),
+        Curation.emailCount(col("text")).as("e"),
+        Curation.phoneCount(col("text")).as("p"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(rows(0) == ("write to <EMAIL> or call <PHONE> now", 1, 1))
+    assert(rows(1) == ("no pii here at all", 0, 0))
+    assert(rows(2) == ("two mails <EMAIL> <EMAIL>", 2, 0))
+  }
+
+  test("contaminationScreen: counts shared shingles, excludes bench side") {
+    import spark.implicits._
+    // bench doc 0 carries shingles s1,s2; corpus doc 1 shares both,
+    // doc 2 shares one, doc 3 none
+    val postings = Seq(
+      (0L, "s1"), (0L, "s2"),
+      (1L, "s1"), (1L, "s2"), (1L, "s9"),
+      (2L, "s2"), (2L, "s8"),
+      (3L, "s7")).toDF("id", "shingle")
+    val hits = Curation.contaminationScreen(postings, col("id") === 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 2L, 2L -> 1L))
+    // broadcast on the bench side — the 100 TB contract
+    val plan = Curation.contaminationScreen(postings, col("id") === 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench side not broadcast:\n$plan")
+  }
+
+  test("packAssignments: reconstructs the per-stream prefix sum, never global") {
+    import spark.implicits._
+    val t = Seq(
+      // one (g, 0) stream: tokens 300, 300, 300 → packs 0, 0, 1
+      (1L, "g", 0L, 300), (2L, "g", 0L, 300), (3L, "g", 0L, 300),
+      // separate shard restarts the stream
+      (4L, "g", 1L, 100)).toDF("id", "grp", "shard", "n_tokens")
+    val out = Curation.packAssignments(t, "grp", "shard", "id", "n_tokens", 512L)
+      .orderBy("id")
+      .select("id", "pack_id", "pack_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 300L), (3L, 1L, 88L),
+      (4L, 0L, 0L)))
+  }
+}
