@@ -148,6 +148,26 @@ object Dedup {
       minhashSigs(df, idCol, textCol, shingleK, numHashes),
       bands, numHashes / bands)
 
+  /** Per-document LSH band suppression flag with id precedence: a doc is
+    * suppressed iff ANY of its band buckets contains a smaller id. This
+    * is the "keep the first, drop the rest" dedup policy as a flag
+    * column, and it needs NO candidate self-join: min(id) per
+    * (band, bucket), then min over each doc's buckets — two aggregations
+    * with map-side partials, so at 100 TB the cost is two shuffles of
+    * the banded rows, immune to the bucket-size² blowup a pairs join has
+    * on hot buckets. Returns (id, suppressed 0/1). The streaming twin is
+    * [[graft.streaming.DedupStreams.nearDupSuppressStream]] (same flags,
+    * watermark-bounded state). */
+  def bandSuppressed(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bucketed = sigs
+      .select(col("id"), explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val minPer = bucketed.groupBy("band", "bucket").agg(min(col("id")).as("min_id"))
+    bucketed.join(minPer, Seq("band", "bucket"))
+      .groupBy("id")
+      .agg(when(min(col("min_id")) < col("id"), 1).otherwise(0).as("suppressed"))
+  }
+
   /** Exact set-Jaccard between two shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

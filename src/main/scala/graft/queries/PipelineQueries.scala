@@ -692,6 +692,30 @@ object PipelineQueries {
           budget = 512L)
         .select("doc_id", "lang", "shard", "n_tokens", "pack_id", "pack_offset")
         .orderBy("doc_id")
+    },
+
+    // Per-doc LSH suppression flags ("keep the first, drop the rest"),
+    // the join-free dedup policy: min(id) per band bucket, then min over
+    // each doc's buckets — two aggregations, no candidate self-join, so
+    // hot buckets cost O(bucket) not O(bucket²). Reuses q37's shared
+    // sigs; the oracle re-derives buckets via raw slice equality (≡ the
+    // engine's band-hash equality, as in q37). The streaming twin
+    // (DedupStreams.nearDupSuppressStream, watermark-bounded bucket
+    // state) is proven flag-identical in DedupStreamsSpec.
+    QueryDef.sql("q76_neardup_suppress",
+      """WITH sigs AS (SELECT * FROM read_parquet('__AUX__/q37_sigs/*.parquet')),
+        |buckets AS (
+        |  SELECT id, b.range AS band,
+        |    array_to_string(sig[b.range*4+1 : b.range*4+4], ',') AS key
+        |  FROM sigs CROSS JOIN range(16) b),
+        |mp AS (SELECT band, key, min(id) AS min_id FROM buckets GROUP BY band, key)
+        |SELECT b.id, CASE WHEN min(m.min_id) < b.id THEN 1 ELSE 0 END AS suppressed
+        |FROM buckets b JOIN mp m ON b.band = m.band AND b.key = m.key
+        |GROUP BY b.id ORDER BY id""".stripMargin) { (s, d) =>
+      val sigs = Aux.share(
+        Dedup.minhashSigs(docsWithPlants(s, d), "doc_id", "text"), d, "q37_sigs")
+      Dedup.bandSuppressed(sigs, bands = 16, rowsPerBand = 4)
+        .orderBy("id")
     }
   )
 }
