@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IvfIndex}
+import graft.operators.{Curation, Dedup, IvfIndex}
 
 /** Scale-stress harness for the dedup/ANN families: measures how runtime
   * grows with corpus size, so the "candidate cost is Σ df²" / "probe
@@ -122,6 +122,20 @@ object BenchScale {
         val idx = IvfIndex.buildCached(s"scale:k$k", e, "vec_id", "embedding", nlist = 8)
         idx.assigned.cache().count() // pin assignment so search timing is search
         IvfIndex.topK(idx, queryVecs, "vec_id", "embedding", k = 5, nprobe = 3).count()
+      },
+      "vocabulary" -> { k =>
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        Curation.vocabulary(d, "doc_id", "text", minTf = 5L).count()
+      },
+      "band_suppress" -> { k =>
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        Dedup.bandSuppressed(Dedup.minhashSigs(d, "doc_id", "text"),
+          bands = 16, rowsPerBand = 4).count()
+      },
+      "contamination" -> { k =>
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        Curation.contaminationScreen(
+          Dedup.ngramPostings(d, "doc_id", "text"), col("id") % 97 === 0).count()
       },
     )
 
