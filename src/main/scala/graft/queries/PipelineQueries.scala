@@ -716,6 +716,54 @@ object PipelineQueries {
         Dedup.minhashSigs(docsWithPlants(s, d), "doc_id", "text"), d, "q37_sigs")
       Dedup.bandSuppressed(sigs, bands = 16, rowsPerBand = 4)
         .orderBy("id")
+    },
+
+    // Curation capstone: the full selection chain composed end-to-end —
+    // token-count quality gate → near-dup suppression (q76's join-free
+    // flags) → per-lang deterministic stratified sample. Every stage is
+    // integer/string-deterministic, so the oracle replays the whole
+    // chain from the shared q37 sigs + raw SQL. The equi-join on doc_id
+    // shuffles both sides on the key (flags are corpus-sized — NOT
+    // broadcastable at scale, unlike q74's fixed benchmark set).
+    QueryDef.sql("q77_curation_e2e",
+      """WITH sigs AS (SELECT * FROM read_parquet('__AUX__/q37_sigs/*.parquet')),
+        |buckets AS (
+        |  SELECT id, b.range AS band,
+        |    array_to_string(sig[b.range*4+1 : b.range*4+4], ',') AS key
+        |  FROM sigs CROSS JOIN range(16) b),
+        |mp AS (SELECT band, key, min(id) AS min_id FROM buckets GROUP BY band, key),
+        |flags AS (
+        |  SELECT b.id, CASE WHEN min(m.min_id) < b.id THEN 1 ELSE 0 END AS suppressed
+        |  FROM buckets b JOIN mp m ON b.band = m.band AND b.key = m.key
+        |  GROUP BY b.id),
+        |corpus AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, lang,
+        |    text || ' appended tail token' AS text
+        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 3)),
+        |surv AS (
+        |  SELECT c.doc_id, c.lang, len(string_split(c.text, ' ')) AS n_tokens
+        |  FROM corpus c JOIN flags f ON c.doc_id = f.id
+        |  WHERE f.suppressed = 0 AND len(string_split(c.text, ' ')) >= 10)
+        |SELECT lang, doc_id, sample_rank, n_tokens FROM (
+        |  SELECT lang, doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM surv)
+        |WHERE sample_rank <= 10 ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      val sigs = Aux.share(
+        Dedup.minhashSigs(docsWithPlants(s, d), "doc_id", "text"), d, "q37_sigs")
+      val flags = Dedup.bandSuppressed(sigs, bands = 16, rowsPerBand = 4)
+        .filter(col("suppressed") === 0)
+      val docs = docsWithPlants(s, d).select(col("doc_id"), col("lang"),
+        TA.tokenCount(col("text")).as("n_tokens"))
+      val surv = docs.join(flags, docs("doc_id") === flags("id"))
+        .drop("id", "suppressed")
+        .filter(col("n_tokens") >= 10)
+      Curation.stratifiedSample(surv, "lang", "doc_id", 10)
+        .select("lang", "doc_id", "sample_rank", "n_tokens")
+        .orderBy("lang", "doc_id")
     }
   )
 }
