@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of join: for every left row, the right row with the
+  * LARGEST timestamp ≤ the left row's timestamp within the same key —
+  * the classic point-in-time lookup (latest quote before a trade,
+  * latest view before a click) that Spark has no built-in operator for.
+  *
+  * Spark-first plan: NOT a join at all. Both sides are union-tagged and
+  * sorted per key by (ts, side) — right rows before left rows at equal
+  * ts, making the match inclusive — and one running `last(right_id,
+  * ignoreNulls)` window carries the newest right id forward into each
+  * left row. Cost is ONE shuffle of (|L|+|R|) rows on the key plus a
+  * per-key sort: no candidate pair blowup, no range-join quadratic
+  * corner, and the window is always key-partitioned (never global). At
+  * 100 TB this is the layout-friendly formulation — both inputs shuffle
+  * once on the same key, and a bucketed-by-key layout removes even
+  * that.
+  *
+  * Determinism: rows with equal (key, ts) on the right would make the
+  * match order-dependent, so the right side is pre-reduced to one row
+  * per (key, ts) keeping max(rightId) — mirrored in the oracle SQL.
+  * Equal-ts LEFT rows all see the same preceding-right prefix (left
+  * rows carry null right ids which `ignoreNulls` skips), so their
+  * matches are deterministic without any left-side tie rule.
+  */
+object AsofJoin {
+
+  /** Inner as-of match of `left` to `right` on `keyCol` with
+    * `leftTs`/`rightTs`: returns (keyCol, left_id, leftTs, right_id) —
+    * one row per left row that has a match (inner semantics; unmatched
+    * left rows are dropped). */
+  def asofMatch(left: DataFrame, right: DataFrame,
+                keyCol: String, leftTs: String, rightTs: String,
+                leftIdCol: String, rightIdCol: String): DataFrame = {
+    val r = right
+      .groupBy(col(keyCol).as("k"), col(rightTs).as("ts"))
+      .agg(max(col(rightIdCol)).as("rid"))
+      .select(col("k"), col("ts"), lit(0).as("side"),
+        lit(null).cast("long").as("left_id"), col("rid"))
+    val l = left.select(col(keyCol).as("k"), col(leftTs).as("ts"),
+      lit(1).as("side"), col(leftIdCol).cast("long").as("left_id"),
+      lit(null).cast("long").as("rid"))
+    val w = Window.partitionBy("k").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    r.unionByName(l)
+      .withColumn("right_id", last(col("rid"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("right_id").isNotNull)
+      .select(col("k").as(keyCol), col("left_id"),
+        col("ts").as(leftTs), col("right_id"))
+  }
+}

@@ -69,6 +69,32 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("event_type")
+    },
+
+    // As-of join: each click matched to the user's latest view at-or-
+    // before it. The engine runs the union-tag + running-window
+    // formulation (one shuffle, no join — operators/AsofJoin); the
+    // oracle uses DuckDB's native ASOF JOIN, so two entirely different
+    // formulations must agree row-for-row. Right side pre-reduced to one
+    // row per (user, ts) on both sides (determinism under ts ties).
+    QueryDef.sql("q78_asof_join",
+      """WITH r AS (
+        |  SELECT user_id, ts, max(event_id) AS rid FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts),
+        |l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, l.event_id AS left_id, epoch_ms(l.ts) AS ts_ms,
+        |  r.rid AS right_id
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY left_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d)
+      graft.operators.AsofJoin.asofMatch(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "view"),
+          "user_id", "ts", "ts", "event_id", "event_id")
+        .select(col("user_id"), col("left_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("right_id"))
+        .orderBy("left_id")
     }
   )
 }
