@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed point-in-interval range join: match each point (key, ts)
+  * to every interval [start, end] of the same key that contains it —
+  * without the quadratic per-key blowup of the naive equi-join +
+  * residual-filter plan, which explodes when a key has many points AND
+  * many intervals (every pair is a candidate).
+  *
+  * Chunked formulation: time is cut into fixed `chunkWidth` buckets; a
+  * point lands in exactly one chunk, an interval is exploded to each
+  * chunk it overlaps, and the join runs on (key, chunk) with the
+  * BETWEEN residual applied only within a chunk. Candidate cost drops
+  * from Σ_key |P|·|I| to Σ_(key,chunk) |P|·|I| — bounded by chunk
+  * width, the knob that trades interval replication (≈ avg interval
+  * length / chunkWidth extra rows) against candidate density. Both
+  * sides shuffle once on (key, chunk); no window, no cartesian. Pick
+  * chunkWidth at or above the typical interval length so the
+  * replication factor stays ~2.
+  *
+  * A point inside a chunk meets every containing interval exactly once
+  * (the interval covers that chunk), so the output needs no distinct.
+  * Boundaries are inclusive on both ends.
+  */
+object RangeJoin {
+
+  /** Join `points` (carrying `tsCol`, epoch ms) to containing
+    * `intervals` (carrying `startCol`/`endCol`, epoch ms) per `keyCol`.
+    * Returns point columns + interval columns (minus the helper chunk).
+    * `tsCol`/`startCol`/`endCol` must be integral (ms) — `div`
+    * arithmetic, not double division. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      keyCol: String, tsCol: String,
+                      startCol: String, endCol: String,
+                      chunkWidth: Long): DataFrame = {
+    require(chunkWidth > 0, "chunkWidth must be positive")
+    val p = points.withColumn("_chunk", expr(s"$tsCol div $chunkWidth"))
+    val i = intervals.withColumn("_chunk",
+      explode(sequence(expr(s"$startCol div $chunkWidth"),
+        expr(s"$endCol div $chunkWidth"))))
+    p.join(i, Seq(keyCol, "_chunk"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_chunk")
+  }
+}

@@ -95,6 +95,51 @@ object EventQueries {
         .select(col("user_id"), col("left_id"),
           unix_millis(col("ts")).as("ts_ms"), col("right_id"))
         .orderBy("left_id")
+    },
+
+    // Range join: every error event assigned to its containing session
+    // interval (sessions partition a user's events with >30 min gaps, so
+    // containment is unique). The engine runs the CHUNKED formulation
+    // (operators/RangeJoin: equi-join on (user, 1 h time chunk) +
+    // in-chunk residual — no per-key quadratic candidate set); the
+    // oracle re-derives sessions à la q45 and uses a plain BETWEEN join.
+    QueryDef.sql("q79_range_join",
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flagged),
+        |sessions AS (
+        |  SELECT user_id, session_idx,
+        |    epoch_ms(min(ts)) AS session_start_ms,
+        |    epoch_ms(max(ts)) AS session_end_ms
+        |  FROM numbered GROUP BY user_id, session_idx)
+        |SELECT e.user_id, e.event_id, s.session_idx,
+        |  s.session_start_ms, s.session_end_ms
+        |FROM events e JOIN sessions s ON e.user_id = s.user_id
+        |  AND epoch_ms(e.ts) BETWEEN s.session_start_ms AND s.session_end_ms
+        |WHERE e.event_type = 'error'
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d)
+      val sessions = EventStreams.sessionizeBatch(ev, gapMinutes = 30)
+        .select("user_id", "session_idx", "session_start_ms", "session_end_ms")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"))
+      graft.operators.RangeJoin.pointInInterval(errors, sessions,
+          "user_id", "ts_ms", "session_start_ms", "session_end_ms",
+          chunkWidth = 3600000L)
+        .select("user_id", "event_id", "session_idx",
+          "session_start_ms", "session_end_ms")
+        .orderBy("event_id")
     }
   )
 }
