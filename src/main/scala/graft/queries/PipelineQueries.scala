@@ -764,6 +764,26 @@ object PipelineQueries {
       Curation.stratifiedSample(surv, "lang", "doc_id", 10)
         .select("lang", "doc_id", "sample_rank", "n_tokens")
         .orderBy("lang", "doc_id")
+    },
+
+    // Misra–Gries heavy-hitters sketch (custom TypedImperativeAggregate,
+    // operators/MisraGriesAgg): bounded k-counter token counts. With
+    // k=64 above the corpus's distinct-token count the sketch provably
+    // never decrements ANYWHERE (partial buffers hold subsets), so its
+    // counts are EXACT and merge-order-independent — the regime this
+    // hash oracle pins. The eviction regime's worst-case bounds
+    // (undercount ≤ N/k, heavy items guaranteed present, ≤ k counters)
+    // are asserted on skewed data in MisraGriesAggSpec.
+    QueryDef.sql("q80_heavy_hitters",
+      """SELECT token, count(*) AS est_cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .agg(graft.operators.MisraGriesAgg.misra_gries(col("token"), 64).as("sketch"))
+        .select(explode(col("sketch")).as(Seq("token", "est_cnt")))
+        .orderBy("token")
     }
   )
 }
