@@ -108,13 +108,20 @@ object Aux {
     written.synchronized {
       if (!written.contains(path)) {
         val base = java.nio.file.Paths.get(dir(sfDir))
-        writeStamped(base.resolve(s"_version_$name"),
-                     base.resolve(s"_lock_$name"),
-                     fingerprint(df),
-                     complete = java.nio.file.Files.exists(
-                       java.nio.file.Paths.get(path, "_SUCCESS"))) {
-          df.write.mode("overwrite").parquet(path)
-        }
+        // persist across the fingerprint agg AND the write: on a cold
+        // start (no stamp to match) both jobs run, and without the
+        // persist each would recompute the full upstream pipeline —
+        // cold Verify/Bench paid ~2× the most expensive shared stage
+        df.persist()
+        try {
+          writeStamped(base.resolve(s"_version_$name"),
+                       base.resolve(s"_lock_$name"),
+                       fingerprint(df),
+                       complete = java.nio.file.Files.exists(
+                         java.nio.file.Paths.get(path, "_SUCCESS"))) {
+            df.write.mode("overwrite").parquet(path)
+          }
+        } finally df.unpersist()
         written += path
       }
     }

@@ -38,7 +38,10 @@ object BenchScale {
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,4,16")
       .split(",").map(_.trim.toInt).toSeq
     val alphaMax = sys.env.getOrElse("SPARK_GRAFT_ALPHA_MAX", "1.35").toDouble
-    val scratch = "/tmp/graft_scale"
+    // keyed by source sf so sf0.01-derived fixtures are never reused for
+    // an sf0.1 run; completeness via the writer's _SUCCESS marker, not a
+    // bare dir-exists (a killed run leaves a partial dir behind)
+    val scratch = s"/tmp/graft_scale/${new java.io.File(sfDir).getName}"
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,7 +59,7 @@ object BenchScale {
     scales.foreach { k =>
       val dDir = s"$scratch/k$k/documents.parquet"
       val eDir = s"$scratch/k$k/embeddings.parquet"
-      if (!new java.io.File(dDir).exists()) {
+      if (!new java.io.File(dDir, "_SUCCESS").exists()) {
         (0 until k).map { c =>
           docs.select((col("doc_id") + lit(c.toLong * 1000000L)).as("doc_id"),
             (if (c == 0) col("text")
@@ -64,7 +67,7 @@ object BenchScale {
         }.reduce(_.unionByName(_))
           .repartition(cpus.toInt).write.mode("overwrite").parquet(dDir)
       }
-      if (!new java.io.File(eDir).exists()) {
+      if (!new java.io.File(eDir, "_SUCCESS").exists()) {
         (0 until k).map { c =>
           emb.select((col("vec_id") + lit(c.toLong * 1000000L)).as("vec_id"),
             col("embedding"))
@@ -143,17 +146,21 @@ object BenchScale {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     families.foreach { case (_, fn) => fn(scales.head) }
 
+    // Locale.ROOT like Bench.f3: the f-interpolator is locale-sensitive
+    // and a comma-decimal locale would emit invalid JSON
+    def fmt(v: Double, dec: Int): String =
+      s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
     var worst = ("", 0.0)
     val lines = families.map { case (name, fn) =>
       val ts = scales.map { k => k -> median((1 to runs).map(_ => time(fn(k)))) }
       val a = alpha(ts.map(_._1), ts.map(_._2))
       if (a > worst._2) worst = (name, a)
-      val tsJson = ts.map { case (k, t) => f""""k$k":$t%.3f""" }.mkString(",")
-      f"""{"family":"$name","alpha":$a%.2f,$tsJson,"runs":$runs}"""
+      val tsJson = ts.map { case (k, t) => s""""k$k":${fmt(t, 3)}""" }.mkString(",")
+      s"""{"family":"$name","alpha":${fmt(a, 2)},$tsJson,"runs":$runs}"""
     }
     spark.sparkContext.setLogLevel("ERROR")
     lines.foreach(println)
-    println(f"""{"metric":"scale_alpha_max","family":"${worst._1}","value":${worst._2}%.2f,"limit":$alphaMax,"scales":"${scales.mkString(",")}"}""")
+    println(s"""{"metric":"scale_alpha_max","family":"${worst._1}","value":${fmt(worst._2, 2)},"limit":$alphaMax,"scales":"${scales.mkString(",")}"}""")
     spark.stop()
     if (worst._2 > alphaMax) sys.exit(1)
   }

@@ -39,11 +39,21 @@ object GraftFunctions {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  private def ensureHillRegistered(spark: SparkSession): Unit =
-    if (hillRegistered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "hill_formula", exprs => HillFormulaExpr(exprs.head), "scala_udf")
+  // Guards mark the session registered only AFTER registration completes,
+  // under the map's monitor — a flag-before-action putIfAbsent would let a
+  // concurrent query-construction thread proceed to call_function before
+  // the name exists (check-then-act race; benign single-threaded, fatal
+  // for a parallel harness).
+  private def ensureHillRegistered(spark: SparkSession): Unit = {
+    if (hillRegistered.containsKey(spark)) return
+    hillRegistered.synchronized {
+      if (!hillRegistered.containsKey(spark)) {
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "hill_formula", exprs => HillFormulaExpr(exprs.head), "scala_udf")
+        hillRegistered.put(spark, java.lang.Boolean.TRUE)
+      }
     }
+  }
 
   // Vector kernels (similarity/ANN hot path) — native one-pass codegen'd
   // expressions; see VectorExprs scaladoc for the bit-compatibility
@@ -79,7 +89,15 @@ object GraftFunctions {
   }
 
   private def ensureVectorRegistered(spark: SparkSession): Unit = {
-    if (vectorRegistered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
+    if (vectorRegistered.containsKey(spark)) return
+    vectorRegistered.synchronized {
+      if (vectorRegistered.containsKey(spark)) return
+      registerVectorKernels(spark)
+      vectorRegistered.put(spark, java.lang.Boolean.TRUE)
+    }
+  }
+
+  private def registerVectorKernels(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

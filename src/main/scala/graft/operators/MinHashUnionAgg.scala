@@ -99,11 +99,16 @@ object MinHashUnionAgg {
       registered.computeIfAbsent(spark,
         _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]())
     }
-    if (perSession.add(numHashes)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        s"minhash_union_$numHashes",
-        exprs => MinHashUnionAgg(exprs.head, numHashes).toAggregateExpression(),
-        "scala_udf")
+    // register BEFORE marking, under the set's monitor: add-then-register
+    // would let a concurrent thread resolve the name before it exists
+    perSession.synchronized {
+      if (!perSession.contains(numHashes)) {
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          s"minhash_union_$numHashes",
+          exprs => MinHashUnionAgg(exprs.head, numHashes).toAggregateExpression(),
+          "scala_udf")
+        perSession.add(numHashes)
+      }
     }
   }
 

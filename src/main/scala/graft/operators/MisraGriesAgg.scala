@@ -149,11 +149,16 @@ object MisraGriesAgg {
       registered.computeIfAbsent(spark,
         _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]())
     }
-    if (perSession.add(k)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        s"misra_gries_$k",
-        exprs => MisraGriesAgg(exprs.head, k).toAggregateExpression(),
-        "scala_udf")
+    // register BEFORE marking, under the set's monitor (see
+    // MinHashUnionAgg.ensureRegistered for the race this avoids)
+    perSession.synchronized {
+      if (!perSession.contains(k)) {
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          s"misra_gries_$k",
+          exprs => MisraGriesAgg(exprs.head, k).toAggregateExpression(),
+          "scala_udf")
+        perSession.add(k)
+      }
     }
   }
 

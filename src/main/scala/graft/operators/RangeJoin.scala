@@ -30,16 +30,29 @@ object RangeJoin {
     * `intervals` (carrying `startCol`/`endCol`, epoch ms) per `keyCol`.
     * Returns point columns + interval columns (minus the helper chunk).
     * `tsCol`/`startCol`/`endCol` must be integral (ms) — `div`
-    * arithmetic, not double division. */
+    * arithmetic, not double division.
+    *
+    * `maxChunksPerInterval` guards the explosion: one data-quality
+    * outlier (an open-ended sentinel end like Long.MaxValue) would
+    * otherwise ask sequence() for a trillions-long array and kill the
+    * job with an opaque error. Such a row fails fast with a message
+    * naming the offending interval instead. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       keyCol: String, tsCol: String,
                       startCol: String, endCol: String,
-                      chunkWidth: Long): DataFrame = {
+                      chunkWidth: Long,
+                      maxChunksPerInterval: Int = 4096): DataFrame = {
     require(chunkWidth > 0, "chunkWidth must be positive")
     val p = points.withColumn("_chunk", expr(s"$tsCol div $chunkWidth"))
-    val i = intervals.withColumn("_chunk",
-      explode(sequence(expr(s"$startCol div $chunkWidth"),
-        expr(s"$endCol div $chunkWidth"))))
+    val startChunk = expr(s"$startCol div $chunkWidth")
+    val endChunk = expr(s"$endCol div $chunkWidth")
+    val safeEnd = when(endChunk - startChunk < lit(maxChunksPerInterval.toLong),
+        endChunk)
+      .otherwise(raise_error(concat(
+        lit(s"pointInInterval: interval spans ≥$maxChunksPerInterval chunks ("),
+        col(startCol).cast("string"), lit(".."), col(endCol).cast("string"),
+        lit(") — raise chunkWidth/maxChunksPerInterval or clean the interval"))))
+    val i = intervals.withColumn("_chunk", explode(sequence(startChunk, safeEnd)))
     p.join(i, Seq(keyCol, "_chunk"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_chunk")

@@ -280,7 +280,10 @@ object PipelineQueries {
       val postings = Aux.share(
         Dedup.ngramPostings(docsWithPlants(s, d), "doc_id", "text"),
         d, "q69_postings")
-      Dedup.ngramJaccardNearDupsFromPostings(postings, threshold = 0.6, maxDf = 4)
+      // assumeDistinct: ngramPostings array_distincts per doc, so the
+      // defensive corpus-wide distinct() shuffle would be pure waste
+      Dedup.ngramJaccardNearDupsFromPostings(postings, threshold = 0.6, maxDf = 4,
+          assumeDistinct = true)
         .orderBy("id_a", "id_b")
     },
 

@@ -82,13 +82,18 @@ object DedupStreams {
           } else {
             val batch = it.toArray
             val priorMin = state.getOption.map(_.minId).getOrElse(Long.MaxValue)
-            // exact id precedence over prior state + this whole batch:
-            // doc is a dup in this band iff a SMALLER id shares the bucket
+            // exact id precedence over prior state + this whole batch: a
+            // doc is a dup in this band iff a SMALLER id shares the
+            // bucket — i.e. iff min(priorMin, batchMin) < its id (the
+            // batch-min doc itself falls through to priorMin). O(n), not
+            // an O(n²) per-row exists scan: a duplicate storm delivering
+            // a hot bucket is exactly this operator's expected input.
+            val batchMin = batch.iterator.map(_.doc_id).min
+            val floor = math.min(priorMin, batchMin)
             val verdicts = batch.map { r =>
-              val smallerInBatch = batch.exists(o => o.doc_id < r.doc_id)
-              BandVerdict(r.doc_id, key._1, priorMin < r.doc_id || smallerInBatch)
+              BandVerdict(r.doc_id, key._1, floor < r.doc_id)
             }
-            val newMin = math.min(priorMin, batch.map(_.doc_id).min)
+            val newMin = floor
             state.update(BucketState(newMin))
             state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + ttlMs)
             verdicts.iterator

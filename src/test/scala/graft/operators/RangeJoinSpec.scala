@@ -33,6 +33,20 @@ class RangeJoinSpec extends AnyFunSuite {
       (12L, 101L)))
   }
 
+  test("pathological open-ended interval fails fast with a named error") {
+    import spark.implicits._
+    val points = Seq((1L, 50L, 10L)).toDF("k", "ts", "pid")
+    val intervals = Seq((1L, 0L, Long.MaxValue / 2, 100L)).toDF("k", "s", "e", "iid")
+    val ex = intercept[Throwable] {
+      RangeJoin.pointInInterval(points, intervals, "k", "ts", "s", "e", 100L)
+        .collect()
+    }
+    val messages = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("pointInInterval"),
+      s"expected the guard's named error, got:\n$messages")
+  }
+
   test("plan: equi-join on (key, chunk), no cartesian") {
     import spark.implicits._
     val points = Seq((1L, 50L, 10L)).toDF("k", "ts", "pid")

@@ -17,13 +17,21 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 # not a gate (round 5 shipped exactly that — /tmp/verify_out predated the
 # q47 fix commit). Print when the Verify dump was produced and what HEAD
 # is, and refuse output older than the newest tracked source file.
-dump_mtime = os.path.getmtime(f"{outdir}/oracle_sql.json")
-head = subprocess.run(["git", "-C", os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "log", "-1", "--format=%h %ci"],
-                      capture_output=True, text=True).stdout.strip()
+dump_path = f"{outdir}/oracle_sql.json"
+if not os.path.exists(dump_path):
+    print(f"MISSING: {dump_path} not found — run graft.Verify first")
+    sys.exit(2)
+dump_mtime = os.path.getmtime(dump_path)
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-tracked = subprocess.run(["git", "-C", repo, "ls-files", "src", "build.sbt"],
-                         capture_output=True, text=True).stdout.split()
+head = subprocess.run(["git", "-C", repo, "log", "-1", "--format=%h %ci"],
+                      capture_output=True, text=True).stdout.strip()
+# --others --exclude-standard: a brand-new not-yet-added .scala file is
+# the normal state when this guard matters most (pre-commit), so
+# untracked source must count toward staleness too
+tracked = subprocess.run(
+    ["git", "-C", repo, "ls-files", "--cached", "--others",
+     "--exclude-standard", "src", "build.sbt"],
+    capture_output=True, text=True).stdout.split()
 src_mtime = max((os.path.getmtime(os.path.join(repo, f))
                  for f in tracked if os.path.exists(os.path.join(repo, f))), default=0)
 print(f"verify dump: {datetime.datetime.fromtimestamp(dump_mtime):%Y-%m-%d %H:%M:%S}"
