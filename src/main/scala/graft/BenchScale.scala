@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, IvfIndex}
+import graft.operators.{AsofJoin, Curation, Dedup, IvfIndex, RangeJoin}
 
 /** Scale-stress harness for the dedup/ANN families: measures how runtime
   * grows with corpus size, so the "candidate cost is Σ df²" / "probe
@@ -56,6 +56,11 @@ object BenchScale {
     // scan→operator, not the union-generation DAG) ----
     val docs = tables.Tables.documents(spark, sfDir).select("doc_id", "text")
     val emb = tables.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    // events scale by cloning users (ids offset, timestamps unchanged):
+    // k× users with identical per-user streams — the right shape for
+    // asof/range joins, whose cost is per-key
+    val ev = tables.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type")
     scales.foreach { k =>
       val dDir = s"$scratch/k$k/documents.parquet"
       val eDir = s"$scratch/k$k/embeddings.parquet"
@@ -73,6 +78,15 @@ object BenchScale {
             col("embedding"))
         }.reduce(_.unionByName(_))
           .repartition(cpus.toInt).write.mode("overwrite").parquet(eDir)
+      }
+      val vDir = s"$scratch/k$k/events.parquet"
+      if (!new java.io.File(vDir, "_SUCCESS").exists()) {
+        (0 until k).map { c =>
+          ev.select((col("event_id") + lit(c.toLong * 100000000L)).as("event_id"),
+            col("ts"), (col("user_id") + lit(c.toLong * 10000000L)).as("user_id"),
+            col("event_type"))
+        }.reduce(_.unionByName(_))
+          .repartition(cpus.toInt).write.mode("overwrite").parquet(vDir)
       }
     }
 
@@ -139,6 +153,25 @@ object BenchScale {
         val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
         Curation.contaminationScreen(
           Dedup.ngramPostings(d, "doc_id", "text"), col("id") % 97 === 0).count()
+      },
+      "asof_join" -> { k =>
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        AsofJoin.asofMatch(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "view"),
+          "user_id", "ts", "ts", "event_id", "event_id").count()
+      },
+      "range_join" -> { k =>
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+          .withColumn("value", lit(0.0)) // sessionizeBatch aggregates value
+        val sessions = graft.streaming.EventStreams
+          .sessionizeBatch(e, gapMinutes = 30)
+          .select("user_id", "session_idx", "session_start_ms", "session_end_ms")
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("ts_ms"))
+        RangeJoin.pointInInterval(errors, sessions, "user_id", "ts_ms",
+          "session_start_ms", "session_end_ms", chunkWidth = 3600000L).count()
       },
     )
 
