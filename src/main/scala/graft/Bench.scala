@@ -6,12 +6,13 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
   * Timing methodology: a session-warmup action first (JVM/codegen/
-  * parquet-footer costs land there, not in q1), then each query executed
-  * SPARK_GRAFT_BENCH_RUNS times (default 3) with a count() action;
-  * the reported per-query number is the MEDIAN of the runs (single-run
-  * numbers vary ±40% on this host, so medians are what make per-query
-  * comparisons against the baseline meaningful) and "value" is the sum
-  * of medians. AQE is on; shuffle partitions match the local core count.
+  * parquet-footer costs land there, not in q1), then SPARK_GRAFT_BENCH_RUNS
+  * (default 5) pass-interleaved executions of the whole query set with a
+  * count() action; the reported per-query number is the MEDIAN across
+  * passes (single-run numbers vary ±40% on this host, and host stall
+  * windows pollute adjacent wall-clock — interleaving decorrelates a
+  * query's samples from any one window) and "value" is the sum of
+  * medians. AQE is on; shuffle partitions match the local core count.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,6 +31,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // 80 queries x several WSCG fragments each blows through the
+      // default 100-entry generated-class cache, so pass-interleaved
+      // runs would re-janino-compile (and re-JIT) every fragment every
+      // pass. Static conf: must be set before the first codegen.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -46,18 +52,31 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
-    // Per-run detail is buffered and printed BEFORE the final JSON line:
-    // the driver tail-reads the last ~2000 chars of combined output, so
-    // nothing may be emitted after the JSON.
-    val detail = new StringBuilder
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    // PASS-INTERLEAVED runs: all queries once per pass, `runs` passes,
+    // median per query ACROSS passes. With consecutive per-query runs
+    // (rounds 1-6a) a single multi-second host stall window — kernel
+    // page-fault storms, see build.sbt's AlwaysPreTouch note — could
+    // cover every run of one query (observed: q07 medians 3.5s vs 0.9s
+    // between back-to-back invocations), which no order statistic
+    // repairs. Interleaving puts ~minutes between a query's samples, so
+    // one stall window touches at most one sample of each affected
+    // query and the median discards it.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples: Seq[Seq[Double]] = (1 to runs).map { _ =>
+      named.map { case (_, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         val sec = (System.nanoTime() - t0) / 1e9
         if (ok) sec else -1.0
       }
+    }
+    // Per-pass detail is buffered and printed BEFORE the final JSON
+    // line: the driver tail-reads the last ~2000 chars of combined
+    // output, so nothing may be emitted after the JSON.
+    val detail = new StringBuilder
+    val results = named.zipWithIndex.map { case ((name, _), i) =>
+      val times = samples.map(_(i))
       detail.append(f"bench-detail $name%-28s ${times.map(t => f"$t%.3f").mkString(" ")}%n")
       name -> (if (times.exists(_ < 0)) -1.0 else median(times))
     }
