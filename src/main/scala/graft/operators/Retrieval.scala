@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Language-model corpus statistics and ranked text retrieval — the
+  * query-side counterpart of the dedup/curation families: once a corpus
+  * is cleaned, a training-data pipeline needs (a) its n-gram frequency
+  * profile (smoothing tables, vocabulary growth curves) and (b) a way to
+  * pull the documents most relevant to a probe query (mixture audits,
+  * targeted decontamination beyond exact-overlap screens — the retrieval
+  * analog of the reference's keyword search surface,
+  * optimade_database/Optimade_Server/server.py:106-120, re-expressed as
+  * corpus-side scoring instead of a remote filter string).
+  *
+  * Scale design:
+  *  - n-gram construction is a single pass (one `transform` over the
+  *    materialized token array — NO shuffle, no self-join on positions);
+  *    the only wide exchange carries (ngram, partial-count) pairs which
+  *    map-side partial aggregation has already collapsed, so the shuffle
+  *    is bounded by the DISTINCT n-gram frame per partition, not the
+  *    token stream. The count-of-counts re-aggregation is a second tiny
+  *    shuffle over at most max-count keys.
+  *  - ranked retrieval filters the exploded token stream to the probe
+  *    terms BEFORE any aggregation (the inverted-index "posting fetch" —
+  *    candidate rows are docs-containing-a-term, not the corpus), joins
+  *    the per-term document frequencies by BROADCAST (|terms| rows), and
+  *    the global (N, Σdl) statistics as a 1-row broadcast cross join
+  *    (the J4 pattern; intended-cross-join audited). No windows, no
+  *    sort: the final top-k plans as TakeOrderedAndProject.
+  *
+  * Float discipline (CLAUDE.md): the score uses ONLY +,-,*,/ over
+  * doubles in an operation order the DuckDB oracle mirrors token-for-
+  * token — a log-free rational idf, (N - df + 0.5)/(df + 0.5), replaces
+  * ln of the same odds so the whole scoring chain stays bit-identical
+  * across engines (ln is not correctly rounded and differs in the last
+  * ulp between libm and the JVM). The tf saturation term is BM25's,
+  * k1 = 1.2, b = 0.75. Cross-term summation is a FIXED-ORDER left fold
+  * over per-term pivot columns — never sum() over rows, whose
+  * accumulation order is nondeterministic in both engines.
+  */
+object Retrieval {
+
+  /** Non-empty whitespace tokens, as a materialize-me array column. */
+  def cleanTokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Adjacent-pair n-grams of a token ARRAY ATTRIBUTE (materialize the
+    * token array to its own column first — a computed-array argument
+    * would re-split per element under the interpreted HOF, the
+    * Dedup.minhashSigOf lesson). Single pass, no shuffle. */
+  def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Good–Turing frequency-of-frequencies over bigrams: r → N_r = how
+    * many distinct bigrams occur exactly r times. The (tiny) output is
+    * the smoothing table for LM estimation and a fingerprint of corpus
+    * repetitiveness. Output: (r, n_r) ordered by r. */
+  def bigramCountOfCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs.select(cleanTokens(col(textCol)).as("toks"))
+    val counts = toks
+      .select(explode(bigramsOf(col("toks"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c"))
+    counts.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r")).orderBy("r")
+  }
+
+  /** Top-k documents for a bag-of-terms probe query, scored by the
+    * BM25-saturated tf with rational idf (scaladoc above). Output:
+    * (idCol, score) ordered by score DESC, id — ties on identical
+    * (tf vector, length) break deterministically. */
+  def rankedRetrieval(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      topK: Int): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, "probe query: 1..16 terms")
+    val withToks = docs.select(col(idCol), cleanTokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"), size(col("toks")).as("dl"))
+
+    // 1-row global stats; broadcast cross join (intended J4 pattern).
+    val stats = withToks.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+
+    // Inverted-index posting fetch: explode → keep probe terms only.
+    val tf = withToks
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    // |terms| rows; broadcast.
+    val dfPerTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val norm = tfd * lit(2.2) /
+      (tfd + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * dld / avgdl))
+    val odds = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val weighted = tf
+      .join(broadcast(dfPerTerm), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"), (norm * odds).as("w"))
+
+    // Fixed-order cross-term sum via per-term pivot columns.
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("w"))).as(s"w$i")
+    }
+    val perDoc = weighted.groupBy(col(idCol)).agg(pivots.head, pivots.tail: _*)
+    val score = terms.indices
+      .map(i => coalesce(col(s"w$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    perDoc.select(col(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+}

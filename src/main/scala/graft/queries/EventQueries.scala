@@ -140,6 +140,25 @@ object EventQueries {
         .select("user_id", "event_id", "session_idx",
           "session_start_ms", "session_end_ms")
         .orderBy("event_id")
+    },
+
+    // Windowed heavy-hitters sketch, batch twin of
+    // streaming/SketchStreams.heavyHittersStream (same windowedSketch
+    // code runs in both modes; SketchStreamsSpec proves batch ≡
+    // streaming across micro-batch splits). k = 64 exceeds the
+    // event_type cardinality, so every per-window sketch is provably
+    // exact and merge-order-independent — the regime this hash oracle
+    // pins; eviction-regime bounds are MisraGriesAggSpec's job.
+    QueryDef.sql("q83_window_heavy_hitters",
+      """SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_ms,
+        |  event_type AS token, count(*) AS est_cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      graft.streaming.SketchStreams.windowedSketch(
+          Tables.events(s, d), "ts", "event_type", k = 64, windowDur = "5 minutes")
+        .select(unix_millis(col("window_start")).as("window_start_ms"),
+          explode(col("sketch")).as(Seq("token", "est_cnt")))
+        .orderBy("window_start_ms", "token")
     }
   )
 }

@@ -787,6 +787,68 @@ object PipelineQueries {
         .agg(graft.operators.MisraGriesAgg.misra_gries(col("token"), 64).as("sketch"))
         .select(explode(col("sketch")).as(Seq("token", "est_cnt")))
         .orderBy("token")
+    },
+
+    // Good–Turing frequency-of-frequencies over bigrams (operators/
+    // Retrieval.bigramCountOfCounts): the LM-smoothing table r → N_r.
+    // Single-pass n-gram construction (transform over the materialized
+    // token array, no positional self-join); the wide shuffle carries
+    // the map-side-combined distinct-bigram frame. Integer-only output.
+    QueryDef.sql("q81_ngram_countofcounts",
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |                               i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM toks WHERE len(t) >= 2),
+        |cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram)
+        |SELECT c AS r, count(*) AS n_r FROM cnt GROUP BY c ORDER BY r""".stripMargin) {
+      (s, d) =>
+        graft.operators.Retrieval.bigramCountOfCounts(Tables.documents(s, d), "text")
+    },
+
+    // Ranked retrieval (operators/Retrieval.rankedRetrieval): BM25-
+    // saturated tf with log-free rational idf — every scoring op is
+    // +,-,*,/ over doubles in an order the oracle mirrors token-for-
+    // token (see Retrieval scaladoc for why not ln). Inverted-index
+    // posting fetch (term filter before any agg), broadcast per-term
+    // dfs, 1-row stats cross join, fixed-order cross-term sum,
+    // TakeOrderedAndProject top-20.
+    QueryDef.sql("q82_ranked_retrieval",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |docs AS (SELECT doc_id, len(t) AS dl, t FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docs),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM docs)
+        |  WHERE term IN ('spark','join','window') GROUP BY doc_id, dl, term),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT doc_id, term,
+        |    CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE) /
+        |      (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |        (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+        |         CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) /
+        |           (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) *
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |     (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))) AS w
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN stats),
+        |p AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN term = 'spark'  THEN w END) AS w0,
+        |    max(CASE WHEN term = 'join'   THEN w END) AS w1,
+        |    max(CASE WHEN term = 'window' THEN w END) AS w2
+        |  FROM w GROUP BY doc_id)
+        |SELECT doc_id,
+        |  coalesce(w0, CAST(0.0 AS DOUBLE)) + coalesce(w1, CAST(0.0 AS DOUBLE)) +
+        |    coalesce(w2, CAST(0.0 AS DOUBLE)) AS score
+        |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      graft.operators.Retrieval.rankedRetrieval(
+        Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "join", "window"), topK = 20)
     }
   )
 }

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.MisraGriesAgg
+
+/** Streaming heavy-hitters: the [[graft.operators.MisraGriesAgg]]
+  * sketch inside a Structured Streaming event-time window — "which
+  * tokens dominate the live ingest, per window" with bounded memory.
+  *
+  * Why this composition is the scale answer: an exact streaming
+  * `groupBy(window, token).count()` keeps one state row per DISTINCT
+  * TOKEN per open window — unbounded on open-vocabulary streams (the
+  * exact failure the sketch exists for). Here state is one aggregation
+  * buffer of AT MOST k counters per open window, the partial/merge
+  * machinery of TypedImperativeAggregate does map-side combining inside
+  * each micro-batch, and the watermark both closes windows and evicts
+  * their buffers. Misra–Gries merge is associative with order-
+  * independent guarantees (and EXACT while distinct ≤ k), so the
+  * incremental per-micro-batch merge sequence — however the trigger
+  * slices the stream — yields the same sketch as one batch pass
+  * (SketchStreamsSpec proves batch ≡ streaming across micro-batch
+  * splits; q83 gates the batch twin against the DuckDB oracle).
+  *
+  * The same code runs unchanged in batch (window() is an ordinary
+  * grouping expression there), which is what q83 executes.
+  */
+object SketchStreams {
+
+  /** Per-event-time-window Misra–Gries sketch of `tokenCol`. For a
+    * streaming input, pair with `withWatermark` upstream (see
+    * [[heavyHittersStream]]); output rows carry the window start and
+    * the (token → estimated count) map. */
+  def windowedSketch(events: DataFrame, tsCol: String, tokenCol: String,
+                     k: Int, windowDur: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), windowDur).as("win"))
+      .agg(MisraGriesAgg.misra_gries(col(tokenCol), k).as("sketch"))
+      .select(col("win.start").as("window_start"), col("sketch"))
+
+  /** Streaming entry: watermark-bounded windowed sketch. State = one
+    * ≤k-counter buffer per open window; closed windows are evicted at
+    * watermark + windowDur. */
+  def heavyHittersStream(events: DataFrame, tsCol: String, tokenCol: String,
+                         k: Int, windowDur: String = "5 minutes",
+                         watermark: String = "10 minutes"): DataFrame =
+    windowedSketch(events.withWatermark(tsCol, watermark),
+      tsCol, tokenCol, k, windowDur)
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bigramsOf: adjacent pairs, empty-token filtering, short-doc guard") {
+    import spark.implicits._
+    val rows = Seq("a b c", "a  b", "solo", "", "x y x y")
+      .toDF("text")
+      .select(Retrieval.cleanTokens(col("text")).as("toks"))
+      .select(Retrieval.bigramsOf(col("toks")).as("bg"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(rows(0) == List("a b", "b c"))
+    assert(rows(1) == List("a b")) // double space yields no empty token
+    assert(rows(2) == Nil && rows(3) == Nil)
+    assert(rows(4) == List("x y", "y x", "x y"))
+  }
+
+  test("bigramCountOfCounts: Σ r·N_r = total bigrams; values match brute force") {
+    import spark.implicits._
+    val docs = Seq("a b a b", "a b c", "c c c c").toDF("text")
+    // bigrams: (a b, b a, a b), (a b, b c), (c c, c c, c c)
+    // counts: "a b"->3, "b a"->1, "b c"->1, "c c"->3 → r=1:2, r=3:2
+    val got = Retrieval.bigramCountOfCounts(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toList
+    assert(got == List(1L -> 2L, 3L -> 2L))
+    assert(got.map { case (r, n) => r * n }.sum == 8)
+  }
+
+  test("rankedRetrieval: tf saturation + rational idf ranks as designed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark spark"), // high tf, one term
+      (2L, "spark join window pad"),   // all three terms once, same length
+      (3L, "pad pad pad pad"),         // no terms: absent from output
+      (4L, "join join join join"),
+      (5L, "spark join window pad")    // identical to 2 ⇒ tie broken by id
+    ).toDF("doc_id", "text")
+    val got = Retrieval.rankedRetrieval(docs, "doc_id", "text",
+      Seq("spark", "join", "window"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 4L, 5L))
+    // docs 2 and 5 are identical texts: same score, id ascending
+    val i2 = got.indexWhere(_._1 == 2L); val i5 = got.indexWhere(_._1 == 5L)
+    assert(i2 >= 0 && i5 == i2 + 1 && got(i2)._2 == got(i5)._2)
+    // three distinct once-each terms (df=3 each) outscore four of one
+    // term: saturation caps the tf contribution at (k1+1)·idf
+    assert(got.head._1 == 2L)
+    // the window term is rarest (df=2) so doc 1 (spark, df=3) and doc 4
+    // (join, df=3) score identically by symmetry: tie broken by id
+    val s1 = got.find(_._1 == 1L).get._2; val s4 = got.find(_._1 == 4L).get._2
+    assert(s1 == s4 && got.indexWhere(_._1 == 1L) < got.indexWhere(_._1 == 4L))
+  }
+
+  test("rankedRetrieval: scores invariant under repartitioning (fixed-order sum)") {
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, s"spark ${"join " * (i % 5).toInt}window pad${i % 7} end"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) =
+      Retrieval.rankedRetrieval(docs.repartition(parts), "doc_id", "text",
+        Seq("spark", "join", "window"), topK = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(run(1) == run(7)) // bit-identical, not approximately equal
+  }
+}

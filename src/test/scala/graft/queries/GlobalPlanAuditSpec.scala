@@ -35,9 +35,10 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "q50_mof_heat_outliers",  // heat rows × 1-row correlation stats
     "q57_source_overlap",     // source sigs × source sigs (≤ tens of rows)
     "q43_multimodal",         // per-kind aggs × 1-row frame stats
-    "q39_embed_topk")         // brute-force baseline: corpus × BROADCAST
+    "q39_embed_topk",         // brute-force baseline: corpus × BROADCAST
                               // queries — the exact-search definition; the
                               // scale paths are q40/q54 (LSH/IVF)
+    "q82_ranked_retrieval")   // posting rows × 1-row (N, Σdl) stats
 
   private lazy val optimized: Map[String, LogicalPlan] =
     graft.SparkEntry.queries.map { case (name, fn) =>
