@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Curation, Dedup, IvfIndex, RangeJoin}
+import graft.operators.{AsofJoin, Curation, Dedup, IvfIndex, RangeJoin, Retrieval}
 
 /** Scale-stress harness for the dedup/ANN families: measures how runtime
   * grows with corpus size, so the "candidate cost is Σ df²" / "probe
@@ -153,6 +153,22 @@ object BenchScale {
         val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
         Curation.contaminationScreen(
           Dedup.ngramPostings(d, "doc_id", "text"), col("id") % 97 === 0).count()
+      },
+      "countofcounts" -> { k =>
+        // word salting makes each copy's bigram space disjoint, so the
+        // distinct-bigram shuffle frame ALSO grows k× — the worst case
+        // for the wide exchange (a repetitive corpus would shrink it)
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        Retrieval.bigramCountOfCounts(d, "text").count()
+      },
+      "retrieval" -> { k =>
+        // probe terms survive un-salted only in copy 0: the posting set
+        // is fixed while the corpus grows k×, so this measures the
+        // dominant cost — the scan→explode→term-filter pass — with the
+        // scoring tail held constant
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        Retrieval.rankedRetrieval(d, "doc_id", "text",
+          Seq("spark", "join", "window"), topK = 20).count()
       },
       "asof_join" -> { k =>
         val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
