@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.streaming.EventStreams
 import graft.tables.Tables
 
@@ -159,6 +161,106 @@ object EventQueries {
         .select(unix_millis(col("window_start")).as("window_start_ms"),
           explode(col("sketch")).as(Seq("token", "est_cnt")))
         .orderBy("window_start_ms", "token")
+    },
+
+    // SLIDING window (width 10 min, slide 5 min): every event lands in
+    // exactly width/slide = 2 windows — Spark's window() emits both
+    // assignments in one pass (no self-union, no shuffle doubling
+    // beyond the inherent 2× row fan-out). The oracle re-derives the
+    // two assignments as a UNION ALL of shifted 5-min buckets. Same
+    // code streams with a watermark (q44's pattern, wider frame).
+    QueryDef.sql("q84_sliding_window",
+      """WITH ex AS (
+        |  SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS w,
+        |    event_type, value FROM events
+        |  UNION ALL
+        |  SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) - 300000 AS w,
+        |    event_type, value FROM events)
+        |SELECT w AS window_start_ms, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("win"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(unix_millis(col("win.start")).as("window_start_ms"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start_ms", "event_type")
+    },
+
+    // PIVOT: event_type × hour-of-day count matrix via the DataFrame
+    // pivot API with EXPLICIT values (0..23) — the two-pass
+    // collect-distinct-then-pivot variant is a driver round-trip this
+    // avoids; with explicit values the pivot is one ordinary partial-
+    // agg shuffle producing 24 counter columns. Oracle: FILTERed counts.
+    QueryDef.sql("q85_pivot_hours", {
+      val cols = (0 until 24)
+        .map(h => f"  count(*) FILTER (WHERE hr = $h) AS h$h%02d")
+        .mkString(",\n")
+      s"""SELECT event_type,
+         |$cols
+         |FROM (SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr
+         |      FROM events)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+      val pivoted = Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts")).as("hr"))
+        .groupBy("event_type")
+        .pivot("hr", 0 until 24)
+        .agg(count(lit(1)))
+      pivoted.select(col("event_type") +:
+          (0 until 24).map(h => coalesce(col(s"$h"), lit(0L)).as(f"h$h%02d")): _*)
+        .orderBy("event_type")
+    },
+
+    // Gap-fill / resample: each user's value series re-sampled onto an
+    // hourly grid with last-observation-carried-forward — composed
+    // ENTIRELY from existing operators: per-user bounds → sequence()
+    // grid explode (bounded by span/step per key, no global range), then
+    // the as-of join (one shuffle, no join operator) fetches the
+    // latest event at-or-before each grid point; the value lookup is a
+    // single equi-join on the pre-reduced event id. The oracle runs
+    // DuckDB's native generate_series + ASOF JOIN — a different
+    // algorithm that must agree row-for-row, double values passed
+    // through untouched.
+    QueryDef.sql("q86_gapfill_resample",
+      """WITH er AS (
+        |  SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |r AS (SELECT user_id, ts, value FROM er WHERE rn = 1),
+        |bounds AS (SELECT user_id,
+        |    time_bucket(INTERVAL '1 hour', min(ts)) + INTERVAL '1 hour' AS h0,
+        |    time_bucket(INTERVAL '1 hour', max(ts)) AS h1
+        |  FROM events GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hts
+        |  FROM bounds WHERE h0 <= h1)
+        |SELECT g.user_id, epoch_ms(g.hts) AS hour_ms, r.value AS last_value
+        |FROM grid g ASOF JOIN r
+        |  ON g.user_id = r.user_id AND g.hts >= r.ts
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val evr = ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val hourStep = expr("interval 1 hour")
+      val bounds = ev.groupBy("user_id")
+        .agg(min("ts").as("t0"), max("ts").as("t1"))
+        .select(col("user_id"),
+          (date_trunc("hour", col("t0")) + hourStep).as("h0"),
+          date_trunc("hour", col("t1")).as("h1"))
+        .filter(col("h0") <= col("h1"))
+      val grid = bounds
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"), hourStep)).as("hts"))
+        .select(col("user_id"), col("hts"), unix_millis(col("hts")).as("hour_ms"))
+      val matched = graft.operators.AsofJoin.asofMatch(
+        grid, evr, "user_id", "hts", "ts", "hour_ms", "event_id")
+      matched
+        .join(evr.select(col("event_id").as("right_id"), col("value")), "right_id")
+        .select(col("user_id"), col("left_id").as("hour_ms"),
+          col("value").as("last_value"))
+        .orderBy("user_id", "hour_ms")
     }
   )
 }
