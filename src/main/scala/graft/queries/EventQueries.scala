@@ -261,6 +261,113 @@ object EventQueries {
         .select(col("user_id"), col("left_id").as("hour_ms"),
           col("value").as("last_value"))
         .orderBy("user_id", "hour_ms")
+    },
+
+    // FUNNEL (sequential pattern with a conversion horizon): per user,
+    // earliest 'view', then earliest 'click' strictly after it WITHIN
+    // 6 HOURS, then earliest 'purchase' within 6 hours of that — three
+    // chained conditional-min windows over the SAME user_id
+    // partitioning, so Catalyst plans ONE exchange + one sort with
+    // three stacked Window nodes (no self-joins, no per-step passes
+    // over the events). Output is the funnel depth histogram plus
+    // integer-ms conversion bounds (no float discipline needed). The
+    // oracle mirrors the chained windows in DuckDB.
+    QueryDef.sql("q88_funnel",
+      """WITH p1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |p2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+        |      AND ts <= t1 + INTERVAL '6 hours' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM p1),
+        |p3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+        |      AND ts <= t2 + INTERVAL '6 hours' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM p2),
+        |u AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+        |  FROM p3 GROUP BY user_id),
+        |d AS (SELECT user_id,
+        |    CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth,
+        |    CASE WHEN t3 IS NOT NULL THEN epoch_ms(t3) - epoch_ms(t1) END AS conv_ms
+        |  FROM u)
+        |SELECT depth, count(*) AS n_users,
+        |  min(conv_ms) AS min_conv_ms, max(conv_ms) AS max_conv_ms
+        |FROM d GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      val steps = Tables.events(s, d).select("user_id", "ts", "event_type")
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("interval 6 hours"),
+            col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2") &&
+            col("ts") <= col("t2") + expr("interval 6 hours"),
+            col("ts"))).over(w))
+      steps.groupBy("user_id")
+        .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+        .select(
+          when(col("t3").isNotNull, lit(3)).when(col("t2").isNotNull, lit(2))
+            .when(col("t1").isNotNull, lit(1)).otherwise(lit(0)).as("depth"),
+          when(col("t3").isNotNull,
+            unix_millis(col("t3")) - unix_millis(col("t1"))).as("conv_ms"))
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n_users"),
+          min("conv_ms").as("min_conv_ms"), max("conv_ms").as("max_conv_ms"))
+        .orderBy("depth")
+    },
+
+    // Global running total — the distributed prefix-sum operator
+    // (PrefixSum.scala: per-day-chunk parallel windows + an O(#days)
+    // driver scan) vs DuckDB's single-threaded global window. DECIMAL
+    // accumulation both sides makes every prefix exact, so 100k doubles
+    // hash-match bit-for-bit regardless of partitioning.
+    QueryDef.sql("q89_prefix_sum",
+      """SELECT event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    OVER (ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      graft.operators.PrefixSum.runningTotal(
+          Tables.events(s, d).select("event_id", "ts", "value"),
+          orderCol = "ts", tieCol = "event_id", value = col("value"),
+          chunk = unix_millis(date_trunc("day", col("ts"))),
+          runningName = "running_value")
+        .select("event_id", "running_value")
+        .orderBy("event_id")
+    },
+
+    // Cohort retention: users grouped by first-seen week (cohort), and
+    // for each later week the count of cohort members still active —
+    // two shuffles on user_id (first-seen agg + activity join, both
+    // co-partitioned so AQE can reuse the exchange) and one exact
+    // distinct-count shuffle on (cohort, offset). Week buckets align
+    // cross-engine: Spark date_trunc('week') is Monday-based and
+    // DuckDB's 7-day time_bucket origin (2000-01-03) is a Monday.
+    QueryDef.sql("q91_cohort_retention",
+      """WITH wk AS (
+        |  SELECT user_id,
+        |    epoch_ms(time_bucket(INTERVAL '7 days', ts)) AS w
+        |  FROM events),
+        |c AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY user_id)
+        |SELECT c.cw AS cohort_week_ms, (wk.w - c.cw) // 604800000 AS week_offset,
+        |  count(DISTINCT wk.user_id) AS n_users
+        |FROM wk JOIN c ON wk.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val wk = Tables.events(s, d)
+        .select(col("user_id"),
+          unix_millis(date_trunc("week", col("ts"))).as("w"))
+      val cohort = wk.groupBy("user_id").agg(min("w").as("cw"))
+      wk.join(cohort, "user_id")
+        .select(col("cw").as("cohort_week_ms"),
+          expr("(w - cw) div 604800000").as("week_offset"), col("user_id"))
+        .groupBy("cohort_week_ms", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week_ms", "week_offset")
     }
   )
 }

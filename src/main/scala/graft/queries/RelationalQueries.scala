@@ -445,6 +445,53 @@ object RelationalQueries {
       withO.unionByName(withoutO)
         .select("c_mktsegment", "kind", "n")
         .orderBy("c_mktsegment", "kind")
+    },
+
+    // Bloom-pruned semi join (the runtime-filter pattern as an explicit
+    // operator, BloomJoin.scala): orders rows that can't match a
+    // BUILDING customer die at the scan-side bloom probe BEFORE the
+    // join exchange; the final semi join makes the result exact. The
+    // oracle states the plain IN-subquery — a hash match proves
+    // prefilter ∘ semi-join ≡ semi-join on real keys.
+    QueryDef.sql("q87_bloom_semi_join",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val dim = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      graft.operators.BloomJoin
+        .semiPruned(orders(s, d), "o_custkey", dim, "c_custkey",
+          expectedItems = 50000L, fpp = 0.01)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // GROUPING SETS (the general form of q58's ROLLUP): three explicit
+    // grouping levels in ONE expand+shuffle pass (Spark's Expand node
+    // fans each row into its grouping sets before the partial agg — no
+    // per-level re-scan of lineitem), with grouping() ids
+    // disambiguating real NULL keys from subtotal rows.
+    QueryDef.sql("q90_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }
   )
 }
