@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Curation, Dedup, IvfIndex, RangeJoin, Retrieval}
+import graft.operators.{AsofJoin, BloomJoin, Curation, Dedup, IvfIndex,
+  PrefixSum, RangeJoin, Retrieval}
 
 /** Scale-stress harness for the dedup/ANN families: measures how runtime
   * grows with corpus size, so the "candidate cost is Σ df²" / "probe
@@ -188,6 +189,46 @@ object BenchScale {
             unix_millis(col("ts")).as("ts_ms"))
         RangeJoin.pointInInterval(errors, sessions, "user_id", "ts_ms",
           "session_start_ms", "session_end_ms", chunkWidth = 3600000L).count()
+      },
+      "bloom_semi" -> { k =>
+        // fixed dim (copy-0 users only), k× fact: measures the
+        // scan-side prune + semi join as the fact side grows — the
+        // 100 TB shape (the bloom build cost is constant)
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val dim = e.filter(col("user_id") < 10000000L &&
+            col("user_id") % 10 === 0)
+          .select(col("user_id").as("dim_uid")).distinct()
+        BloomJoin.semiPruned(e, "user_id", dim, "dim_uid",
+          expectedItems = 20000L, fpp = 0.01).count()
+      },
+      "prefix_sum" -> { k =>
+        // rows grow k× inside a FIXED day span: chunk count constant,
+        // per-chunk window sort grows k·log k — the operator's worst
+        // axis (a longer timespan would instead add parallel chunks)
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+          .withColumn("value", (col("event_id") % 1000).cast("double") / 10.0)
+        PrefixSum.runningTotal(e, "ts", "event_id", col("value"),
+          unix_millis(date_trunc("day", col("ts"))), "run").count()
+      },
+      "funnel" -> { k =>
+        // users grow k× with identical per-user streams: the chained
+        // conditional-min windows are per-key work, so this is the
+        // embarrassingly-parallel axis
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        e.withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("ts") > col("t1") &&
+              col("ts") <= col("t1") + expr("interval 6 hours"),
+              col("ts"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t2") &&
+              col("ts") <= col("t2") + expr("interval 6 hours"),
+              col("ts"))).over(w))
+          .groupBy("user_id")
+          .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+          .count()
       },
     )
 

@@ -84,4 +84,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WholeStageCodegen") || p.contains("*("),
       s"no codegen span:\n${p.take(4000)}")
   }
+
+  test("q88 funnel: the three step windows share ONE user_id exchange") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q88_funnel")(spark, sf)
+    df.collect() // materialize so AQE finalizes its plan
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val all = nodes(df.queryExecution.executedPlan)
+    // three stacked Window nodes over the same user_id partitioning...
+    val userWindows = all.count {
+      case w: WindowExec => w.partitionSpec.exists(_.toString.contains("user_id"))
+      case _ => false
+    }
+    assert(userWindows == 3, s"expected 3 user_id windows, got $userWindows")
+    // ...fed by exactly one user_id hash exchange (the only other
+    // exchanges are the 5-row depth histogram agg + final sort)
+    val userExchanges = all.count {
+      case e: ShuffleExchangeExec => e.outputPartitioning match {
+        case h: HashPartitioning => h.expressions.exists(_.toString.contains("user_id"))
+        case _ => false
+      }
+      case _ => false
+    }
+    assert(userExchanges == 1,
+      s"funnel re-shuffled on user_id $userExchanges times")
+  }
+
+  test("q87 bloom semi join: the might_contain probe filters BELOW the join") {
+    val p = planOf("q87_bloom_semi_join")
+    val probeAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("LeftSemi")
+    assert(probeAt >= 0, "bloom probe missing from the physical plan")
+    assert(joinAt >= 0, "semi join missing from the physical plan")
+    // plan strings print parents before children: the probe appearing
+    // after the join node means it sits on the join's INPUT side (fact
+    // rows die before the join), not above its output
+    assert(probeAt > joinAt,
+      s"bloom probe is not below the semi join (probe@$probeAt, join@$joinAt)")
+  }
 }
