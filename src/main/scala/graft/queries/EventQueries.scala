@@ -368,6 +368,25 @@ object EventQueries {
         .groupBy("cohort_week_ms", "week_offset")
         .agg(countDistinct("user_id").as("n_users"))
         .orderBy("cohort_week_ms", "week_offset")
+    },
+
+    // Interval join (batch twin of the STREAMING stream-stream join,
+    // JoinStreams.clickViewJoin): every click matched to the same
+    // user's views in the preceding 12 hours. Batch plans it as a
+    // user_id equi-join with the time range as a residual;
+    // JoinStreamsSpec proves the identical code joins two watermarked
+    // STREAMS with bounded state and matches across micro-batches.
+    QueryDef.sql("q92_interval_join",
+      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        |  epoch_ms(c.ts) AS click_ts_ms, epoch_ms(v.ts) AS view_ts_ms
+        |FROM events c JOIN events v
+        |  ON v.user_id = c.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL '12 hours'
+        |ORDER BY click_id, view_id""".stripMargin) { (s, d) =>
+      graft.streaming.JoinStreams
+        .clickViewJoin(Tables.events(s, d), lookbackMinutes = 720)
+        .orderBy("click_id", "view_id")
     }
   )
 }
