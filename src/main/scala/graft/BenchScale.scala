@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, BloomJoin, Curation, Dedup, IvfIndex,
-  PrefixSum, RangeJoin, Retrieval}
+import graft.operators.{AsofJoin, BloomJoin, Curation, Dedup, Funnel,
+  IvfIndex, PrefixSum, RangeJoin, Retrieval}
 
 /** Scale-stress harness for the dedup/ANN families: measures how runtime
   * grows with corpus size, so the "candidate cost is Σ df²" / "probe
@@ -213,22 +213,11 @@ object BenchScale {
       "funnel" -> { k =>
         // users grow k× with identical per-user streams: the chained
         // conditional-min windows are per-key work, so this is the
-        // embarrassingly-parallel axis
+        // embarrassingly-parallel axis — same operator the q88 oracle
+        // gates
         val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
-        e.withColumn("t1",
-            min(when(col("event_type") === "view", col("ts"))).over(w))
-          .withColumn("t2",
-            min(when(col("event_type") === "click" && col("ts") > col("t1") &&
-              col("ts") <= col("t1") + expr("interval 6 hours"),
-              col("ts"))).over(w))
-          .withColumn("t3",
-            min(when(col("event_type") === "purchase" && col("ts") > col("t2") &&
-              col("ts") <= col("t2") + expr("interval 6 hours"),
-              col("ts"))).over(w))
-          .groupBy("user_id")
-          .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
-          .count()
+        Funnel.perKey(e, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), horizonHours = 6).count()
       },
     )
 

@@ -90,7 +90,9 @@ object BloomJoin {
                  expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val bytes = buildFilter(dim, dimKey, expectedItems, fpp)
     val pruned = fact.filter(mightContain(bytes, col(factKey).cast("long")))
-    pruned.join(dim.select(col(dimKey)),
-      pruned(factKey) === col(dimKey), "left_semi")
+    // alias the dim key so factKey == dimKey (the usual shape for a
+    // shared-name dimension join) doesn't make the condition ambiguous
+    val d = dim.select(col(dimKey).as("_bloom_dk"))
+    pruned.join(d, pruned(factKey) === d("_bloom_dk"), "left_semi")
   }
 }

@@ -36,11 +36,14 @@ object PrefixSum {
   /** Adds `runningName` = exact running total of `value` (a money-like
     * double) over the total order (orderCol, tieCol), chunked by
     * `chunk(orderCol)`. The chunk expression must be monotone in the
-    * order columns (all rows of chunk c precede all rows of chunk c+1). */
+    * order columns (all rows of chunk c precede all rows of chunk c+1),
+    * long-castable, and NON-NULL on every row (a null chunk has no
+    * position in the chunk order — rows with a null orderCol must be
+    * filtered or defaulted by the caller first). */
   def runningTotal(df: DataFrame, orderCol: String, tieCol: String,
                    value: Column, chunk: Column,
                    runningName: String): DataFrame = {
-    val d = df.withColumn("_psum_chunk", chunk)
+    val d = df.withColumn("_psum_chunk", chunk.cast("long"))
       .withColumn("_psum_v", value.cast("decimal(18,2)"))
 
     // level 1: parallel within-chunk running sums
@@ -54,8 +57,13 @@ object PrefixSum {
     // (driver-scale by contract, like the IVF centroid sidecar)
     val totals = d.groupBy("_psum_chunk").agg(sum("_psum_v").as("_psum_tot"))
       .collect()
-      .map(r => (r.getLong(0),
-        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO)))
+      .map { r =>
+        require(!r.isNullAt(0),
+          "PrefixSum: chunk expression produced NULL — filter or default " +
+            "null-order rows before calling runningTotal")
+        (r.getLong(0),
+          Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+      }
       .sortBy(_._1)
     var acc = java.math.BigDecimal.ZERO
     val offsets = totals.map { case (c, tot) =>

@@ -80,10 +80,15 @@ object EventQueries {
     // formulations must agree row-for-row. Right side pre-reduced to one
     // row per (user, ts) on both sides (determinism under ts ties).
     QueryDef.sql("q78_asof_join",
-      """WITH r AS (
-        |  SELECT user_id, ts, max(event_id) AS rid FROM events
+      """WITH e AS (
+        |  -- truncate TIMESTAMP_NS to Spark's microseconds: the equal-ts
+        |  -- pre-reduce and the >= match must see the engine's instants
+        |  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id,
+        |    event_type FROM events),
+        |r AS (
+        |  SELECT user_id, ts, max(event_id) AS rid FROM e
         |  WHERE event_type = 'view' GROUP BY user_id, ts),
-        |l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+        |l AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'click')
         |SELECT l.user_id, l.event_id AS left_id, epoch_ms(l.ts) AS ts_ms,
         |  r.rid AS right_id
         |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
@@ -226,8 +231,11 @@ object EventQueries {
     // through untouched.
     QueryDef.sql("q86_gapfill_resample",
       """WITH er AS (
-        |  SELECT user_id, ts, value,
-        |    row_number() OVER (PARTITION BY user_id, ts
+        |  -- truncate TIMESTAMP_NS to Spark's microseconds BEFORE the
+        |  -- per-(user, ts) dedup and the ASOF comparison: both must see
+        |  -- the same instants as the engine
+        |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, value,
+        |    row_number() OVER (PARTITION BY user_id, make_timestamp(epoch_us(ts))
         |                       ORDER BY event_id DESC) AS rn
         |  FROM events),
         |r AS (SELECT user_id, ts, value FROM er WHERE rn = 1),
@@ -265,17 +273,19 @@ object EventQueries {
 
     // FUNNEL (sequential pattern with a conversion horizon): per user,
     // earliest 'view', then earliest 'click' strictly after it WITHIN
-    // 6 HOURS, then earliest 'purchase' within 6 hours of that — three
-    // chained conditional-min windows over the SAME user_id
-    // partitioning, so Catalyst plans ONE exchange + one sort with
-    // three stacked Window nodes (no self-joins, no per-step passes
-    // over the events). Output is the funnel depth histogram plus
-    // integer-ms conversion bounds (no float discipline needed). The
-    // oracle mirrors the chained windows in DuckDB.
+    // 6 HOURS, then earliest 'purchase' within 6 hours of that — the
+    // Funnel operator's chained conditional-min windows (one user_id
+    // exchange, three stacked Window nodes; PlanAuditSpec asserts the
+    // shape). Output is the funnel depth histogram plus integer-ms
+    // conversion bounds (no float discipline needed). The oracle
+    // mirrors the chained windows in DuckDB; raw TIMESTAMP_NS is
+    // truncated to Spark's microseconds FIRST (make_timestamp ∘
+    // epoch_us) so the strict > / horizon ≤ comparisons see identical
+    // instants in both engines.
     QueryDef.sql("q88_funnel",
       """WITH p1 AS (
-        |  SELECT user_id, ts, event_type,
-        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN make_timestamp(epoch_us(ts)) END)
         |      OVER (PARTITION BY user_id) AS t1
         |  FROM events),
         |p2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
@@ -294,21 +304,10 @@ object EventQueries {
         |SELECT depth, count(*) AS n_users,
         |  min(conv_ms) AS min_conv_ms, max(conv_ms) AS max_conv_ms
         |FROM d GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id")
-      val steps = Tables.events(s, d).select("user_id", "ts", "event_type")
-        .withColumn("t1",
-          min(when(col("event_type") === "view", col("ts"))).over(w))
-        .withColumn("t2",
-          min(when(col("event_type") === "click" && col("ts") > col("t1") &&
-            col("ts") <= col("t1") + expr("interval 6 hours"),
-            col("ts"))).over(w))
-        .withColumn("t3",
-          min(when(col("event_type") === "purchase" && col("ts") > col("t2") &&
-            col("ts") <= col("t2") + expr("interval 6 hours"),
-            col("ts"))).over(w))
-      steps.groupBy("user_id")
-        .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+      graft.operators.Funnel.perKey(
+          Tables.events(s, d).select("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), horizonHours = 6)
         .select(
           when(col("t3").isNotNull, lit(3)).when(col("t2").isNotNull, lit(2))
             .when(col("t1").isNotNull, lit(1)).otherwise(lit(0)).as("depth"),
@@ -324,11 +323,15 @@ object EventQueries {
     // (PrefixSum.scala: per-day-chunk parallel windows + an O(#days)
     // driver scan) vs DuckDB's single-threaded global window. DECIMAL
     // accumulation both sides makes every prefix exact, so 100k doubles
-    // hash-match bit-for-bit regardless of partitioning.
+    // hash-match bit-for-bit regardless of partitioning. The window
+    // ORDER BY truncates the raw TIMESTAMP_NS to Spark's microseconds:
+    // the (ts, event_id) total order must be the SAME order in both
+    // engines, and sub-microsecond digits Spark never sees could
+    // otherwise swap two same-microsecond rows.
     QueryDef.sql("q89_prefix_sum",
       """SELECT event_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,2)))
-        |    OVER (ORDER BY ts, event_id
+        |    OVER (ORDER BY make_timestamp(epoch_us(ts)), event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS running_value
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
@@ -377,9 +380,14 @@ object EventQueries {
     // JoinStreamsSpec proves the identical code joins two watermarked
     // STREAMS with bounded state and matches across micro-batches.
     QueryDef.sql("q92_interval_join",
-      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+      """WITH e AS (
+        |  -- microsecond truncation first: the <= / >= interval bounds
+        |  -- must compare the instants Spark sees, not raw nanoseconds
+        |  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id,
+        |    event_type FROM events)
+        |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
         |  epoch_ms(c.ts) AS click_ts_ms, epoch_ms(v.ts) AS view_ts_ms
-        |FROM events c JOIN events v
+        |FROM e c JOIN e v
         |  ON v.user_id = c.user_id
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL '12 hours'

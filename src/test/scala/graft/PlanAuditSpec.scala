@@ -22,17 +22,23 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** Executed plan string with AQE wrappers expanded (final plan). */
-  private def planOf(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, sf)
+  /** Flattened node list of the final (AQE-expanded) executed plan. */
+  private def nodesOf(df: org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
     df.collect() // materialize so AQE finalizes its plan
-    def expand(p: SparkPlan): String = p match {
-      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
-      case q: QueryStageExec => expand(q.plan)
-      case other => other.toString + other.children.map(expand).mkString
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
     }
-    expand(df.queryExecution.executedPlan)
+    walk(df.queryExecution.executedPlan)
   }
+
+  /** Executed plan string with AQE wrappers expanded (final plan).
+    * NOTE: node toStrings include their subtrees, so this string
+    * over-represents deep nodes — fine for `contains` checks, never
+    * count occurrences in it (use [[nodesOf]] for counting). */
+  private def planOf(name: String): String =
+    nodesOf(SparkEntry.queries(name)(spark, sf)).map(_.toString).mkString
 
   test("q07 5-way chain: dimension joins broadcast, no cartesian product") {
     val p = planOf("q07_join_chain5")
@@ -89,14 +95,7 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec
-    val df = SparkEntry.queries("q88_funnel")(spark, sf)
-    df.collect() // materialize so AQE finalizes its plan
-    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => nodes(q.plan)
-      case other => other +: other.children.flatMap(nodes)
-    }
-    val all = nodes(df.queryExecution.executedPlan)
+    val all = nodesOf(SparkEntry.queries("q88_funnel")(spark, sf))
     // three stacked Window nodes over the same user_id partitioning...
     val userWindows = all.count {
       case w: WindowExec => w.partitionSpec.exists(_.toString.contains("user_id"))
