@@ -395,6 +395,27 @@ object EventQueries {
       graft.streaming.JoinStreams
         .clickViewJoin(Tables.events(s, d), lookbackMinutes = 720)
         .orderBy("click_id", "view_id")
+    },
+
+    // Z-ORDER layout (operators/ZOrder): events re-clustered on the
+    // Morton interleave of (user_id, value), box query = covering-cell
+    // PARTITION pruning + exact residual. The oracle runs the same box
+    // over the RAW table — a hash match proves the layout changes only
+    // scan cost, never results; ZOrderSpec asserts the numFiles
+    // pruning and randomized-box equivalence.
+    QueryDef.sql("q93_zorder_box",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id >= 2 AND user_id <= 8
+        |  AND value >= 100.0 AND value <= 300.0
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val path = graft.operators.ZOrder.store(
+        Tables.events(s, d).select("event_id", "user_id", "value"),
+        "user_id", "value", gridBits = 3,
+        s"${graft.Aux.dir(d)}/q93_zstore")
+      graft.operators.ZOrder.boxQuery(s, path, gridBits = 3,
+          "user_id", 2, 8, "value", 100.0, 300.0)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
     }
   )
 }
