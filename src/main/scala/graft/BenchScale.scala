@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsofJoin, BloomJoin, Curation, Dedup, Funnel,
-  IvfIndex, PrefixSum, RangeJoin, Retrieval}
+  IvfIndex, PrefixSum, RangeJoin, Retrieval, ZOrder}
 
 /** Scale-stress harness for the dedup/ANN families: measures how runtime
   * grows with corpus size, so the "candidate cost is Σ df²" / "probe
@@ -218,6 +218,20 @@ object BenchScale {
         val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
         Funnel.perKey(e, "user_id", "ts", "event_type",
           Seq("view", "click", "purchase"), horizonHours = 6).count()
+      },
+      "zorder_box" -> { k =>
+        // store built once per k (write-once cache, like ivf_search's
+        // pinned assignment); the timed portion converges to the box
+        // query — cover enumeration is bounded by the QUERY box, and
+        // the pruned scan reads only intersecting cells, so k× rows
+        // grow only the per-cell file sizes
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+          .withColumn("value", (col("event_id") % 1000).cast("double") / 10.0)
+          .select("event_id", "user_id", "value")
+        val path = ZOrder.store(e, "user_id", "value", 3,
+          s"$scratch/k$k/zstore")
+        ZOrder.boxQuery(spark, path, 3,
+          "user_id", 2, 8, "value", 10.0, 30.0).count()
       },
     )
 
