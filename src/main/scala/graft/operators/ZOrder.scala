@@ -122,9 +122,15 @@ object ZOrder {
       cx <- cellIdx(xLo, bxLo, bxHi) to cellIdx(xHi, bxLo, bxHi)
       cy <- cellIdx(yLo, byLo, byHi) to cellIdx(yHi, byLo, byHi)
     } yield mortonId(cx, cy, gridBits)
-    spark.read.parquet(path)
-      .filter(col("zb").isin(cover: _*))
-      .filter(col(xCol) >= xLo && col(xCol) <= xHi &&
-        col(yCol) >= yLo && col(yCol) <= yHi)
+    val base = spark.read.parquet(path)
+    // a near-full-table box prunes nothing — skip the IN list rather
+    // than ship half the grid as a predicate (at gridBits=10 a full
+    // box would be a 1M-element isin; a production z-index would use
+    // litmax/bigmin z-range intervals instead of cell enumeration)
+    val pruned =
+      if (cover.size * 2 > cells.toLong * cells) base
+      else base.filter(col("zb").isin(cover: _*))
+    pruned.filter(col(xCol) >= xLo && col(xCol) <= xHi &&
+      col(yCol) >= yLo && col(yCol) <= yHi)
   }
 }
