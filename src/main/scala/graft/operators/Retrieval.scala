@@ -67,6 +67,44 @@ object Retrieval {
     counts.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r")).orderBy("r")
   }
 
+  /** Positional phrase search over an on-the-fly positional inverted
+    * index: documents containing the EXACT word sequence `phrase`, with
+    * per-document occurrence counts (overlapping occurrences counted —
+    * position arithmetic, unlike substring-replace tricks, cannot
+    * undercount them).
+    *
+    * Plan: posexplode gives (doc, pos, term); postings are filtered to
+    * the phrase's terms BEFORE any shuffle (the inverted-index fetch —
+    * for a k-word phrase over a V-word vocabulary only ~k/V of the
+    * token stream survives the scan), then each later word joins the
+    * anchor on the equi-pair (doc, pos+i) — co-partitioned hash joins
+    * with no residual, candidate cost Σ posting(w_i), never positions².
+    * Positions use raw `split(text, " ")` indices (NOT cleanTokens,
+    * which drops empty tokens and would shift positions vs the oracle's
+    * string_split).
+    *
+    * The q94 oracle re-derives the same counts in DuckDB from
+    * string_split + generate_series indexing — independent tokenizer
+    * and join machinery that must agree doc-for-doc, count-for-count. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty && phrase.size <= 8, "phrase: 1..8 words")
+    val toks = docs.select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+    val anchor = toks.filter(col("term") === phrase.head)
+      .select(col("doc"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(anchor) {
+      case (acc, (w, i)) =>
+        val pi = toks.filter(col("term") === w)
+          .select(col("doc").as("d2"), col("pos").as("p2"))
+        acc.join(pi, acc("doc") === pi("d2") && pi("p2") === acc("pos") + i)
+          .select(acc("doc"), acc("pos"))
+    }
+    matched.groupBy("doc").agg(count(lit(1)).as("n_hits"))
+      .select(col("doc").as(idCol), col("n_hits"))
+  }
+
   /** Top-k documents for a bag-of-terms probe query, scored by the
     * BM25-saturated tf with rational idf (scaladoc above). Output:
     * (idCol, score) ordered by score DESC, id — ties on identical

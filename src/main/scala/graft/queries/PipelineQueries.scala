@@ -849,6 +849,28 @@ object PipelineQueries {
       graft.operators.Retrieval.rankedRetrieval(
         Tables.documents(s, d), "doc_id", "text",
         Seq("spark", "join", "window"), topK = 20)
+    },
+
+    // Positional phrase search (Retrieval.phraseSearch): docs containing
+    // the exact sequence "table hash", with occurrence counts. The
+    // engine runs the inverted-index plan (term-filtered postings +
+    // (doc, pos+i) equi-joins); the oracle re-derives positions from
+    // string_split + generate_series — independent tokenizer + join
+    // machinery, same counts. Spark posexplode is 0-based and the
+    // oracle 1-based, but only RELATIVE adjacency enters the result.
+    QueryDef.sql("q94_phrase_search",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |toks AS (
+        |  SELECT doc_id, arr[pos] AS term, pos
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS pos))
+        |SELECT t1.doc_id, count(*) AS n_hits
+        |FROM toks t1
+        |JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        |WHERE t1.term = 'table' AND t2.term = 'hash'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.operators.Retrieval.phraseSearch(
+          Tables.documents(s, d), "doc_id", "text", Seq("table", "hash"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -72,4 +72,40 @@ class RetrievalSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
     assert(run(1) == run(7)) // bit-identical, not approximately equal
   }
+
+  test("phraseSearch: hand-checked counts, incl. OVERLAPPING occurrences") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),     // "a b a" at pos 0 AND pos 2 (overlap) → 2
+      (2L, "x a b a y"),     // one occurrence → 1
+      (3L, "a b b a"),       // broken sequence → no match
+      (4L, "b a a b a")      // "a b a" at pos 2 → 1
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a", "b", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 4L -> 1L))
+    // absent phrase → empty result, not an error
+    assert(Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq("a", "z")).count() == 0L)
+  }
+
+  test("phraseSearch: matches are position-exact vs a regex reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vocab = Seq("tab", "table", "hash", "hashed", "x")
+    val docs = (0L until 120L).map { i =>
+      (i, Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("table", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // reference: count token-exact adjacency by hand on the driver —
+    // substring tricks would also hit "table hashed" / "tab table hash"
+    val expected = docs.collect().map { r =>
+      val toks = r.getString(1).split(" ")
+      r.getLong(0) -> toks.sliding(2).count(p =>
+        p.length == 2 && p(0) == "table" && p(1) == "hash").toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == expected)
+    assert(expected.nonEmpty) // the comparison is not vacuous
+  }
 }
