@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Term co-occurrence / frequent-pair mining (the 2-itemset core of
+  * market-basket analysis, reference: none — net-new pipeline operator):
+  * which pairs of vocabulary terms appear together in at least
+  * `minSupport` documents.
+  *
+  * Scale design — the all-pairs blow-up is bounded BEFORE the join:
+  *  1. item domain is capped to the top-`vocabSize` terms by document
+  *    frequency (ties broken by term), computed with one word-count
+  *    aggregation (map-side partial combine absorbs the token
+  *    explosion);
+  *  2. postings are distinct (doc, term) pairs semi-joined against the
+  *    broadcast vocabulary — per doc at most `vocabSize` items survive;
+  *  3. the pair generator is a self equi-join on doc with the
+  *    `a < b` residual, so candidate cost is Σ_d n_d² with
+  *    n_d ≤ vocabSize — never corpus², and the doc-keyed shuffle
+  *    co-partitions both sides.
+  * Support counts are exact integers (no sketch, no float), so the
+  * result is bit-identical cross-engine and oracle-gated (q96).
+  */
+object Cooccur {
+
+  /** Distinct (doc, term) postings for terms in the top-`vocabSize`
+    * document-frequency vocabulary. */
+  private def vocabPostings(docs: DataFrame, idCol: String, textCol: String,
+                            vocabSize: Int): DataFrame = {
+    val postings = docs
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val vocab = postings.groupBy("term")
+      .agg(count(lit(1)).as("df_docs"))
+      .orderBy(col("df_docs").desc, col("term"))
+      .limit(vocabSize)
+      .select("term")
+    postings.join(broadcast(vocab), "term").select("doc", "term")
+  }
+
+  /** Pairs (a < b) of vocabulary terms co-occurring in ≥ `minSupport`
+    * docs. Output: (a, b, support), ordered by support desc, a, b. */
+  def frequentPairs(docs: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int, minSupport: Long): DataFrame = {
+    val p = vocabPostings(docs, idCol, textCol, vocabSize)
+    val l = p.select(col("doc"), col("term").as("a"))
+    val r = p.select(col("doc").as("d2"), col("term").as("b"))
+    l.join(r, l("doc") === r("d2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("a"), col("b"))
+  }
+}

@@ -871,6 +871,67 @@ object PipelineQueries {
       graft.operators.Retrieval.phraseSearch(
           Tables.documents(s, d), "doc_id", "text", Seq("table", "hash"))
         .orderBy("doc_id")
+    },
+
+    // Snapshot diff / CDC (ChangeCapture.snapshotDiff): two synthetic
+    // orders snapshots — old drops keys ≡3 (mod 10), new drops ≡7 and
+    // rewrites o_orderpriority to RUSH on keys ≡0 (mod 5) — diffed on
+    // the key into I/U/D rows. One full-outer join; all compared
+    // columns integer/string so no float discipline needed. The oracle
+    // rebuilds both snapshots and classifies with IS NOT DISTINCT FROM.
+    QueryDef.sql("q95_snapshot_diff",
+      """WITH old AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |new AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'RUSH' ELSE o_orderpriority END
+        |      AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 <> 7),
+        |diff AS (
+        |  SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |         WHEN n.o_orderkey IS NULL THEN 'D'
+        |         WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+        |               AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |               AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+        |         THEN 'U' END AS change
+        |  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, change FROM diff WHERE change IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val oldSnap = orders.filter(col("o_orderkey") % 10 =!= 3)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val newSnap = orders.filter(col("o_orderkey") % 10 =!= 7)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 5 === 0, lit("RUSH"))
+            .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+      graft.operators.ChangeCapture.snapshotDiff(oldSnap, newSnap,
+          Seq("o_orderkey"),
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+
+    // Frequent term pairs (Cooccur.frequentPairs): co-occurrence counts
+    // over the top-20-df vocabulary (the cap binds: the corpus has 31
+    // distinct terms), support ≥ 325 docs (binding: pair supports span 304–336 here). The oracle re-derives
+    // postings/vocab/pairs from string_split + unnest + self-join.
+    QueryDef.sql("q96_frequent_pairs",
+      """WITH postings AS (
+        |  SELECT DISTINCT doc_id AS doc, t.term
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  WHERE t.term <> ''),
+        |vocab AS (
+        |  SELECT term FROM postings GROUP BY term
+        |  ORDER BY count(*) DESC, term LIMIT 20),
+        |vp AS (SELECT doc, term FROM postings JOIN vocab USING (term))
+        |SELECT l.term AS a, r.term AS b, count(*) AS support
+        |FROM vp l JOIN vp r ON l.doc = r.doc AND l.term < r.term
+        |GROUP BY 1, 2 HAVING count(*) >= 325
+        |ORDER BY support DESC, a, b""".stripMargin) { (s, d) =>
+      graft.operators.Cooccur.frequentPairs(
+        Tables.documents(s, d), "doc_id", "text",
+        vocabSize = 20, minSupport = 325L)
     }
   )
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class CooccurSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("frequentPairs: hand-checked supports; repeats within a doc count once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a b a b"),   // repeated pair still support 1 from this doc
+      (3L, "a c"),
+      (4L, "b c a"),     // order inside the doc is irrelevant
+      (5L, "a")
+    ).toDF("doc_id", "text")
+    val got = Cooccur.frequentPairs(docs, "doc_id", "text", 10, 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(("a", "b") -> 3L, ("a", "c") -> 3L, ("b", "c") -> 2L))
+    // support threshold filters
+    val top = Cooccur.frequentPairs(docs, "doc_id", "text", 10, 3L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(top == Set(("a", "b"), ("a", "c")))
+  }
+
+  test("frequentPairs: vocabulary cap excludes low-df terms from pairs") {
+    import spark.implicits._
+    // df: a=3, b=3, z=1 → vocabSize=2 keeps {a,b}; z never pairs
+    val docs = Seq((1L, "a b z"), (2L, "a b"), (3L, "b a")).toDF("doc_id", "text")
+    val pairs = Cooccur.frequentPairs(docs, "doc_id", "text", 2, 1L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("a", "b")))
+  }
+
+  test("frequentPairs: matches a brute-force driver-side reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("s", "t", "u", "v", "w", "x", "y", "z")
+    val raw = (0L until 80L).map { i =>
+      (i, Seq.fill(6)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = Cooccur.frequentPairs(raw.toDF("doc_id", "text"), "doc_id", "text", 8, 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val expected = raw
+      .flatMap { case (_, t) =>
+        val items = t.split(" ").distinct.sorted
+        for (i <- items.indices; j <- (i + 1) until items.length)
+          yield (items(i), items(j))
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 2L)
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
+}
