@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Single-pass column profiling — the data-quality summary a pipeline
+  * runs over every ingested table: per column its null count, distinct
+  * count and min/max (rendered as strings so heterogeneous columns fit
+  * one tall schema).
+  *
+  * All metrics for all columns are computed in ONE aggregation over ONE
+  * scan — never a per-column pass. The exact-distinct form compiles to
+  * Spark's Expand-based multi-distinct plan (input replicated once per
+  * distinct aggregate, then a single shuffle); that is the right
+  * tradeoff up to a handful of columns, while wide-table profiling at
+  * 100 TB flips `exact=false` to approx_count_distinct (HLL — one
+  * sketch per column, no Expand, error ~2%) and keeps everything else
+  * identical. The tall (col_name, metric…) shape comes from exploding
+  * an array of per-column structs built from the single agg row — pure
+  * projection, no extra pass.
+  *
+  * Determinism: counts are integers; min/max are exact values cast to
+  * string (BIGINT/VARCHAR casts are engine-independent; profiling
+  * float columns through this cast is NOT cross-engine-stable and the
+  * q99 oracle only covers int/string columns).
+  */
+object Profile {
+
+  /** Tall profile of `cols`: (col_name, n_nulls, n_distinct, vmin,
+    * vmax), one row per column, ordered by col_name. */
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile: at least one column")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        (if (exact) count_distinct(col(c))
+         else approx_count_distinct(col(c))).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("vmin"),
+        col(s"${c}__max").as("vmax"))
+    }: _*)
+    one.select(explode(rows).as("p")).select("p.*").orderBy("col_name")
+  }
+}

@@ -932,6 +932,116 @@ object PipelineQueries {
       graft.operators.Cooccur.frequentPairs(
         Tables.documents(s, d), "doc_id", "text",
         vocabSize = 20, minSupport = 325L)
+    },
+
+    // Integer-exact PageRank (PageRank.ranks), 3 rounds over the
+    // undirected customer↔supplier trade graph (distinct pairs from
+    // orders⋈lineitem, node ids namespaced even/odd). All-BIGINT floor
+    // arithmetic makes iterative PageRank oracle-gatable — the oracle
+    // unrolls the same three rounds as CTEs (DuckDB `//` ≡ Spark `div`
+    // on positives; sums promoted to HUGEINT then cast back).
+    QueryDef.sql("q97_pagerank",
+      """WITH pair AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT c*2 AS src, s*2+1 AS dst FROM pair
+        |  UNION ALL
+        |  SELECT s*2+1 AS src, c*2 AS dst FROM pair),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+        |m1 AS (SELECT e.dst AS node, sum(r.pr // o.deg) AS mass
+        |       FROM edges e JOIN r0 r ON r.node = e.src
+        |       JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |         CAST(150000000 + (85 * coalesce(m.mass, 0)) // 100 AS BIGINT) AS pr
+        |       FROM nodes n LEFT JOIN m1 m ON m.node = n.node),
+        |m2 AS (SELECT e.dst AS node, sum(r.pr // o.deg) AS mass
+        |       FROM edges e JOIN r1 r ON r.node = e.src
+        |       JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |         CAST(150000000 + (85 * coalesce(m.mass, 0)) // 100 AS BIGINT) AS pr
+        |       FROM nodes n LEFT JOIN m2 m ON m.node = n.node),
+        |m3 AS (SELECT e.dst AS node, sum(r.pr // o.deg) AS mass
+        |       FROM edges e JOIN r2 r ON r.node = e.src
+        |       JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |         CAST(150000000 + (85 * coalesce(m.mass, 0)) // 100 AS BIGINT) AS pr
+        |       FROM nodes n LEFT JOIN m3 m ON m.node = n.node)
+        |SELECT node, pr FROM r3 ORDER BY pr DESC, node""".stripMargin) { (s, d) =>
+      val pair = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+      val edges = pair.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+        .unionByName(pair.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      graft.operators.PageRank.ranks(edges, iters = 3)
+        .select(col("node"), col("rank").as("pr"))
+        .orderBy(col("pr").desc, col("node"))
+    },
+
+    // Length-band-blocked fuzzy join (Fuzzy.fuzzyJoin): probe names are
+    // suppliers (key ≡0 mod 7) with their 3rd character dropped, matched
+    // back against all suppliers at levenshtein ≤ 2. The engine runs the
+    // blocked equi-join; the oracle runs the UNBLOCKED cross join —
+    // agreement proves the blocking lossless (and that the two engines'
+    // levenshtein agree).
+    QueryDef.sql("q98_fuzzy_join",
+      """WITH probes AS (
+        |  SELECT s_suppkey AS p_id,
+        |    concat(substr(s_name, 1, 2), substr(s_name, 4)) AS p_name
+        |  FROM supplier WHERE s_suppkey % 7 = 0)
+        |SELECT p_id, s_suppkey, levenshtein(p_name, s_name) AS dist
+        |FROM probes, supplier
+        |WHERE levenshtein(p_name, s_name) <= 2
+        |ORDER BY p_id, s_suppkey""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d)
+      val probes = sup.filter(col("s_suppkey") % 7 === 0)
+        .select(col("s_suppkey").as("p_id"),
+          expr("concat(substr(s_name, 1, 2), substr(s_name, 4))").as("p_name"))
+      graft.operators.Fuzzy.fuzzyJoin(
+          probes, sup.select("s_suppkey", "s_name"), "p_name", "s_name", maxDist = 2)
+        .select(col("p_id"), col("s_suppkey"), col("dist"))
+        .orderBy("p_id", "s_suppkey")
+    },
+
+    // One-pass column profiling (Profile.profile) over orders with
+    // nulls planted in o_orderpriority (keys ≡0 mod 11) — per column:
+    // null count, exact distinct count, min/max as strings. The oracle
+    // is a per-column UNION ALL of independent aggregates; the engine
+    // computes all of it in one Expand-based aggregation over one scan.
+    QueryDef.sql("q99_profile",
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END
+        |      AS o_orderpriority,
+        |    o_orderstatus
+        |  FROM orders)
+        |SELECT 'o_custkey' AS col_name,
+        |  count(*) FILTER (o_custkey IS NULL) AS n_nulls,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(min(o_custkey) AS VARCHAR) AS vmin,
+        |  CAST(max(o_custkey) AS VARCHAR) AS vmax FROM t
+        |UNION ALL
+        |SELECT 'o_orderkey',
+        |  count(*) FILTER (o_orderkey IS NULL), count(DISTINCT o_orderkey),
+        |  CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'o_orderpriority',
+        |  count(*) FILTER (o_orderpriority IS NULL), count(DISTINCT o_orderpriority),
+        |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'o_orderstatus',
+        |  count(*) FILTER (o_orderstatus IS NULL), count(DISTINCT o_orderstatus),
+        |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM t
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"),
+        col("o_orderstatus"))
+      graft.operators.Profile.profile(t,
+        Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))
     }
   )
 }
