@@ -61,7 +61,12 @@ object Bench {
     // repairs. Interleaving puts ~minutes between a query's samples, so
     // one stall window touches at most one sample of each affected
     // query and the median discards it.
+    // Dev-only subset filter (comma-separated name prefixes), e.g.
+    // SPARK_GRAFT_BENCH_ONLY=q97,q08 — the driver never sets it, so
+    // gate runs always time the full set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.split(",").exists(n.startsWith)) }
     val samples: Seq[Seq[Double]] = (1 to runs).map { _ =>
       named.map { case (_, fn) =>
         val t0 = System.nanoTime()
