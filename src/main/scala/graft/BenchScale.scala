@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, BloomJoin, Curation, Dedup, Funnel,
-  IvfIndex, PrefixSum, RangeJoin, Retrieval, ZOrder}
+import graft.operators.{AsofJoin, BloomJoin, ChangeCapture, Cooccur, Curation,
+  Dedup, Funnel, Fuzzy, IvfIndex, PageRank, PrefixSum, RangeJoin, Retrieval,
+  ZOrder}
 
 /** Scale-stress harness for the dedup/ANN families: measures how runtime
   * grows with corpus size, so the "candidate cost is Σ df²" / "probe
@@ -232,6 +233,53 @@ object BenchScale {
           s"$scratch/k$k/zstore")
         ZOrder.boxQuery(spark, path, 3,
           "user_id", 2, 8, "value", 10.0, 30.0).count()
+      },
+      "pagerank" -> { k =>
+        // k× users each wired to a FIXED set of 1000 hub nodes (and
+        // back): edges grow k×, the per-round join + dst-sum follow —
+        // the embarrassingly-parallel axis; rounds are constant (3)
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val pair = e.select(col("user_id").as("c"),
+          (col("event_id") % 1000).as("s")).distinct()
+        val edges = pair.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+          .unionByName(pair.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+        PageRank.ranks(edges, iters = 3).count()
+      },
+      "phrase_search" -> { k =>
+        // like `retrieval`: the probe phrase survives un-salted only in
+        // copy 0, so the position-join tail is fixed while the
+        // scan→posexplode→term-filter front grows k×
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        Retrieval.phraseSearch(d, "doc_id", "text", Seq("table", "hash")).count()
+      },
+      "fuzzy_join" -> { k =>
+        // fixed probe side (30 copy-0 names, 3rd char dropped), k×
+        // right side: candidates grow with the right side only, the
+        // length-band equi-join keeps the scan one pass
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        val names = d.select(col("doc_id").as("rid"),
+          substring(col("text"), 1, 12).as("rname"))
+        val probes = names.filter(col("rid") < 30)
+          .select(col("rid").as("pid"),
+            expr("concat(substr(rname, 1, 2), substr(rname, 4))").as("pname"))
+        Fuzzy.fuzzyJoin(probes, names, "pname", "rname", maxDist = 2).count()
+      },
+      "cooccur" -> { k =>
+        // the top-20 vocab cap holds the pair space constant while the
+        // wordcount + distinct-postings front end grows k×
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        Cooccur.frequentPairs(d, "doc_id", "text", 20, 2L).count()
+      },
+      "snapshot_diff" -> { k =>
+        // both snapshots grow k×; the diff is one key-partitioned
+        // full-outer join, so cost tracks the shuffle volume linearly
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        val oldS = d.filter(col("doc_id") % 10 =!= 3)
+        val newS = d.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" edited")))
+              .otherwise(col("text")).as("text"))
+        ChangeCapture.snapshotDiff(oldS, newS, Seq("doc_id"), Seq("text")).count()
       },
     )
 
