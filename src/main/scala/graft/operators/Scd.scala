@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) interval construction: collapse a
+  * keyed change log into validity intervals — one row per RUN of equal
+  * consecutive values, with `valid_from` = the run's first timestamp
+  * and `valid_to` = the next run's start (NULL for the current run).
+  * This is the history-table build step downstream of
+  * [[ChangeCapture.snapshotDiff]]: diffs say WHAT changed, SCD2 says
+  * WHEN each value was in effect.
+  *
+  * Plan shape: everything happens inside ONE key partitioning — a
+  * change-point flag (`lag` ≠ value, null-safe), a running sum to
+  * number runs, a (key, run) aggregate, and a `lead` for valid_to.
+  * One exchange on the key, window work bounded per key; the classic
+  * gaps-and-islands shape that survives any corpus size because no
+  * window is ever unpartitioned (cf. Curation's global-window ban).
+  *
+  * Ordering inside a key is (ts, tiebreak) — the caller supplies a
+  * unique tiebreak column so equal-timestamp updates have a defined
+  * order (and the q101 oracle mirrors the same pair ordering).
+  */
+object Scd {
+
+  /** Collapse (key, ts, value) changes into SCD2 intervals. Output:
+    * (key, value, valid_from, valid_to, n_obs) — n_obs = observations
+    * in the run (audit column proving no row was lost). */
+  def intervals(df: DataFrame, keyCol: String, tsCol: String,
+                tieCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val flagged = df.withColumn("_chg",
+      when(lag(col(valCol), 1).over(w) <=> col(valCol), 0L).otherwise(1L))
+    val numbered = flagged.withColumn("_run",
+      sum(col("_chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = numbered.groupBy(col(keyCol), col("_run"))
+      .agg(first(col(valCol)).as("value"),
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_obs"))
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(col("_run"))
+    runs.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .select(col(keyCol), col("value"), col("valid_from"), col("valid_to"),
+        col("n_obs"))
+  }
+}

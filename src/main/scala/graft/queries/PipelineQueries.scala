@@ -1042,6 +1042,125 @@ object PipelineQueries {
         col("o_orderstatus"))
       graft.operators.Profile.profile(t,
         Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))
+    },
+
+    // Incremental aggregate maintenance (Incremental): lineitem split
+    // into base (shipped before 1996) and delta; the engine merges the
+    // two partial states and projects totals+avg, the oracle recomputes
+    // from scratch over the whole table — merge ≡ rescan is the graded
+    // claim. DECIMAL(18,2) carry makes the merged sum exact; avg is one
+    // double division at the end (both per QueryDef float rules).
+    QueryDef.sql("q100_incremental_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  count(l_quantity) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  min(l_quantity) AS min_v, max(l_quantity) AS max_v,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(l_quantity) AS avg_v
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      import graft.operators.Incremental
+      val li = Tables.lineitem(s, d)
+      val cut = lit("1996-01-01").cast("timestamp")
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val base = Incremental.aggState(li.filter(col("l_shipdate") < cut), keys, "l_quantity")
+      val delta = Incremental.aggState(li.filter(col("l_shipdate") >= cut), keys, "l_quantity")
+      Incremental.finish(Incremental.mergeStates(base, delta, keys), keys)
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // SCD2 interval construction (Scd.intervals): each user's event_type
+    // change log collapsed into validity intervals. Oracle re-derives
+    // the gaps-and-islands runs in DuckDB over µs-truncated timestamps
+    // (events parquet is TIMESTAMP_NS; the engine sees µs — CLAUDE.md
+    // ground rule), with (ts, event_id) ordering mirrored exactly.
+    QueryDef.sql("q101_scd2_intervals",
+      """WITH e AS (
+        |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_id,
+        |    event_type FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id)
+        |      IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+        |  FROM e),
+        |numbered AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM flagged),
+        |runs AS (
+        |  SELECT user_id, run, min(event_type) AS value,
+        |    min(ts) AS valid_from, count(*) AS n_obs
+        |  FROM numbered GROUP BY user_id, run)
+        |SELECT user_id, value, epoch_us(valid_from) AS from_us,
+        |  epoch_us(lead(valid_from) OVER
+        |    (PARTITION BY user_id ORDER BY run)) AS to_us,
+        |  n_obs
+        |FROM runs ORDER BY user_id, from_us, value""".stripMargin) { (s, d) =>
+      graft.operators.Scd.intervals(
+          Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("value"),
+          unix_micros(col("valid_from")).as("from_us"),
+          unix_micros(col("valid_to")).as("to_us"), col("n_obs"))
+        .orderBy("user_id", "from_us", "value")
+    },
+
+    // Degree-oriented triangle enumeration (Triangles.enumerate) over
+    // the order-adjacency graph (two orders connected iff some supplier
+    // ships for both on the same day — group sizes stay Poisson-ish at
+    // every sf, so the graph is sparse with real triangles at all
+    // scales). The oracle closes triangles with the id-ordered 3-way
+    // self-join — a different orientation whose triangle set must
+    // match exactly.
+    QueryDef.sql("q102_triangles",
+      """WITH g AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey,
+        |    date_trunc('day', l_shipdate) AS dday FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT g1.l_orderkey AS a, g2.l_orderkey AS b
+        |  FROM g g1 JOIN g g2 ON g1.l_suppkey = g2.l_suppkey
+        |    AND g1.dday = g2.dday AND g1.l_orderkey < g2.l_orderkey)
+        |SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |FROM e e1
+        |JOIN e e2 ON e2.a = e1.b
+        |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |ORDER BY a, b, c""".stripMargin) { (s, d) =>
+      val g = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+        date_trunc("day", col("l_shipdate")).as("dday")).distinct()
+      val g1 = g.select(col("l_orderkey").as("k1"), col("l_suppkey").as("s1"),
+        col("dday").as("d1"))
+      val g2 = g.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"),
+        col("dday").as("d2"))
+      val e = g1.join(g2, col("s1") === col("s2") && col("d1") === col("d2") &&
+          col("k1") < col("k2"))
+        .select(col("k1").as("a"), col("k2").as("b")).distinct()
+      graft.operators.Triangles.enumerate(e).orderBy("a", "b", "c")
+    },
+
+    // Bucketed co-located join (Bucketed): orders and lineitem persisted
+    // bucketed+sorted on the order key (content-addressed managed
+    // tables, write-once), then joined with zero shuffle exchanges
+    // (machine-checked in BucketedSpec) and aggregated. The oracle runs
+    // the plain join over the RAW parquet — layout must change cost,
+    // never content.
+    QueryDef.sql("q103_bucketed_join",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      import graft.operators.Bucketed
+      val ot = Bucketed.table(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        "orders", "o_orderkey", 16)
+      val lt = Bucketed.table(
+        Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+          col("l_quantity")),
+        "lineitem", "o_orderkey", 16)
+      Bucketed.colocatedJoin(s, ot, lt, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
     }
   )
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IncrementalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("merge of split states equals state of the union, for ANY split") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val rows = (1 to 500).map(i =>
+      ("k" + rnd.nextInt(5), math.round(rnd.nextDouble() * 10000) / 100.0))
+    val df = rows.toDF("k", "v")
+    val whole = Incremental.finish(
+      Incremental.aggState(df, Seq("k"), "v"), Seq("k"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    for (mod <- Seq(2, 3, 7)) {
+      val base = df.filter(xxhash64(col("v")) % mod === 0)
+      val delta = df.filter(xxhash64(col("v")) % mod =!= 0)
+      val merged = Incremental.finish(Incremental.mergeStates(
+        Incremental.aggState(base, Seq("k"), "v"),
+        Incremental.aggState(delta, Seq("k"), "v"), Seq("k")), Seq("k"))
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(merged == whole, s"split mod=$mod") // bit-identical, incl. avg
+    }
+  }
+
+  test("keys present in only one side survive the merge") {
+    import spark.implicits._
+    val a = Incremental.aggState(Seq(("x", 1.0), ("y", 2.0)).toDF("k", "v"), Seq("k"), "v")
+    val b = Incremental.aggState(Seq(("y", 4.0), ("z", 8.0)).toDF("k", "v"), Seq("k"), "v")
+    val m = Incremental.finish(Incremental.mergeStates(a, b, Seq("k")), Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(m == Set(("x", 1L, 1.0), ("y", 2L, 6.0), ("z", 1L, 8.0)))
+  }
+}
