@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{AsofJoin, BloomJoin, ChangeCapture, Cooccur, Curation,
   Dedup, Funnel, Fuzzy, IvfIndex, PageRank, PrefixSum, RangeJoin, Retrieval,
-  ZOrder}
+  Scd, Skyline, Triangles, ZOrder}
 
 /** Scale-stress harness for the dedup/ANN families: measures how runtime
   * grows with corpus size, so the "candidate cost is Σ df²" / "probe
@@ -280,6 +280,35 @@ object BenchScale {
             when(col("doc_id") % 5 === 0, concat(col("text"), lit(" edited")))
               .otherwise(col("text")).as("text"))
         ChangeCapture.snapshotDiff(oldS, newS, Seq("doc_id"), Seq("text")).count()
+      },
+      "triangles" -> { k =>
+        // co-membership graph with the copy tag INSIDE the group key:
+        // cloned users carry identical streams, so without the tag each
+        // group would grow k× and edges k² — with it, k independent
+        // copies of the k=1 graph (groups, edges, triangles all k×)
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val g = e.select(col("user_id").as("u"),
+          struct(col("event_type"), date_trunc("minute", col("ts")),
+            expr("user_id div 10000000")).as("grp")).distinct()
+        val g2 = g.select(col("u").as("u2"), col("grp").as("grp2"))
+        val edges = g.join(g2, col("grp") === col("grp2") && col("u") < col("u2"))
+          .select(col("u").as("a"), col("u2").as("b")).distinct()
+        Triangles.enumerate(edges).count()
+      },
+      "scd2" -> { k =>
+        // k× users, identical per-user change logs: run collapse is
+        // per-key window work — the embarrassingly-parallel axis
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        Scd.intervals(e, "user_id", "ts", "event_id", "event_type").count()
+      },
+      "skyline" -> { k =>
+        // the frontier stays tiny while the scanned input grows k×:
+        // measures that local pruning (not the merge task) absorbs the
+        // growth
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+          .withColumn("v", (col("event_id") % 1000).cast("double"))
+          .withColumn("t_us", unix_micros(col("ts")))
+        Skyline.pareto(e, Seq(("v", true), ("t_us", false))).count()
       },
     )
 

@@ -1161,6 +1161,32 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy("o_orderpriority")
+    },
+
+    // Skyline / Pareto frontier (Skyline.pareto): orders maximizing
+    // total price while minimizing order date (earliest big orders).
+    // The engine runs the distributed local-prune-then-merge reduction;
+    // the oracle runs the quadratic NOT EXISTS dominance filter — two
+    // different algorithms, same frontier. Comparisons only, no float
+    // arithmetic.
+    QueryDef.sql("q104_skyline",
+      """SELECT o_orderkey, o_totalprice, epoch_us(o_orderdate) AS od_us
+        |FROM orders a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders b
+        |  WHERE b.o_totalprice >= a.o_totalprice
+        |    AND b.o_orderdate <= a.o_orderdate
+        |    AND (b.o_totalprice > a.o_totalprice
+        |         OR b.o_orderdate < a.o_orderdate))
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+        // o_orderdate is TIMESTAMP_NTZ (unix_micros wants TIMESTAMP);
+        // the NTZ→TS cast is value-preserving under the UTC session tz
+        // every graft main pins
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+      graft.operators.Skyline.pareto(o,
+          Seq(("o_totalprice", true), ("od_us", false)))
+        .orderBy("o_orderkey")
     }
   )
 }
