@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hierarchy flattening (root + depth of every node in a forest) by
+  * pointer jumping — the distributed answer to `WITH RECURSIVE` parent
+  * walks (which q108's DuckDB oracle states directly).
+  *
+  * A recursive CTE advances every node ONE level per iteration: O(depth)
+  * rounds, each touching the whole frontier — on a 100 TB graph with a
+  * deep hierarchy that is depth sequential shuffles. Pointer jumping
+  * (path doubling) keeps per-node state (anc, d) = "my ancestor d steps
+  * up" and squares the stride each round: anc ← anc(anc), d ← d + d(anc)
+  * — after k rounds every pointer has advanced 2^k levels, so O(log
+  * depth) co-partitioned self-joins replace O(depth). Roots are their
+  * own ancestor with d = 0, which makes them natural fixpoints of the
+  * update (no special casing inside the loop). Each round is one
+  * equi-join of the state table with itself on (anc = id) — shuffle on
+  * node id both sides, AQE-friendly — followed by a localCheckpoint to
+  * cut the doubling lineage (the PageRank lesson: derive-from-raw
+  * re-runs the whole chain once per downstream consumer).
+  *
+  * Convergence is detected, not assumed: the loop stops when no row's
+  * ancestor changed (one count per round, driver-scale), with a
+  * maxRounds guard. Cycles need a second check: `moving == 0` is NOT
+  * sufficient, because an even-length cycle collapses onto itself under
+  * doubling (in a 2-cycle a↔b, anc(a) ← anc(anc(a)) = a after one
+  * round — a self-pointing fixpoint that LOOKS converged). So after the
+  * loop, every final ancestor is anti-joined against the true root set
+  * (parent == id or NULL in the input); any survivor means a cycle (or
+  * a dangling parent) and raises. All-integer state: ids and depths are
+  * longs, no float discipline needed.
+  */
+object Hierarchy {
+
+  /** Flatten a forest given as (idCol, parentCol) rows: returns
+    * (idCol, root, depth). A node is a ROOT iff parent == id or parent
+    * is NULL. Every non-root's parent must exist as an id; depth is the
+    * number of edges to the root. */
+  def rootAndDepth(nodes: DataFrame, idCol: String, parentCol: String,
+                   maxRounds: Int = 40): DataFrame = {
+    val isRoot = col(parentCol).isNull || col(parentCol) === col(idCol)
+    var state = nodes.select(
+        col(idCol).cast("long").as("id"),
+        when(isRoot, col(idCol).cast("long"))
+          .otherwise(col(parentCol).cast("long")).as("anc"),
+        when(isRoot, lit(0L)).otherwise(lit(1L)).as("d"))
+      .localCheckpoint()
+
+    var round = 0
+    var moving = 1L
+    while (moving > 0 && round < maxRounds) {
+      val hop = state.select(col("id").as("anc"),
+        col("anc").as("anc2"), col("d").as("d2"))
+      val next = state.join(hop, "anc")
+        .select(col("id"), col("anc2").as("anc"), (col("d") + col("d2")).as("d"),
+          (col("anc2") =!= col("anc")).cast("long").as("_moved"))
+        .localCheckpoint()
+      moving = next.agg(sum("_moved")).head().getLong(0)
+      state = next.drop("_moved")
+      round += 1
+    }
+    require(moving == 0,
+      s"Hierarchy.rootAndDepth: not converged after $maxRounds rounds " +
+        "(cycle in parent pointers, or a parent id that never reaches a root?)")
+    // moving == 0 alone is fooled by even-length cycles (see scaladoc):
+    // verify every final ancestor is a TRUE root of the input, and that
+    // no row was dropped by the loop's inner join (dangling parent id)
+    val roots = nodes.filter(isRoot).select(col(idCol).cast("long").as("anc"))
+    val badAnc = state.join(roots, Seq("anc"), "left_anti").count()
+    require(badAnc == 0,
+      s"Hierarchy.rootAndDepth: not converged — $badAnc nodes' ancestor " +
+        "chains never reach a root (cycle in parent pointers)")
+    val lost = nodes.count() - state.count()
+    require(lost == 0,
+      s"Hierarchy.rootAndDepth: $lost nodes lost to parent ids that are " +
+        "not themselves nodes")
+    state.select(col("id").as(idCol), col("anc").as("root"),
+      col("d").as("depth"))
+  }
+}

@@ -416,6 +416,46 @@ object EventQueries {
           "user_id", 2, 8, "value", 100.0, 300.0)
         .select("event_id", "user_id", "value")
         .orderBy("event_id")
+    },
+
+    // Sweep-line max concurrency: each event opens a 10-minute
+    // interval; the per-day peak of simultaneously-open intervals is
+    // the classic +1/-1 boundary scan. The running count over ALL
+    // boundaries is a GLOBAL running sum — banned as a single-task
+    // window — so it runs on PrefixSum's two-level scan (parallel
+    // within-day windows + an O(#days) driver offset scan), while the
+    // DuckDB oracle states the naive global window. Half-open
+    // [t, t+10min) semantics: at equal instants the close sorts before
+    // the open (ord = t_us*2 for ends, t_us*2+1 for starts), so a
+    // back-to-back pair never counts as overlapping. All-integer
+    // (µs arithmetic, ±1 deltas exact in DECIMAL).
+    QueryDef.sql("q107_max_concurrency",
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS t_us FROM events),
+        |bounds AS (
+        |  SELECT event_id, t_us * 2 + 1 AS ord, 1 AS delta FROM ev
+        |  UNION ALL
+        |  SELECT event_id, (t_us + 600000000) * 2 AS ord, -1 AS delta FROM ev),
+        |run AS (
+        |  SELECT ord,
+        |    CAST(sum(delta) OVER (ORDER BY ord, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+        |  FROM bounds)
+        |SELECT ord // 172800000000 AS day_idx,
+        |  max(conc) AS max_conc, count(*) AS n_bounds
+        |FROM run GROUP BY 1 ORDER BY day_idx""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+      val bounds = ev.select(col("event_id"),
+          (col("t_us") * 2 + 1).as("ord"), lit(1).as("delta"))
+        .unionByName(ev.select(col("event_id"),
+          ((col("t_us") + 600000000L) * 2).as("ord"), lit(-1).as("delta")))
+      graft.operators.PrefixSum.runningTotal(bounds, "ord", "event_id",
+          col("delta"), expr("ord div 172800000000"), "conc")
+        .withColumn("day_idx", expr("ord div 172800000000"))
+        .groupBy("day_idx")
+        .agg(max(col("conc")).cast("long").as("max_conc"),
+          count(lit(1)).as("n_bounds"))
+        .orderBy("day_idx")
     }
   )
 }

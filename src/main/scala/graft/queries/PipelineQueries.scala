@@ -1187,6 +1187,68 @@ object PipelineQueries {
       graft.operators.Skyline.pareto(o,
           Seq(("o_totalprice", true), ("od_us", false)))
         .orderBy("o_orderkey")
+    },
+
+    // Hierarchy flattening by pointer jumping (Hierarchy.rootAndDepth):
+    // every customer sits in a binary-halving forest (parent = key div
+    // 2, roots below 4), ~11 levels deep at sf0.01 — the engine reaches
+    // every root in ~4 doubling rounds (O(log depth) self-joins) where
+    // the oracle's recursive CTE walks one level per iteration
+    // (O(depth) passes, the single-node formulation). Same (root,
+    // depth) per node, all-integer.
+    QueryDef.sql("q108_hierarchy",
+      """WITH RECURSIVE walk AS (
+        |  SELECT c_custkey AS id, c_custkey AS cur, 0 AS depth FROM customer
+        |  UNION ALL
+        |  SELECT id, cur // 2, depth + 1 FROM walk WHERE cur >= 4
+        |)
+        |SELECT id AS c_custkey, cur AS root, CAST(depth AS BIGINT) AS depth
+        |FROM walk WHERE cur < 4 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val nodes = Tables.customer(s, d).select(col("c_custkey"),
+        when(col("c_custkey") < 4, col("c_custkey"))
+          .otherwise(expr("c_custkey div 2")).as("parent"))
+      graft.operators.Hierarchy.rootAndDepth(nodes, "c_custkey", "parent")
+        .orderBy("c_custkey")
+    },
+
+    // Count–min sketch (CountMin): one-pass d×w frequency summary of
+    // the event user stream, then point-query estimates for the probe
+    // users against exact counts. The hash is a masked xorshift32 chain
+    // (XOR/shift/AND only — multiply-shift families die on Spark's ANSI
+    // overflow and DuckDB's checked `<<`), so the oracle rebuilds the
+    // IDENTICAL sketch in SQL and the estimates hash-match exactly — a
+    // stronger gate than the usual tolerance check. w=64 on 150+ users
+    // forces real collisions: est ≥ true with equality iff no cell
+    // collision, and both engines agree on every cell.
+    QueryDef.sql("q109_countmin",
+      """WITH seeds(r, s) AS (VALUES (0, 2654435769), (1, 2246822507),
+        |                            (2, 3266489917), (3, 668265263)),
+        |keys AS (SELECT user_id AS k FROM events),
+        |h0 AS (SELECT r, xor(k & 4294967295, s) AS x FROM keys CROSS JOIN seeds),
+        |h1 AS (SELECT r, xor(x, (x << 13) & 4294967295) AS x FROM h0),
+        |h2 AS (SELECT r, xor(x, x >> 17) AS x FROM h1),
+        |h3 AS (SELECT r, xor(x, (x << 5) & 4294967295) AS x FROM h2),
+        |sketch AS (SELECT r, x & 63 AS bucket, count(*) AS cnt FROM h3 GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT user_id AS k FROM events WHERE user_id < 25),
+        |p0 AS (SELECT k, r, xor(k & 4294967295, s) AS x FROM probes CROSS JOIN seeds),
+        |p1 AS (SELECT k, r, xor(x, (x << 13) & 4294967295) AS x FROM p0),
+        |p2 AS (SELECT k, r, xor(x, x >> 17) AS x FROM p1),
+        |p3 AS (SELECT k, r, xor(x, (x << 5) & 4294967295) AS x FROM p2),
+        |est AS (SELECT k, min(cnt) AS est
+        |        FROM (SELECT k, r, x & 63 AS bucket FROM p3) pb
+        |        JOIN sketch USING (r, bucket) GROUP BY k),
+        |tru AS (SELECT user_id AS k, count(*) AS n_true FROM events GROUP BY 1)
+        |SELECT k AS user_id, est, n_true FROM est JOIN tru USING (k)
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      import graft.operators.CountMin
+      val ev = Tables.events(s, d)
+      val sk = CountMin.sketch(ev, col("user_id"), w = 64)
+      val est = CountMin.estimate(sk,
+        ev.filter(col("user_id") < 25), "user_id", w = 64)
+      val tru = ev.groupBy("user_id").agg(count(lit(1)).as("n_true"))
+      est.join(tru, "user_id")
+        .select("user_id", "est", "n_true")
+        .orderBy("user_id")
     }
   )
 }

@@ -492,6 +492,58 @@ object RelationalQueries {
           grouping(col("l_linestatus")).cast("int").as("g_status"))
         .orderBy(col("g_flag"), col("g_status"),
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // Multiset set operators (U-family completion): INTERSECT ALL /
+    // EXCEPT ALL between two derived order-key bags — Spark's native
+    // intersectAll/exceptAll (planned as a count-compare aggregate,
+    // one shuffle each, no join explosion) vs DuckDB's SQL set ops.
+    // ALL semantics is the point: a custkey with 3 big orders of which
+    // 2 are urgent contributes min(3,2)=2 intersect rows and 3-2=1
+    // except row — plain INTERSECT/EXCEPT would collapse both to 1.
+    // Integer keys + counts only.
+    QueryDef.sql("q105_setops_all",
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+        |     b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |     i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+        |     e AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |SELECT 'intersect' AS kind, o_custkey, count(*) AS n FROM i GROUP BY 2
+        |UNION ALL
+        |SELECT 'except' AS kind, o_custkey, count(*) AS n FROM e GROUP BY 2
+        |ORDER BY kind, o_custkey""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      val a = o.filter(col("o_totalprice") > 150000).select("o_custkey")
+      val b = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val i = a.intersectAll(b).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("intersect"))
+      val e = a.exceptAll(b).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("except"))
+      i.unionByName(e).select("kind", "o_custkey", "n")
+        .orderBy("kind", "o_custkey")
+    },
+
+    // UNPIVOT / melt (inverse of q85's pivot): three measure columns of
+    // lineitem fold into (metric, value) rows via Spark's native
+    // unpivot (an Expand node — one pass, no shuffle, 3 rows out per
+    // row in) vs DuckDB's UNPIVOT clause. The doubles pass through
+    // untouched (no arithmetic), so values are bit-exact on both sides.
+    QueryDef.sql("q106_unpivot",
+      """SELECT l_orderkey, l_linenumber, metric, value
+        |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+        |                 l_extendedprice, l_discount
+        |               FROM lineitem WHERE l_orderkey % 50 = 0)
+        |      ON l_quantity, l_extendedprice, l_discount
+        |      INTO NAME metric VALUE value)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 50 === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
     }
   )
 }
