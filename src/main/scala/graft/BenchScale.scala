@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, BloomJoin, ChangeCapture, Cooccur, Curation,
-  Dedup, Funnel, Fuzzy, IvfIndex, PageRank, PrefixSum, RangeJoin, Retrieval,
-  Scd, Skyline, Triangles, ZOrder}
+import graft.operators.{AsofJoin, BloomJoin, ChangeCapture, Cooccur, CountMin,
+  Curation, Dedup, Funnel, Fuzzy, Hierarchy, IvfIndex, PageRank, PrefixSum,
+  RangeJoin, Retrieval, Scd, Skyline, Triangles, ZOrder}
 
 /** Scale-stress harness for the dedup/ANN families: measures how runtime
   * grows with corpus size, so the "candidate cost is Σ df²" / "probe
@@ -300,6 +300,30 @@ object BenchScale {
         // per-key window work — the embarrassingly-parallel axis
         val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
         Scd.intervals(e, "user_id", "ts", "event_id", "event_type").count()
+      },
+      "hierarchy" -> { k =>
+        // k× users in per-copy binary-halving forests (user ids are
+        // contiguous 0..1499 per copy, so local div 2 always exists):
+        // depth is ~11 at EVERY k, so the doubling round count is
+        // constant and each round's self-join grows k× — the operator's
+        // claim is exactly "cost = O(log depth) linear-size joins"
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val nodes = e.select(col("user_id")).distinct()
+          .withColumn("local", col("user_id") % 10000000L)
+          .select(col("user_id"),
+            when(col("local") < 4, col("user_id"))
+              .otherwise(col("user_id") - col("local") + expr("local div 2"))
+              .as("parent"))
+        Hierarchy.rootAndDepth(nodes, "user_id", "parent").count()
+      },
+      "countmin" -> { k =>
+        // sketch build is the measured path: the scan+explode front
+        // grows k× while the only shuffle's key space stays ≤ d·w;
+        // the probe side (copy-0 users) is fixed
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val sk = CountMin.sketch(e, col("user_id"), w = 256)
+        CountMin.estimate(sk,
+          e.filter(col("user_id") < 100), "user_id", w = 256).count()
       },
       "skyline" -> { k =>
         // the frontier stays tiny while the scanned input grows k×:
