@@ -41,22 +41,23 @@ object Hierarchy {
   def rootAndDepth(nodes: DataFrame, idCol: String, parentCol: String,
                    maxRounds: Int = 40): DataFrame = {
     val isRoot = col(parentCol).isNull || col(parentCol) === col(idCol)
-    var state = nodes.select(
+    var state = Iterate.materialize(nodes.select(
         col(idCol).cast("long").as("id"),
         when(isRoot, col(idCol).cast("long"))
           .otherwise(col(parentCol).cast("long")).as("anc"),
-        when(isRoot, lit(0L)).otherwise(lit(1L)).as("d"))
-      .localCheckpoint()
+        when(isRoot, lit(0L)).otherwise(lit(1L)).as("d")))
 
     var round = 0
     var moving = 1L
     while (moving > 0 && round < maxRounds) {
       val hop = state.select(col("id").as("anc"),
         col("anc").as("anc2"), col("d").as("d2"))
-      val next = state.join(hop, "anc")
+      // Iterate.materialize, not bare localCheckpoint: this is a
+      // SELF-join loop, so carried size estimates would square per
+      // round (see Iterate scaladoc)
+      val next = Iterate.materialize(state.join(hop, "anc")
         .select(col("id"), col("anc2").as("anc"), (col("d") + col("d2")).as("d"),
-          (col("anc2") =!= col("anc")).cast("long").as("_moved"))
-        .localCheckpoint()
+          (col("anc2") =!= col("anc")).cast("long").as("_moved")))
       moving = next.agg(sum("_moved")).head().getLong(0)
       state = next.drop("_moved")
       round += 1

@@ -1249,6 +1249,74 @@ object PipelineQueries {
       est.join(tru, "user_id")
         .select("user_id", "est", "n_true")
         .orderBy("user_id")
+    },
+
+    // Multi-source BFS hop distances (Bfs.distances) over the
+    // sparsified trade graph (customers↔suppliers linked only by
+    // small-quantity lineitems — 5-7 distance levels with real
+    // unreachable nodes at every sf). The engine runs the frontier
+    // iteration (per-round cost ∝ frontier neighborhood, visited set
+    // only as a co-partitioned anti-join build side); the oracle states
+    // the recursive CTE, whose UNION-dedup explores every (node, dist)
+    // pair ≤ the bound — two different traversals, same minimal
+    // distances. All-integer.
+    QueryDef.sql("q110_bfs",
+      """WITH RECURSIVE pair AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE l_quantity < 3),
+        |edges AS (SELECT c*2 AS src, s*2+1 AS dst FROM pair
+        |  UNION ALL SELECT s*2+1 AS src, c*2 AS dst FROM pair),
+        |srcs AS (SELECT DISTINCT c_custkey*2 AS node FROM customer
+        |         WHERE c_custkey < 10),
+        |bfs AS (
+        |  SELECT node, 0 AS dist FROM srcs
+        |  UNION
+        |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.node
+        |  WHERE b.dist < 40)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+      val pair = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_quantity") < 3)
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+      val edges = pair.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+        .unionByName(pair.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      val sources = Tables.customer(s, d).filter(col("c_custkey") < 10)
+        .select((col("c_custkey") * 2).as("node"))
+      graft.operators.Bfs.distances(edges, sources).orderBy("node")
+    },
+
+    // Connected components, oracle-gated (the fixpoint min-label
+    // propagation in Dedup.connectedComponents has been spec-only since
+    // round 3 — this pins it to a DuckDB oracle on a harder-sparsified
+    // trade graph: 61 components at sf0.01, max size 24). The oracle
+    // computes each node's full reachability set via a recursive CTE
+    // and takes min(label) — Σ size² rows, fine for an oracle, exactly
+    // the quadratic blow-up the engine's O(diameter)-round label
+    // propagation avoids at scale. All-integer.
+    QueryDef.sql("q112_components",
+      """WITH RECURSIVE pair AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE l_quantity < 2 AND l_discount < 0.03),
+        |edges AS (SELECT c*2 AS src, s*2+1 AS dst FROM pair
+        |  UNION ALL SELECT s*2+1 AS src, c*2 AS dst FROM pair),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach AS (
+        |  SELECT node, node AS label FROM nodes
+        |  UNION
+        |  SELECT r.node, e.dst AS label FROM reach r JOIN edges e ON e.src = r.label),
+        |comp AS (SELECT node, min(label) AS comp FROM reach GROUP BY node)
+        |SELECT node, comp FROM comp ORDER BY node""".stripMargin) { (s, d) =>
+      val pair = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_quantity") < 2 && col("l_discount") < 0.03)
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+      val pairs = pair.select((col("c") * 2).as("id_a"), (col("s") * 2 + 1).as("id_b"))
+      graft.operators.Dedup.connectedComponents(pairs, maxIter = 40)
+        .select(col("id").as("node"), col("comp"))
+        .orderBy("node")
     }
   )
 }

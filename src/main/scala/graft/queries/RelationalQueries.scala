@@ -544,6 +544,32 @@ object RelationalQueries {
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "metric", "value")
         .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
+
+    // Equi-depth bucketing: NTILE(8) per order-priority partition (the
+    // W-family's remaining standard member; partitioned, so it stays
+    // parallel — a GLOBAL ntile would be a single-task window, banned
+    // here). Both engines implement the SQL-standard split (first
+    // buckets take the remainder rows), tie-broken total by
+    // (o_totalprice, o_orderkey); bucket bounds are pass-through
+    // doubles (no arithmetic — bit-exact).
+    QueryDef.sql("q111_ntile",
+      """SELECT o_orderpriority, bucket, count(*) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |        ntile(8) OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice, o_orderkey) AS bucket
+        |      FROM orders)
+        |GROUP BY 1, 2 ORDER BY o_orderpriority, bucket""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          ntile(8).over(w).as("bucket"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .orderBy("o_orderpriority", "bucket")
     }
   )
 }

@@ -203,6 +203,17 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: a 120-node path converges within default maxIter") {
+    // label shortcutting (comp ← comp(comp)) must collapse a
+    // diameter-119 path in far fewer than 119 rounds: plain min-label
+    // propagation would blow the default maxIter=25 and throw, so this
+    // passing at the default IS the shortcut regression test. Min id
+    // planted at the far end (descending path) — the worst case for
+    // propagation distance.
+    val path = (1L until 120L).map(k => (k, k + 1)).map(p => (p._2, p._1))
+    assert(sparkCC(path) == (1L to 120L).map(_ -> 1L).toMap)
+  }
+
   test("minhashSurvivors keeps exactly one doc per transitive near-dup chain") {
     import spark.implicits._
     // b is a near-dup of a, c a near-dup of b, but c vs a is below the
