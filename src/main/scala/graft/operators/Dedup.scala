@@ -304,9 +304,17 @@ object Dedup {
     * count is 7 (= the aligned case).
     *
     * Scale notes: each round is two groupBy-min + join passes over the
-    * (shrinking) edge list fused into ONE materialization, plus one
-    * set-equality check — edge-list-sized shuffles, no driver-side
-    * graph. Rounds go through [[Iterate.materialize]] (bare
+    * (shrinking) edge list fused into ONE materialization — edge-list-
+    * sized shuffles, no driver-side graph. Convergence detection rides
+    * the round itself: a rewire flag (did either star move this edge?)
+    * is folded by max through the SAME groupBy that dedups the edge
+    * list, so "converged" is a one-column sum over the already-cached
+    * result instead of a per-round set-equality join. Zero rewires ⟺
+    * next == edges (each star emitting every edge unchanged is exactly
+    * set-fixpoint), and fixpoints of the alternating round are
+    * precisely the min-centered star forests (Kiveris et al. §3), so
+    * the stop condition is unchanged. Rounds go through
+    * [[Iterate.materialize]] (bare
     * localCheckpoint carries sizeInBytes estimates that an iterative
     * self-referential plan inflates into exponential driver-side BigInt
     * work — the 35 s q112 stall; full story on [[Iterate]]).
@@ -316,39 +324,51 @@ object Dedup {
     * @return (id, comp) for every vertex that appears in a pair; comp is
     *         the min id of its component. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val nodes = pairs.select(col("id_a").cast("long").as("id"))
-      .union(pairs.select(col("id_b").cast("long").as("id")))
-      .distinct().localCheckpoint()
+    // Materialize the PAIR list first and derive nodes + edges from it:
+    // deriving both straight from `pairs` would run the (possibly
+    // expensive) upstream lineage once per consumer (the PageRank
+    // lesson — measured ~2x the upstream cost on q112's join chain).
+    val p = Iterate.materialize(pairs.select(
+      col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b")))
+    val nodes = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
     var edges = Iterate.materialize(
-      pairs.select(least(col("id_a"), col("id_b")).cast("long").as("a"),
-          greatest(col("id_a"), col("id_b")).cast("long").as("b"))
+      p.select(least(col("id_a"), col("id_b")).as("a"),
+          greatest(col("id_a"), col("id_b")).as("b"))
         .filter(col("a") =!= col("b")).distinct())
     var it = 0
     var converged = edges.isEmpty // nothing but self-pairs: already stars
     while (!converged && it < maxIter) {
       // large-star over the symmetrized neighborhood: m ≤ u < v, so the
-      // emitted (m, v) is canonical (smaller id first) and never a loop
+      // emitted (m, v) is canonical (smaller id first) and never a loop;
+      // rw = 1 marks an edge the star actually moved (m != u)
       val sym = edges.select(col("a").as("u"), col("b").as("v"))
         .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
       val lm = sym.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // no dedup here: the v>u filter keeps exactly one row per input
+      // edge (duplicates only arise from m-collisions), sm's min and
+      // the final max-fold both tolerate them, and skipping the
+      // intermediate groupBy saves a whole shuffle stage per round
       val large = sym.join(lm, "u").filter(col("v") > col("u"))
-        .select(col("m").as("a"), col("v").as("b")).distinct()
+        .select(col("m").as("a"), col("v").as("b"),
+          (col("m") =!= col("u")).cast("long").as("rw"))
       // small-star keyed by the larger endpoint: all a < b by
-      // construction, so m = min of u's smaller neighborhood = min(a)
+      // construction, so m = min of u's smaller neighborhood = min(a);
+      // (m, a) rows are rewires by definition (only emitted when a != m),
+      // (m, b) rows are rewires when b's parent changed (m != a) or the
+      // edge was already moved by the large star this round
       val sm = large.groupBy("b").agg(min(col("a")).as("m"))
       val small = large.join(sm, "b")
       val next = Iterate.materialize(
         small.filter(col("a") =!= col("m"))
-          .select(col("m").as("a"), col("a").as("b"))
-          .unionByName(small.select(col("m").as("a"), col("b")))
-          .distinct())
-      // set equality as ONE job: any row missing from either side of a
-      // full-outer join on the (distinct) edge pairs means a change
-      converged = next.withColumn("_n", lit(1))
-        .join(edges.withColumn("_e", lit(1)), Seq("a", "b"), "full_outer")
-        .filter(col("_n").isNull || col("_e").isNull).isEmpty
-      edges = next
+          .select(col("m").as("a"), col("a").as("b"), lit(1L).as("rw"))
+          .unionByName(small.select(col("m").as("a"), col("b"),
+            greatest(col("rw"),
+              (col("m") =!= col("a")).cast("long")).as("rw")))
+          .groupBy("a", "b").agg(max(col("rw")).as("rw")))
+      converged = next.agg(sum(col("rw"))).head().getLong(0) == 0L
+      edges = next.drop("rw")
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
