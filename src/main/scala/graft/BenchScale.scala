@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, BloomJoin, ChangeCapture, Cooccur, CountMin,
-  Curation, Dedup, Funnel, Fuzzy, Hierarchy, IvfIndex, PageRank, PrefixSum,
-  RangeJoin, Retrieval, Scd, Skyline, Triangles, ZOrder}
+import graft.operators.{AsofJoin, Bfs, BloomJoin, ChangeCapture, Cooccur,
+  CountMin, Curation, Dedup, Funnel, Fuzzy, Hierarchy, IvfIndex, PageRank,
+  PrefixSum, RangeJoin, Retrieval, Scd, Skyline, Triangles, ZOrder}
 
 /** Scale-stress harness for the dedup/ANN families: measures how runtime
   * grows with corpus size, so the "candidate cost is Σ df²" / "probe
@@ -334,18 +334,50 @@ object BenchScale {
           .withColumn("t_us", unix_micros(col("ts")))
         Skyline.pareto(e, Seq(("v", true), ("t_us", false))).count()
       },
+      "bfs" -> { k =>
+        // k× users all within 2 hops of the FIXED hub set (bipartite
+        // user↔hub graph): eccentricity — and so the round count — is
+        // constant, while each round's frontier⋈edges neighborhood
+        // grows k×; cost should track edge volume linearly
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val pair = e.select(col("user_id").as("c"),
+          (col("event_id") % 1000).as("s")).distinct()
+        val edges = pair.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+          .unionByName(pair.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+        val sources = pair.select((col("s") * 2 + 1).as("node"))
+          .filter(col("node") < 21).distinct()
+        Bfs.distances(edges, sources).count()
+      },
+      "components_star" -> { k =>
+        // copy tag inside the hub id keeps the k copies' graphs
+        // disjoint: k independent copies of the k=1 graph, so the
+        // star-contraction round count stays constant while every
+        // round's edge-list shuffles grow k× (user ids shifted to 1e9+
+        // so the two namespaces never collide)
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val pairs = e.select((col("user_id") + lit(1000000000L)).as("id_a"),
+          (expr("user_id div 10000000") * 1000L + col("event_id") % 1000).as("id_b"))
+          .distinct()
+        Dedup.connectedComponents(pairs, maxIter = 40).count()
+      },
     )
+
+    // dev-only family filter (SPARK_GRAFT_SCALE_ONLY=bfs,components_star)
+    // for single-family tuning; the round sweep never sets it
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val picked = families.filter { case (n, _) => only.forall(_.contains(n)) }
 
     // warmup: session + codegen
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    families.foreach { case (_, fn) => fn(scales.head) }
+    picked.foreach { case (_, fn) => fn(scales.head) }
 
     // Locale.ROOT like Bench.f3: the f-interpolator is locale-sensitive
     // and a comma-decimal locale would emit invalid JSON
     def fmt(v: Double, dec: Int): String =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
     var worst = ("", 0.0)
-    val lines = families.map { case (name, fn) =>
+    val lines = picked.map { case (name, fn) =>
       val ts = scales.map { k => k -> median((1 to runs).map(_ => time(fn(k)))) }
       val a = alpha(ts.map(_._1), ts.map(_._2))
       if (a > worst._2) worst = (name, a)
