@@ -45,4 +45,32 @@ object ChangeCapture {
       .filter(col("change").isNotNull)
       .select(keyOut :+ col("change"): _*)
   }
+
+  /** Point-in-time state reconstruction (time travel) from a CDC log of
+    * upserts and deletes: last-writer-wins per key — each key's state
+    * is its ordinally-latest log entry, dropped entirely when that
+    * entry is a delete (`opCol` = "D"). The caller bounds the log to
+    * the wanted instant (`log.filter(ts <= asOf)`) — replay itself is
+    * time-agnostic, so the same operator serves snapshot-as-of, latest
+    * state, and incremental compaction of an upsert stream.
+    *
+    * Scale shape: ONE shuffle — a groupBy(key).max_by(payload, ord)
+    * whose partial aggregation collapses each map partition to one row
+    * per key BEFORE the exchange, so a log with billions of entries for
+    * millions of keys moves ~keys, not ~entries (a per-key window sort
+    * formulation shuffles and sorts every entry; the oracle uses
+    * exactly that formulation as the independent check).
+    *
+    * `ordCols` must be a deterministic total order per key (e.g.
+    * (ts, seq)) — max_by ties are otherwise engine-dependent. */
+  def replay(log: DataFrame, keyCols: Seq[String], ordCols: Seq[String],
+             opCol: String, valCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && ordCols.nonEmpty)
+    val ord = struct(ordCols.map(col): _*)
+    val payload = struct((opCol +: valCols).map(col): _*)
+    log.groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, ord).as("_last"))
+      .filter(col(s"_last.$opCol") =!= lit("D"))
+      .select(keyCols.map(col) ++ valCols.map(v => col(s"_last.$v").as(v)): _*)
+  }
 }

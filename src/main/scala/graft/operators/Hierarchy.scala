@@ -80,4 +80,66 @@ object Hierarchy {
     state.select(col("id").as(idCol), col("anc").as("root"),
       col("d").as("depth"))
   }
+
+  /** Subtree rollup: for every node of a forest (idCol, parentCol,
+    * valCol), the count and sum of values over its ENTIRE subtree
+    * (itself + all descendants) — the distributed answer to the
+    * recursive-CTE "sum below me" walk (q116's oracle states it
+    * directly).
+    *
+    * Mechanism: build the full ancestor–descendant closure by REPEATED
+    * SQUARING — C₀ = parent edges, C_{k+1} = C_k ∪ (C_k ∘ C_k) — so
+    * pairs at distance up to 2^k exist after k rounds: O(log depth)
+    * self-joins instead of the CTE's O(depth) passes. Then one
+    * groupBy(ancestor) over the closure joined to values. The closure
+    * has Σ_v depth(v) rows — which is also the information a
+    * per-ancestor rollup must move, so the space is inherent to the
+    * answer, and the squaring trades rounds for it (a leaf-upward
+    * level-by-level aggregation would use O(nodes) state but O(depth)
+    * sequential shuffles). Rounds go through [[Iterate.materialize]]
+    * (self-join loop — see [[Iterate]]).
+    *
+    * Convergence = closure count fixpoint; cycles are caught exactly
+    * (any cycle of length L puts (v,v) into the closure after ⌈log₂L⌉
+    * squarings — checked and raised), and parents that are not
+    * themselves nodes raise rather than silently acting as virtual
+    * roots. All-integer. */
+  def subtreeAgg(nodes: DataFrame, idCol: String, parentCol: String,
+                 valCol: String, maxRounds: Int = 40): DataFrame = {
+    val isRoot = col(parentCol).isNull || col(parentCol) === col(idCol)
+    val n = Iterate.materialize(nodes.select(
+      col(idCol).cast("long").as("id"),
+      when(isRoot, lit(null).cast("long"))
+        .otherwise(col(parentCol).cast("long")).as("par"),
+      col(valCol).cast("long").as("v")))
+    val dangling = n.filter(col("par").isNotNull)
+      .join(n.select(col("id").as("par")), Seq("par"), "left_anti").count()
+    require(dangling == 0,
+      s"Hierarchy.subtreeAgg: $dangling nodes have parent ids that are not themselves nodes")
+    var clo = Iterate.materialize(
+      n.filter(col("par").isNotNull)
+        .select(col("id").as("desc"), col("par").as("anc")))
+    var rounds = 0
+    var prev = -1L
+    var cnt = clo.count()
+    while (cnt != prev && rounds < maxRounds) {
+      prev = cnt
+      val comp = clo.select(col("desc"), col("anc").as("mid"))
+        .join(clo.select(col("desc").as("mid"), col("anc")), "mid")
+        .select("desc", "anc")
+      clo = Iterate.materialize(clo.unionByName(comp).distinct())
+      cnt = clo.count()
+      rounds += 1
+    }
+    require(cnt == prev,
+      s"Hierarchy.subtreeAgg: closure not converged after $maxRounds rounds")
+    require(clo.filter(col("desc") === col("anc")).isEmpty,
+      "Hierarchy.subtreeAgg: cycle in parent pointers (self-ancestor pair in closure)")
+    val below = clo.join(n.select(col("id").as("desc"), col("v")), "desc")
+      .groupBy("anc").agg(count(lit(1)).as("_n"), sum(col("v")).as("_sv"))
+    n.join(below, col("id") === col("anc"), "left")
+      .select(col("id").as(idCol),
+        (lit(1L) + coalesce(col("_n"), lit(0L))).as("subtree_n"),
+        (col("v") + coalesce(col("_sv"), lit(0L))).as("subtree_sum"))
+  }
 }

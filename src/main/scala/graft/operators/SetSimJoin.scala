@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Prefix-filtering set-similarity self-join — the AllPairs/PPJoin
+  * candidate-generation family (Bayardo, Ma, Srikant, "Scaling Up All
+  * Pairs Similarity Search", WWW 2007; Xiao et al. PPJoin) as a Spark
+  * plan. This is the LOSSLESS counterpart to
+  * [[Dedup.ngramJaccardNearDupsFromPostings]]'s df-cap heuristic: the
+  * df cap drops candidate pairs whose every shared token is frequent
+  * (provably safe only when such pairs can't clear the threshold on the
+  * given data); the prefix filter is safe on EVERY input by the prefix
+  * theorem — order each record's tokens by a global total order
+  * (ascending document frequency, so rarest first), keep only the first
+  * p(x) = |x| − ⌈t·|x|⌉ + 1 tokens as index keys, and any pair with
+  * J(x,y) ≥ t must collide on at least one prefix token: a miss would
+  * leave |x∩y| ≤ |x| − p(x) = ⌈t·|x|⌉ − 1 < t·|x| ≤ t·|x∪y|.
+  *
+  * Scale design: the candidate join touches Σ over PREFIX tokens of
+  * df², and prefix tokens are by construction each record's rarest —
+  * frequent tokens (the df² blow-up) sit in suffixes and are never
+  * index keys. Verification gathers each candidate's full token set
+  * once (groupBy collect_set — one doc-sized array per side) and
+  * intersects per pair, so verify cost is candidates × avg set size,
+  * never corpus². The threshold is a rational tNum/tDen compared by
+  * integer cross-multiplication (|∩|·tDen ≥ |∪|·tNum), so results are
+  * exact and engine-independent — q113's DuckDB oracle states the
+  * UNFILTERED all-pairs join and must agree exactly, which is the
+  * losslessness theorem checked on real data.
+  */
+object SetSimJoin {
+
+  /** All pairs with Jaccard ≥ tNum/tDen over a distinct posting list
+    * `tokens` = (id, tok). Requires one row per (id, tok) — feed
+    * [[Dedup.ngramPostings]] output or `.distinct()` raw postings.
+    * Returns (id_a, id_b, inter, uni) with id_a < id_b — all BIGINT,
+    * no floats anywhere. */
+  def jaccardJoin(tokens: DataFrame, tNum: Int, tDen: Int,
+                  idCol: String = "id", tokCol: String = "tok"): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    val toks = tokens.select(col(idCol).cast("long").as("id"),
+      col(tokCol).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // global total order (df, tok): ties broken by the token itself so
+    // every engine/partitioning ranks identically
+    val ranked = toks.join(dfreq, "tok")
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("id").orderBy("df", "tok")))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+    // p = sz − ceil(t·sz) + 1, integer ceil; windows are per-id (no
+    // global window), so the rank pass stays partition-parallel
+    val pref = ranked.filter(
+      col("rnk") <= col("sz") - expr(s"(($tNum * sz) + $tDen - 1) div $tDen") + 1)
+    val cand = pref.select(col("id").as("id_a"), col("tok"))
+      .join(pref.select(col("id").as("id_b"), col("tok")), "tok")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val arrs = toks.groupBy("id").agg(collect_set(col("tok")).as("ts"))
+    cand
+      .join(arrs.select(col("id").as("id_a"), col("ts").as("ta")), "id_a")
+      .join(arrs.select(col("id").as("id_b"), col("ts").as("tb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+      .select("id_a", "id_b", "inter", "uni")
+  }
+}

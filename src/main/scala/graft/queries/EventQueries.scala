@@ -456,6 +456,40 @@ object EventQueries {
         .agg(max(col("conc")).cast("long").as("max_conc"),
           count(lit(1)).as("n_bounds"))
         .orderBy("day_idx")
+    },
+
+    // CDC log replay / snapshot time travel (ChangeCapture.replay):
+    // events re-read as a per-user upsert log (errors are deletes),
+    // reconstructed as of a mid-month instant. The engine runs the
+    // ONE-shuffle groupBy + max_by(payload, (ts, event_id)) with
+    // map-side combine; the oracle states the per-key window-sort
+    // formulation (row_number DESC = 1) — two different mechanisms,
+    // same last-writer-wins state. ts truncated to µs in the oracle
+    // BEFORE the as-of filter (the ns-vs-µs ground rule: a boundary
+    // event with sub-µs nanos would otherwise pass the cut in one
+    // engine only).
+    QueryDef.sql("q115_cdc_replay",
+      """WITH e0 AS (
+        |  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id,
+        |    event_type FROM events),
+        |e AS (SELECT * FROM e0 WHERE ts <= TIMESTAMP '2024-01-16 00:00:00'),
+        |ranked AS (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, event_id AS last_event, event_type AS last_type
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val log = Tables.events(s, d)
+        .filter(col("ts") <= expr("timestamp'2024-01-16 00:00:00'"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_id").as("last_event"), col("event_type").as("last_type"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+            .as("op"))
+      graft.operators.ChangeCapture.replay(log, Seq("user_id"),
+          Seq("ts", "event_id"), "op", Seq("last_event", "last_type"))
+        .orderBy("user_id")
     }
   )
 }

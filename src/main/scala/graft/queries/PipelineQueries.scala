@@ -1317,6 +1317,120 @@ object PipelineQueries {
       graft.operators.Dedup.connectedComponents(pairs, maxIter = 40)
         .select(col("id").as("node"), col("comp"))
         .orderBy("node")
+    },
+
+    // Prefix-filtering set-similarity join (SetSimJoin.jaccardJoin, the
+    // AllPairs/PPJoin family) over the SAME shared shingle postings as
+    // q69. The engine indexes only each doc's rarest
+    // |x|−⌈|x|/2⌉+1 shingles; the oracle runs the UNFILTERED all-pairs
+    // posting join — exact agreement is the prefix theorem's
+    // losslessness, checked on real data. Threshold 1/2 compared by
+    // integer cross-multiplication: every output column is BIGINT, no
+    // float discipline needed.
+    QueryDef.sql("q113_setsim_join",
+      """WITH post AS (SELECT * FROM read_parquet('__AUX__/q69_postings/*.parquet')),
+        |sizes AS (SELECT id, count(*) AS sz FROM post GROUP BY id),
+        |com AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b, c.inter, sa.sz + sb.sz - c.inter AS uni
+        |  FROM com c
+        |  JOIN sizes sa ON sa.id = c.id_a
+        |  JOIN sizes sb ON sb.id = c.id_b)
+        |SELECT id_a, id_b, inter, uni FROM pairs
+        |WHERE inter * 2 >= uni * 1 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val postings = Aux.share(
+        Dedup.ngramPostings(docsWithPlants(s, d), "doc_id", "text"),
+        d, "q69_postings")
+      graft.operators.SetSimJoin.jaccardJoin(postings, tNum = 1, tDen = 2,
+          idCol = "id", tokCol = "shingle")
+        .orderBy("id_a", "id_b")
+    },
+
+    // Bucket-digest table sync (TableSync.syncDiff — the anti-entropy /
+    // Merkle pattern): two orders snapshots with planted deletes
+    // (key%1000=7), updates (key%1000=13, +5 cents) and inserts
+    // (key%1000=21 re-keyed +1e9) are reconciled by comparing 64
+    // order-independent bucket digests and exact-diffing ONLY the dirty
+    // buckets. The oracle is the INDEPENDENT formulation — the full
+    // unpruned diff — so agreement proves the digest prune lost nothing
+    // end-to-end (the digests themselves are internal). All-integer.
+    QueryDef.sql("q114_table_sync",
+      """WITH oldS AS (
+        |  SELECT o_orderkey AS ok, o_custkey AS ck,
+        |    CAST(o_totalprice * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |newS AS (
+        |  SELECT ok, ck,
+        |    CASE WHEN ok % 1000 = 13 THEN cents + 5 ELSE cents END AS cents
+        |  FROM oldS WHERE ok % 1000 <> 7
+        |  UNION ALL
+        |  SELECT ok + 1000000000, ck, cents FROM oldS WHERE ok % 1000 = 21)
+        |SELECT COALESCE(n.ok, o.ok) AS ok,
+        |  CASE WHEN o.ok IS NULL THEN 'I'
+        |       WHEN n.ok IS NULL THEN 'D' ELSE 'U' END AS change
+        |FROM oldS o FULL OUTER JOIN newS n ON o.ok = n.ok
+        |WHERE o.ok IS NULL OR n.ok IS NULL
+        |   OR o.ck <> n.ck OR o.cents <> n.cents
+        |ORDER BY ok""".stripMargin) { (s, d) =>
+      import graft.operators.TableSync
+      val oldS = Tables.orders(s, d).select(
+        col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+        (col("o_totalprice") * 100).cast("long").as("cents"))
+      val newS = oldS.filter(col("ok") % 1000 =!= 7)
+        .withColumn("cents",
+          when(col("ok") % 1000 === 13, col("cents") + 5).otherwise(col("cents")))
+        .unionByName(oldS.filter(col("ok") % 1000 === 21)
+          .withColumn("ok", col("ok") + 1000000000L))
+      TableSync.syncDiff(oldS, newS,
+          keyH = TableSync.rowHash(Seq(col("ok"))),
+          rowH = TableSync.rowHash(Seq(col("ok"), col("ck"), col("cents"))),
+          buckets = 64, keyCols = Seq("ok"), cmpCols = Seq("ck", "cents"))
+        .orderBy("ok")
+    },
+
+    // Subtree rollup (Hierarchy.subtreeAgg): every customer's spend
+    // (order totals in cents) summed over their ENTIRE subtree of the
+    // q108 binary-halving forest. The engine squares the
+    // ancestor–descendant closure (O(log depth) self-joins); the oracle
+    // walks ancestors one level per recursion — the single-step
+    // formulation. All-integer (cents as BIGINT).
+    QueryDef.sql("q116_subtree_rollup",
+      """WITH RECURSIVE spend AS (
+        |  SELECT c_custkey AS id,
+        |    coalesce(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)), 0) AS v
+        |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |walk AS (
+        |  SELECT id AS descn, id // 2 AS anc FROM spend WHERE id >= 4
+        |  UNION
+        |  SELECT w.descn, w.anc // 2 FROM walk w WHERE w.anc >= 4),
+        |below AS (
+        |  SELECT w.anc, count(*) AS n, sum(s.v) AS sv
+        |  FROM walk w JOIN spend s ON s.id = w.descn
+        |  GROUP BY w.anc)
+        |SELECT s.id AS c_custkey,
+        |  CAST(1 + coalesce(b.n, 0) AS BIGINT) AS subtree_n,
+        |  CAST(s.v + coalesce(b.sv, 0) AS BIGINT) AS subtree_sum
+        |FROM spend s LEFT JOIN below b ON b.anc = s.id
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val spend = Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        // decimal(18,2) first: a bare double*100→long TRUNCATES in Spark
+        // but ROUNDS in DuckDB (observed off-by-one cents); the decimal
+        // round-trip is exact for money whose true precision fits 2dp
+        .agg(coalesce(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")), lit(0L)).as("v"))
+        .select(col("c_custkey"),
+          when(col("c_custkey") < 4, col("c_custkey"))
+            .otherwise(expr("c_custkey div 2")).as("parent"),
+          col("v"))
+      graft.operators.Hierarchy.subtreeAgg(spend, "c_custkey", "parent", "v")
+        .orderBy("c_custkey")
     }
   )
 }

@@ -69,4 +69,51 @@ class HierarchySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("not converged"))
   }
+
+  private def subtree(rows: Seq[(Long, Long, Long)]) = {
+    import spark.implicits._
+    Hierarchy.subtreeAgg(rows.toDF("id", "parent", "v"), "id", "parent", "v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  test("subtreeAgg: hand tree — counts and sums include the whole subtree") {
+    //        1(10)
+    //       /     \
+    //     2(20)   3(30)
+    //     /  \
+    //   4(40) 5(50)
+    val rows = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L),
+      (4L, 2L, 40L), (5L, 2L, 50L))
+    assert(subtree(rows) == Map(
+      1L -> (5L, 150L), 2L -> (3L, 110L), 3L -> (1L, 30L),
+      4L -> (1L, 40L), 5L -> (1L, 50L)))
+  }
+
+  test("subtreeAgg: matches a driver-side walk on a random forest, deep chain included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(116)
+    // 3 roots; node i attaches to a random earlier node — plus a long
+    // chain hanging off node 50 to force several squaring rounds
+    val base = (1L to 3L).map(i => (i, i, i * 100)) ++
+      (4L to 120L).map(i => (i, 1L + rnd.nextInt(i.toInt - 1), i)) ++
+      (200L to 260L).map(i => (i, if (i == 200L) 50L else i - 1, 1L))
+    val parentOf = base.map(r => r._1 -> r._2).toMap
+    def ancs(x: Long): Seq[Long] =
+      if (parentOf(x) == x) Seq(x) else x +: ancs(parentOf(x))
+    val expect = base.map { case (id, _, _) =>
+      val inSub = base.filter(r => ancs(r._1).contains(id))
+      id -> (inSub.size.toLong, inSub.map(_._3).sum)
+    }.toMap
+    assert(subtree(base) == expect)
+  }
+
+  test("subtreeAgg: cycles and dangling parents raise") {
+    import spark.implicits._
+    val cyc = Seq((1L, 2L, 1L), (2L, 1L, 1L))
+    val e1 = intercept[IllegalArgumentException] { subtree(cyc) }
+    assert(e1.getMessage.contains("cycle") || e1.getMessage.contains("not converged"))
+    val dang = Seq((1L, 1L, 1L), (2L, 99L, 1L))
+    val e2 = intercept[IllegalArgumentException] { subtree(dang) }
+    assert(e2.getMessage.contains("not themselves nodes"))
+  }
 }
