@@ -112,4 +112,21 @@ object Curation {
       .withColumn("pack_id", expr(s"cum_before div $budget"))
       .withColumn("pack_offset", col("cum_before") % budget)
   }
+
+  /** Leakage-safe fold assignment: a train/eval split that hashes raw
+    * ids leaks — two near-duplicate documents can land on opposite
+    * sides, and the eval side then scores memorization. Fold by the
+    * near-dup GROUP instead: connected components over the verified
+    * near-dup pairs ([[Dedup.connectedComponents]] — star contraction,
+    * O(log n) rounds), then fold = component min-id mod `folds`, so
+    * every member of a group lands in the same fold by construction.
+    * Output: (id, comp, fold) for every id in a pair; singleton docs
+    * (no pair) are their own group and can be folded by raw id
+    * downstream. All-integer (q119's oracle recomputes the components
+    * by recursive reachability and must agree on every fold count). */
+  def groupAwareFolds(pairs: DataFrame, folds: Int): DataFrame = {
+    require(folds > 0)
+    Dedup.connectedComponents(pairs)
+      .withColumn("fold", pmod(col("comp"), lit(folds.toLong)))
+  }
 }

@@ -1431,6 +1431,59 @@ object PipelineQueries {
           col("v"))
       graft.operators.Hierarchy.subtreeAgg(spend, "c_custkey", "parent", "v")
         .orderBy("c_custkey")
+    },
+
+    // BPE merge-candidate counting (Bpe.adjacentPairCounts — the
+    // expensive half of a tokenizer-training round): top-20 adjacent
+    // word pairs over the corpus. The engine zips each doc's token
+    // array against its own tail (transform over a bound attribute);
+    // the oracle enumerates positions and self-indexes — two different
+    // pair enumerations, same counts. LIMIT is deterministic: (cnt
+    // DESC, w1, w2) is a total order.
+    QueryDef.sql("q118_bpe_pairs",
+      """WITH d AS (SELECT string_split(text, ' ') AS arr FROM documents),
+        |pairs AS (
+        |  SELECT arr[pos] AS w1, arr[pos + 1] AS w2
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS pos) p
+        |  WHERE len(arr) >= 2)
+        |SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY 1, 2
+        |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+      graft.operators.Bpe.adjacentPairCounts(Tables.documents(s, d), "text")
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(20)
+    },
+
+    // Leakage-safe fold assignment (Curation.groupAwareFolds): fold by
+    // near-dup GROUP (connected components of the q112 trade graph),
+    // not by raw id, so related items can never straddle train/eval.
+    // The engine runs star contraction + mod; the oracle recomputes
+    // components by recursive reachability (Σ size² rows — oracle-only
+    // economics) and must agree on every fold's membership counts.
+    QueryDef.sql("q119_group_folds",
+      """WITH RECURSIVE pair AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE l_quantity < 2 AND l_discount < 0.03),
+        |edges AS (SELECT c*2 AS src, s*2+1 AS dst FROM pair
+        |  UNION ALL SELECT s*2+1 AS src, c*2 AS dst FROM pair),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach AS (
+        |  SELECT node, node AS label FROM nodes
+        |  UNION
+        |  SELECT r.node, e.dst AS label FROM reach r JOIN edges e ON e.src = r.label),
+        |comp AS (SELECT node, min(label) AS comp FROM reach GROUP BY node)
+        |SELECT comp % 7 AS fold, count(*) AS n_nodes,
+        |  CAST(count(DISTINCT comp) AS BIGINT) AS n_groups
+        |FROM comp GROUP BY 1 ORDER BY fold""".stripMargin) { (s, d) =>
+      val pair = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_quantity") < 2 && col("l_discount") < 0.03)
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+      val pairs = pair.select((col("c") * 2).as("id_a"), (col("s") * 2 + 1).as("id_b"))
+      graft.operators.Curation.groupAwareFolds(pairs, folds = 7)
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_nodes"),
+          count_distinct(col("comp")).as("n_groups"))
+        .orderBy("fold")
     }
   )
 }

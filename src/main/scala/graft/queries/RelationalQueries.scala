@@ -570,6 +570,33 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
         .orderBy("o_orderpriority", "bucket")
+    },
+
+    // Bounded top-k per group (TopKAgg.topKPerGroup): each customer's 3
+    // priciest orders. The engine aggregates with a k-bounded
+    // map-side-combined buffer (the exchange carries ≤ k pairs per
+    // group per partition, nothing globally sorted); the oracle IS the
+    // window formulation (row_number ≤ 3) the aggregate replaces.
+    // Ties broken by orderkey; cents through DECIMAL(18,2) (the money
+    // ground rule). All-BIGINT output.
+    QueryDef.sql("q117_topk_per_group",
+      """WITH cents AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders),
+        |ranked AS (
+        |  SELECT o_custkey, o_orderkey, v,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY v DESC, o_orderkey) AS rnk
+        |  FROM cents)
+        |SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey, v
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin) { (s, d) =>
+      val cents = orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      graft.operators.TopKAgg
+        .topKPerGroup(cents, "o_custkey", "v", "o_orderkey", k = 3)
+        .orderBy("o_custkey", "rnk")
     }
   )
 }
