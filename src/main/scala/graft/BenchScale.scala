@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Bfs, BloomJoin, ChangeCapture, Cooccur,
+import graft.operators.{AsofJoin, Bfs, BloomJoin, Bpe, ChangeCapture, Cooccur,
   CountMin, Curation, Dedup, Funnel, Fuzzy, Hierarchy, IvfIndex, PageRank,
-  PrefixSum, RangeJoin, Retrieval, Scd, Skyline, Triangles, ZOrder}
+  PrefixSum, RangeJoin, Retrieval, Scd, SetSimJoin, Skyline, TableSync,
+  TopKAgg, Triangles, ZOrder}
 
 /** Scale-stress harness for the dedup/ANN families: measures how runtime
   * grows with corpus size, so the "candidate cost is Σ df²" / "probe
@@ -347,6 +348,67 @@ object BenchScale {
         val sources = pair.select((col("s") * 2 + 1).as("node"))
           .filter(col("node") < 21).distinct()
         Bfs.distances(edges, sources).count()
+      },
+      "setsim_prefix" -> { k =>
+        // word salting keeps each copy's shingle space disjoint: the
+        // prefix index grows k× but collides only within a copy, so
+        // candidates (and true pairs) grow k×, never k²
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        SetSimJoin.jaccardJoin(Dedup.ngramPostings(d, "doc_id", "text"),
+          tNum = 1, tDen = 2, idCol = "id", tokCol = "shingle").count()
+      },
+      "table_sync" -> { k =>
+        // both snapshots grow k×, planted edits grow k×: the digest
+        // pass is two scans + a 64-row digest compare, and the repair
+        // join touches only dirty-bucket rows
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+          .select(col("event_id").as("id"), col("user_id").as("u"))
+        val oldS = e
+        val newS = e.filter(col("id") % 1000 =!= 7)
+          .withColumn("u",
+            when(col("id") % 1000 === 13, col("u") + 1).otherwise(col("u")))
+        TableSync.syncDiff(oldS, newS,
+          keyH = TableSync.rowHash(Seq(col("id"))),
+          rowH = TableSync.rowHash(Seq(col("id"), col("u"))),
+          buckets = 64, keyCols = Seq("id"), cmpCols = Seq("u")).count()
+      },
+      "topk_group" -> { k =>
+        // k× users (groups), identical per-user streams: the bounded
+        // buffer keeps per-group work constant while groups scale out
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        TopKAgg.topKPerGroup(
+          e.withColumn("v", col("event_id") % 1000),
+          "user_id", "v", "event_id", k = 3).count()
+      },
+      "bpe_pairs" -> { k =>
+        // salted copies have disjoint pair spaces: the pair-count
+        // shuffle's key space grows k× along with the scan
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        Bpe.adjacentPairCounts(d, "text").count()
+      },
+      "cdc_replay" -> { k =>
+        // k× keys, same per-key log depth: one map-side-combined
+        // shuffle whose output is key-sized
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"),
+            when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+              .as("op"))
+        ChangeCapture.replay(e, Seq("user_id"), Seq("ts", "event_id"),
+          "op", Seq("event_type")).count()
+      },
+      "subtree_rollup" -> { k =>
+        // same per-copy binary forests as `hierarchy`: depth (and so
+        // squaring rounds) constant, closure rows grow k×
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val nodes = e.select(col("user_id")).distinct()
+          .withColumn("local", col("user_id") % 10000000L)
+          .select(col("user_id"),
+            when(col("local") < 4, col("user_id"))
+              .otherwise(col("user_id") - col("local") + expr("local div 2"))
+              .as("parent"),
+            (col("user_id") % 100L).as("v"))
+        Hierarchy.subtreeAgg(nodes, "user_id", "parent", "v").count()
       },
       "components_star" -> { k =>
         // copy tag inside the hub id keeps the k copies' graphs
