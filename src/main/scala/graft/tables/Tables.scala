@@ -24,16 +24,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects; read `ts` as nano-longs and convert to a
-    * microsecond timestamp column. */
+  /** events.parquet has shipped as TIMESTAMP(NANOS) in some rounds (which
+    * Spark's vectorized parquet reader rejects) and as naive
+    * TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ) in others; normalize both to the
+    * session-local TIMESTAMP type every consumer expects. With
+    * `nanosAsLong` set, a nanos file reads `ts` as a LongType of
+    * nanoseconds — integer-divide to µs; an NTZ column casts to TIMESTAMP
+    * epoch-exactly because the session timezone is pinned to UTC. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
-    // integer `div`, NOT `/`: Column./ is double division and loses
-    // precision at nanosecond magnitudes (~1.7e18), shifting some
-    // timestamps by 1µs
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, NOT `/`: Column./ is double division and loses
+        // precision at nanosecond magnitudes (~1.7e18), shifting some
+        // timestamps by 1µs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
