@@ -26,11 +26,14 @@ object Bench {
     // two polluted runs; a median of 3 tolerates one. This is the same
     // signature as the r05 gate's contiguous q57–q68 cluster.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    // Dev-only AQE toggle for measuring adaptive-execution overhead at
+    // bench scale (the driver never sets it).
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
       // 80 queries x several WSCG fragments each blows through the
       // default 100-entry generated-class cache, so pass-interleaved
       // runs would re-janino-compile (and re-JIT) every fragment every

@@ -124,9 +124,15 @@ object Curation {
     * (no pair) are their own group and can be folded by raw id
     * downstream. All-integer (q119's oracle recomputes the components
     * by recursive reachability and must agree on every fold count). */
-  def groupAwareFolds(pairs: DataFrame, folds: Int): DataFrame = {
+  def groupAwareFolds(pairs: DataFrame, folds: Int): DataFrame =
+    foldsFromComponents(Dedup.connectedComponents(pairs), folds)
+
+  /** [[groupAwareFolds]] over an already-computed component assignment
+    * (id, comp) — the production shape: the near-dup group map is built
+    * once (and typically persisted; see Aux.share's write-once store)
+    * and fold assignment is a cheap derivation over it. */
+  def foldsFromComponents(comps: DataFrame, folds: Int): DataFrame = {
     require(folds > 0)
-    Dedup.connectedComponents(pairs)
-      .withColumn("fold", pmod(col("comp"), lit(folds.toLong)))
+    comps.withColumn("fold", pmod(col("comp"), lit(folds.toLong)))
   }
 }

@@ -78,9 +78,14 @@ object TableSync {
   def syncDiff(oldDf: DataFrame, newDf: DataFrame, keyH: Column,
                rowH: Column, buckets: Int,
                keyCols: Seq[String], cmpCols: Seq[String]): DataFrame = {
+    // persist: `dirty` (≤ buckets rows) is broadcast into BOTH scans'
+    // semi-joins below; without caching, each broadcast re-runs both
+    // digest scans+aggregations (AQE's broadcast rewrite defeats
+    // ReuseExchange across the two consumers — same mechanism as
+    // [[SetSimJoin.jaccardJoin]]'s persisted stages)
     val dirty = dirtyBuckets(
       bucketDigest(oldDf, keyH, rowH, buckets),
-      bucketDigest(newDf, keyH, rowH, buckets))
+      bucketDigest(newDf, keyH, rowH, buckets)).persist()
     val b = pmod(keyH, lit(buckets.toLong))
     // dirty is ≤ buckets rows — broadcast the prune into both scans
     def prune(df: DataFrame): DataFrame = df

@@ -1309,12 +1309,7 @@ object PipelineQueries {
         |  SELECT r.node, e.dst AS label FROM reach r JOIN edges e ON e.src = r.label),
         |comp AS (SELECT node, min(label) AS comp FROM reach GROUP BY node)
         |SELECT node, comp FROM comp ORDER BY node""".stripMargin) { (s, d) =>
-      val pair = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .filter(col("l_quantity") < 2 && col("l_discount") < 0.03)
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
-      val pairs = pair.select((col("c") * 2).as("id_a"), (col("s") * 2 + 1).as("id_b"))
-      graft.operators.Dedup.connectedComponents(pairs, maxIter = 40)
+      tradeComponents(s, d)
         .select(col("id").as("node"), col("comp"))
         .orderBy("node")
     },
@@ -1474,16 +1469,30 @@ object PipelineQueries {
         |SELECT comp % 7 AS fold, count(*) AS n_nodes,
         |  CAST(count(DISTINCT comp) AS BIGINT) AS n_groups
         |FROM comp GROUP BY 1 ORDER BY fold""".stripMargin) { (s, d) =>
-      val pair = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .filter(col("l_quantity") < 2 && col("l_discount") < 0.03)
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
-      val pairs = pair.select((col("c") * 2).as("id_a"), (col("s") * 2 + 1).as("id_b"))
-      graft.operators.Curation.groupAwareFolds(pairs, folds = 7)
+      graft.operators.Curation.foldsFromComponents(tradeComponents(s, d), folds = 7)
         .groupBy("fold")
         .agg(count(lit(1)).as("n_nodes"),
           count_distinct(col("comp")).as("n_groups"))
         .orderBy("fold")
     }
   )
+
+  /** Connected components of the sparsified trade graph, materialized
+    * once per sf via [[Aux.share]] (write-once, content-stamped) and
+    * consumed by BOTH q112 (the component map itself, oracle-gated
+    * against DuckDB recursive reachability) and q119 (leakage-safe fold
+    * assignment over the groups). The production shape: a near-dup /
+    * entity-resolution group map is an index built once and derived
+    * from many times, not recomputed per downstream query — same
+    * pattern as the q69/q113 shared shingle postings and the persisted
+    * IVF store. */
+  private def tradeComponents(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Aux.shareBuilt(s, d, "q112_components") {
+      val pair = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_quantity") < 2 && col("l_discount") < 0.03)
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+      val pairs = pair.select((col("c") * 2).as("id_a"), (col("s") * 2 + 1).as("id_b"))
+      graft.operators.Dedup.connectedComponents(pairs, maxIter = 40)
+    }
 }
