@@ -490,6 +490,36 @@ object EventQueries {
       graft.operators.ChangeCapture.replay(log, Seq("user_id"),
           Seq("ts", "event_id"), "op", Seq("last_event", "last_type"))
         .orderBy("user_id")
+    },
+
+    // Semi-structured JSON extraction: the events `props` column is a
+    // JSON string; from_json with an explicit DDL schema gives a TYPED
+    // struct at the scan (JsonToStructs is codegen-friendly and the
+    // parse runs once per row inside the same stage as the aggregation
+    // — no UDF, no second pass). Schema-on-read is the 100 TB shape:
+    // declaring only the needed field parses only that field. The
+    // oracle extracts per-row with DuckDB's JSON path functions — an
+    // entirely different parser, so agreement checks the extraction
+    // semantics, not the implementation. All-BIGINT stats (sum cast per
+    // the HUGEINT rule).
+    QueryDef.sql("q120_json_extract",
+      """WITH j AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_k
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), "k BIGINT", Map.empty[String, String])
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          count_distinct(col("k")).as("n_k"))
+        .orderBy("event_type")
     }
   )
 }

@@ -597,6 +597,94 @@ object RelationalQueries {
       graft.operators.TopKAgg
         .topKPerGroup(cents, "o_custkey", "v", "o_orderkey", k = 3)
         .orderBy("o_custkey", "rnk")
+    },
+
+    // Schema-evolution union: a table whose later snapshot gained a
+    // column (the 100 TB reality — partitions written by different
+    // pipeline versions coexist). unionByName(allowMissingColumns)
+    // aligns by NAME and null-fills the pre-migration rows — no
+    // positional mismatch, no rewrite of old partitions; the oracle is
+    // DuckDB's UNION ALL BY NAME. NULL never reaches the ORDER BY
+    // (coalesced to a sentinel) so engine null-ordering defaults can't
+    // differ; cents through DECIMAL (money rule); sum cast BIGINT
+    // (DuckDB HUGEINT rule).
+    QueryDef.sql("q121_schema_union",
+      """WITH oldsnap AS (
+        |  SELECT o_orderkey AS ok, o_custkey AS ck,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |newsnap AS (
+        |  SELECT o_orderkey AS ok, o_custkey AS ck,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    o_orderpriority AS priority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+        |merged AS (SELECT * FROM oldsnap UNION ALL BY NAME SELECT * FROM newsnap)
+        |SELECT coalesce(priority, '(pre-migration)') AS priority,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY 1 ORDER BY priority""".stripMargin) { (s, d) =>
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents")
+      val oldSnap = orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"), cents)
+      val newSnap = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz"))
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"), cents,
+          col("o_orderpriority").as("priority"))
+      oldSnap.unionByName(newSnap, allowMissingColumns = true)
+        .groupBy(coalesce(col("priority"), lit("(pre-migration)")).as("priority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("priority")
+    },
+
+    // Declarative data-quality audit (operators/Quality): null/range
+    // checks share ONE scan per table (conditional counts in one
+    // map-side-combined aggregation, unpivoted by stack), uniqueness is
+    // one key shuffle (Σ (n−1), never a self-join), FK orphans and
+    // childless parents are distinct-key anti-joins. The oracle
+    // restates every check as an independent scalar subquery. Two
+    // checks trip for real (l_discount cap, o_totalprice cap), one
+    // "claimed unique" key is massively duplicated — nonzero counts
+    // prove the counting, zeros prove the absence of false positives.
+    QueryDef.sql("q122_dq_audit",
+      """SELECT 'events.event_id unique' AS "check",
+        |  CAST((SELECT coalesce(sum(n - 1), 0) FROM
+        |    (SELECT count(*) AS n FROM events GROUP BY event_id) WHERE n > 1)
+        |    AS BIGINT) AS violations
+        |UNION ALL SELECT 'events.user_id in customer',
+        |  CAST((SELECT count(*) FROM events e WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS BIGINT)
+        |UNION ALL SELECT 'lineitem.l_discount <= 0.05',
+        |  CAST((SELECT count(*) FROM lineitem WHERE l_discount > 0.05) AS BIGINT)
+        |UNION ALL SELECT 'lineitem.l_quantity not null',
+        |  CAST((SELECT count(*) FROM lineitem WHERE l_quantity IS NULL) AS BIGINT)
+        |UNION ALL SELECT 'orders have lineitems',
+        |  CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT)
+        |UNION ALL SELECT 'orders.o_custkey unique',
+        |  CAST((SELECT coalesce(sum(n - 1), 0) FROM
+        |    (SELECT count(*) AS n FROM orders GROUP BY o_custkey) WHERE n > 1)
+        |    AS BIGINT)
+        |UNION ALL SELECT 'orders.o_totalprice <= 400000',
+        |  CAST((SELECT count(*) FROM orders WHERE o_totalprice > 400000) AS BIGINT)
+        |ORDER BY "check"""".stripMargin) { (s, d) =>
+      import graft.operators.Quality
+      val li = lineitem(s, d); val o = orders(s, d)
+      val ev = graft.tables.Tables.events(s, d); val c = customer(s, d)
+      Quality.scalarAudit(li, Seq(
+          "lineitem.l_discount <= 0.05" -> (col("l_discount") > 0.05),
+          "lineitem.l_quantity not null" -> col("l_quantity").isNull))
+        .unionByName(Quality.scalarAudit(o, Seq(
+          "orders.o_totalprice <= 400000" -> (col("o_totalprice") > 400000))))
+        .unionByName(Quality.uniquenessExcess(o, Seq("o_custkey"),
+          "orders.o_custkey unique"))
+        .unionByName(Quality.uniquenessExcess(ev, Seq("event_id"),
+          "events.event_id unique"))
+        .unionByName(Quality.orphanCount(ev, "user_id", c, "c_custkey",
+          "events.user_id in customer"))
+        .unionByName(Quality.childlessCount(o, "o_orderkey", li, "l_orderkey",
+          "orders have lineitems"))
+        .orderBy("check")
     }
   )
 }
