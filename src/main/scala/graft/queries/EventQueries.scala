@@ -520,6 +520,27 @@ object EventQueries {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"),
           count_distinct(col("k")).as("n_k"))
         .orderBy("event_type")
+    },
+
+    // Stream–static dimension enrichment (streaming/EnrichStreams):
+    // the events fact stream joined to the customer→nation dimension
+    // chain (broadcast, reduced to (user_id, n_name) before shipping —
+    // the join is STATELESS, only the windowed agg carries state), then
+    // 5-minute windows per nation. Batch twin of the streaming query
+    // EnrichStreamsSpec proves equivalent; DuckDB restates it as plain
+    // joins + time_bucket (epoch_ms ∘ time_bucket is floor ∘ floor, so
+    // the ns/µs ground rule is satisfied without a truncation CTE).
+    QueryDef.sql("q123_stream_enrich",
+      """SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', e.ts)) AS window_start_ms,
+        |  n_name, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e
+        |JOIN customer c ON c.c_custkey = e.user_id
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      graft.streaming.EnrichStreams.enrichedNationAgg(
+          Tables.events(s, d), Tables.customer(s, d), Tables.nation(s, d))
+        .orderBy("window_start_ms", "n_name")
     }
   )
 }
