@@ -541,6 +541,38 @@ object EventQueries {
       graft.streaming.EnrichStreams.enrichedNationAgg(
           Tables.events(s, d), Tables.customer(s, d), Tables.nation(s, d))
         .orderBy("window_start_ms", "n_name")
+    },
+
+    // Event-transition matrix (Markov clickstream analysis): per-user
+    // event sequences ordered by the (ts, event_id) TOTAL order (the
+    // tie-break makes equal-timestamp neighbors deterministic in both
+    // engines; ts truncated to µs in the oracle per the ns ground
+    // rule), lag(1) per user, count per (prev, next) pair. First event
+    // of each user transitions from the '(start)' sentinel — coalesced
+    // BEFORE the ORDER BY so engine null-ordering defaults never
+    // matter. One user_id window partitioning + one pair shuffle.
+    QueryDef.sql("q125_transitions",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    make_timestamp(epoch_us(ts)) AS ts
+        |  FROM events),
+        |ordered AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM e)
+        |SELECT coalesce(prev_type, '(start)') AS prev_type,
+        |  event_type AS next_type, count(*) AS n
+        |FROM ordered GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin) { (s, d) =>
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("event_type"),
+          lag(col("event_type"), 1).over(byUser).as("prev_type"))
+        .groupBy(coalesce(col("prev_type"), lit("(start)")).as("prev_type"),
+          col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
     }
   )
 }

@@ -1287,6 +1287,43 @@ object PipelineQueries {
       graft.operators.Bfs.distances(edges, sources).orderBy("node")
     },
 
+    // Weighted single-source-set shortest paths (Sssp.shortestPaths,
+    // Bellman–Ford frontier relaxation — the weighted sibling of q110's
+    // hop-count BFS, over the same trade graph with per-pair min
+    // lineitem quantity as the edge weight). All-integer distances; the
+    // oracle walks every path with dist < 200 (a bound safely above any
+    // true shortest distance — the engine raises if rounds exceed 64,
+    // so a bound breach cannot pass silently) and takes min per node.
+    QueryDef.sql("q124_sssp",
+      """WITH RECURSIVE pair AS (
+        |  SELECT o_custkey AS c, l_suppkey AS s,
+        |    CAST(min(l_quantity) AS BIGINT) AS w
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE l_quantity < 3 GROUP BY 1, 2),
+        |edges AS (SELECT c*2 AS src, s*2+1 AS dst, w FROM pair
+        |  UNION ALL SELECT s*2+1 AS src, c*2 AS dst, w FROM pair),
+        |srcs AS (SELECT DISTINCT c_custkey*2 AS node FROM customer
+        |         WHERE c_custkey < 10),
+        |walk AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS dist FROM srcs
+        |  UNION
+        |  SELECT e.dst, wk.dist + e.w FROM walk wk JOIN edges e ON e.src = wk.node
+        |  WHERE wk.dist + e.w < 200)
+        |SELECT node, min(dist) AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+      val pair = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_quantity") < 3)
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .agg(min(col("l_quantity")).cast("long").as("w"))
+      val edges = pair.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
+        .unionByName(pair.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"), col("w")))
+      val sources = Tables.customer(s, d).filter(col("c_custkey") < 10)
+        .select((col("c_custkey") * 2).as("node"))
+      graft.operators.Sssp.shortestPaths(edges, sources, maxRounds = 64)
+        .orderBy("node")
+    },
+
     // Connected components, oracle-gated (the fixpoint min-label
     // propagation in Dedup.connectedComponents has been spec-only since
     // round 3 — this pins it to a DuckDB oracle on a harder-sparsified
