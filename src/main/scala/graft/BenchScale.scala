@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{AsofJoin, Bfs, BloomJoin, Bpe, ChangeCapture, Cooccur,
   CountMin, Curation, Dedup, Funnel, Fuzzy, Hierarchy, IvfIndex, PageRank,
-  PrefixSum, RangeJoin, Retrieval, Scd, SetSimJoin, Skyline, TableSync,
+  PrefixSum, RangeJoin, Retrieval, Scd, SetSimJoin, Skyline, Sssp, TableSync,
   TopKAgg, Triangles, ZOrder}
 
 /** Scale-stress harness for the dedup/ANN families: measures how runtime
@@ -348,6 +348,24 @@ object BenchScale {
         val sources = pair.select((col("s") * 2 + 1).as("node"))
           .filter(col("node") < 21).distinct()
         Bfs.distances(edges, sources).count()
+      },
+      "sssp" -> { k =>
+        // same k×-users / fixed-hubs bipartite construction as "bfs":
+        // round count pinned by the 2-hop eccentricity, per-round
+        // relaxation neighborhood grows k× — cost should track edge
+        // volume ~linearly (weights from event_id make min-combining
+        // non-trivial without changing the round structure)
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val pair = e.groupBy(col("user_id").as("c"),
+            (col("event_id") % 1000).as("s"))
+          .agg((min(col("event_id")) % 7 + 1).as("w"))
+        val edges = pair.select((col("c") * 2).as("src"),
+            (col("s") * 2 + 1).as("dst"), col("w"))
+          .unionByName(pair.select((col("s") * 2 + 1).as("src"),
+            (col("c") * 2).as("dst"), col("w")))
+        val sources = pair.select((col("s") * 2 + 1).as("node"))
+          .filter(col("node") < 21).distinct()
+        Sssp.shortestPaths(edges, sources).count()
       },
       "setsim_prefix" -> { k =>
         // word salting keeps each copy's shingle space disjoint: the
