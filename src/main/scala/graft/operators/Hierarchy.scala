@@ -87,23 +87,30 @@ object Hierarchy {
     * recursive-CTE "sum below me" walk (q116's oracle states it
     * directly).
     *
-    * Mechanism: build the full ancestor–descendant closure by REPEATED
-    * SQUARING — C₀ = parent edges, C_{k+1} = C_k ∪ (C_k ∘ C_k) — so
-    * pairs at distance up to 2^k exist after k rounds: O(log depth)
-    * self-joins instead of the CTE's O(depth) passes. Then one
-    * groupBy(ancestor) over the closure joined to values. The closure
-    * has Σ_v depth(v) rows — which is also the information a
-    * per-ancestor rollup must move, so the space is inherent to the
-    * answer, and the squaring trades rounds for it (a leaf-upward
-    * level-by-level aggregation would use O(nodes) state but O(depth)
-    * sequential shuffles). Rounds go through [[Iterate.materialize]]
-    * (self-join loop — see [[Iterate]]).
+    * Mechanism: build the full ancestor–descendant closure in O(log
+    * depth) rounds by BINARY DECOMPOSITION, duplicate-free: carry
+    * J_k = pairs at distance EXACTLY 2^k (doubled each round,
+    * n-bounded) and C_k = pairs at distance < 2^{k+1}; the new band
+    * [2^k, 2^{k+1}) is J_k ∘ (id ∪ C_{k-1}) — and because every
+    * distance has a UNIQUE binary decomposition (and in a forest every
+    * (desc, anc) pair a unique distance), each closure pair is
+    * generated EXACTLY ONCE: plain unions, never a distinct (the
+    * earlier squaring formulation C ∪ C∘C re-derived every pair once
+    * per split point and paid a full closure-sized distinct shuffle
+    * every round). Then one groupBy(ancestor) over the closure joined
+    * to values. The closure has Σ_v depth(v) rows — which is also the
+    * information a per-ancestor rollup must move, so the space is
+    * inherent to the answer (a leaf-upward level-by-level aggregation
+    * would use O(nodes) state but O(depth) sequential shuffles). Rounds
+    * go through [[Iterate.materialize]] (self-join loop — see
+    * [[Iterate]]).
     *
-    * Convergence = closure count fixpoint; cycles are caught exactly
-    * (any cycle of length L puts (v,v) into the closure after ⌈log₂L⌉
-    * squarings — checked and raised), and parents that are not
-    * themselves nodes raise rather than silently acting as virtual
-    * roots. All-integer. */
+    * Convergence = the jump pointer set empties (rounds =
+    * ⌈log₂ depth⌉ + 1; per-round count is over the n-bounded jump set,
+    * not the closure); a cycle keeps jumps alive forever, so it hits
+    * maxRounds and raises, and the closure additionally asserts no
+    * self-ancestor pair. Parents that are not themselves nodes raise
+    * rather than silently acting as virtual roots. All-integer. */
   def subtreeAgg(nodes: DataFrame, idCol: String, parentCol: String,
                  valCol: String, maxRounds: Int = 40): DataFrame = {
     val isRoot = col(parentCol).isNull || col(parentCol) === col(idCol)
@@ -116,23 +123,40 @@ object Hierarchy {
       .join(n.select(col("id").as("par")), Seq("par"), "left_anti").count()
     require(dangling == 0,
       s"Hierarchy.subtreeAgg: $dangling nodes have parent ids that are not themselves nodes")
-    var clo = Iterate.materialize(
+    var jump = Iterate.materialize(
       n.filter(col("par").isNotNull)
         .select(col("id").as("desc"), col("par").as("anc")))
+    var clo = jump // pairs at distance in [1, 2)
     var rounds = 0
-    var prev = -1L
-    var cnt = clo.count()
-    while (cnt != prev && rounds < maxRounds) {
-      prev = cnt
-      val comp = clo.select(col("desc"), col("anc").as("mid"))
-        .join(clo.select(col("desc").as("mid"), col("anc")), "mid")
-        .select("desc", "anc")
-      clo = Iterate.materialize(clo.unionByName(comp).distinct())
-      cnt = clo.count()
+    var jumpCnt = jump.count()
+    // in a true forest depth ≤ |nodes|, so jumps empty within
+    // ⌈log₂ n⌉ + 1 rounds — a cycle (which keeps jumps alive forever)
+    // is caught right after that bound instead of spinning to maxRounds
+    val roundBound = math.min(maxRounds.toLong,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n.count())) + 1)
+    while (jumpCnt > 0 && rounds < roundBound) {
       rounds += 1
+      // distance exactly 2^rounds
+      val j2 = Iterate.materialize(
+        jump.select(col("desc"), col("anc").as("mid"))
+          .join(jump.select(col("desc").as("mid"), col("anc")), "mid")
+          .select("desc", "anc"))
+      jumpCnt = j2.count()
+      if (jumpCnt > 0) {
+        // new band [2^rounds, 2^{rounds+1}) = j2 ∘ (id ∪ clo-so-far);
+        // unique binary decomposition ⇒ no duplicates, no distinct
+        val band = j2.unionByName(
+          j2.select(col("desc"), col("anc").as("mid"))
+            .join(clo.select(col("desc").as("mid"), col("anc")), "mid")
+            .select("desc", "anc"))
+        clo = Iterate.materialize(clo.unionByName(band))
+        jump = j2
+      }
     }
-    require(cnt == prev,
-      s"Hierarchy.subtreeAgg: closure not converged after $maxRounds rounds")
+    require(jumpCnt == 0,
+      s"Hierarchy.subtreeAgg: jump pointers still alive after $rounds " +
+        "doubling rounds — cycle in parent pointers (a forest of n nodes " +
+        "converges within log2(n)+1 rounds), or maxRounds set below that")
     require(clo.filter(col("desc") === col("anc")).isEmpty,
       "Hierarchy.subtreeAgg: cycle in parent pointers (self-ancestor pair in closure)")
     val below = clo.join(n.select(col("id").as("desc"), col("v")), "desc")
