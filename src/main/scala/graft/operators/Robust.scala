@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust per-group statistics — discrete medians and MAD
+  * (median-absolute-deviation) outlier flagging, the resistant
+  * alternative to mean/σ z-scores (one corrupted ingest batch moves a
+  * mean arbitrarily; it moves a median by at most one rank).
+  *
+  * Everything is INTEGER-exact: the discrete median is the element at
+  * rank ⌈n/2⌉ of the group's value order — an actual data value, no
+  * interpolation, no floats — which DuckDB's percentile_disc(0.5)
+  * selects identically (first value with cumulative distribution
+  * ≥ 0.5), so q126's oracle is a genuinely independent formulation.
+  * MAD is the discrete median of |v − med|, and the outlier rule
+  * |v − med| > c·MAD compares longs.
+  *
+  * Scale: two window passes partitioned by the GROUP key (rank and
+  * rank-of-deviation) + group-sized joins — never a global window;
+  * group cardinality bounds every shuffle. Ties within a value are
+  * broken by `idCol` for a deterministic ORDER, but the selected
+  * median VALUE is tie-invariant (the value at a fixed rank does not
+  * depend on how equal values are ordered).
+  */
+object Robust {
+
+  /** Per-group (n, med): the discrete lower median of `valCol`. */
+  def groupMedian(df: DataFrame, grpCol: String, valCol: String,
+                  idCol: String): DataFrame = {
+    val w = Window.partitionBy(grpCol).orderBy(col("_v"), col(idCol))
+    df.select(col(grpCol), col(valCol).cast("long").as("_v"), col(idCol))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(grpCol)))
+      .filter(col("_rn") === expr("(_n + 1) div 2"))
+      .select(col(grpCol), col("_n").as("n"), col("_v").as("med"))
+  }
+
+  /** Per-group robust profile: n, discrete median, MAD (discrete
+    * median of |v − med|), and the count of rows with
+    * |v − med| > `c`·MAD. */
+  def madOutliers(df: DataFrame, grpCol: String, valCol: String,
+                  idCol: String, c: Long = 5L): DataFrame = {
+    val vals = df.select(col(grpCol), col(valCol).cast("long").as("_v"),
+      col(idCol))
+    val med = groupMedian(df, grpCol, valCol, idCol)
+    // persist: `dev` feeds BOTH the MAD rank pass and the final
+    // aggregation — without caching the upstream median window chain
+    // runs twice (the AQE-reuse lesson, see SetSimJoin.jaccardJoin)
+    val dev = vals.join(med, grpCol)
+      .withColumn("_d", abs(col("_v") - col("med"))).persist()
+    val wd = Window.partitionBy(grpCol).orderBy(col("_d"), col(idCol))
+    val mad = dev
+      .withColumn("_rn", row_number().over(wd))
+      .filter(col("_rn") === expr("(n + 1) div 2"))
+      .select(col(grpCol), col("_d").as("mad"))
+    dev.join(mad, grpCol)
+      .groupBy(grpCol)
+      .agg(first(col("n")).as("n"), first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("_d") > lit(c) * col("mad"), 1L).otherwise(0L))
+          .as("n_out"))
+  }
+}

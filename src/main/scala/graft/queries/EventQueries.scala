@@ -573,6 +573,51 @@ object EventQueries {
           col("event_type").as("next_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy("prev_type", "next_type")
+    },
+
+    // Time-weighted aggregation (TWAP): each reading holds until the
+    // user's next event, weighted by that duration in ms, capped at
+    // one hour (the standard gap cap — an idle night must not dominate
+    // the average). Exactness discipline: the ratio is NOT emitted
+    // (float division flakes per the ground rules) — numerator
+    // Σ cents·Δt_ms and denominator Σ Δt_ms ship as exact BIGINTs
+    // (bounds: cents ≤ ~10^7, Δt_ms ≤ 3.6·10^6, ~600 events/user ⇒
+    // num ≤ ~2·10^16, well inside long). Last event per user has no
+    // successor and drops out in both engines. One user_id window
+    // partitioning + one groupBy.
+    QueryDef.sql("q127_twap",
+      """WITH e AS (
+        |  SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |stepped AS (
+        |  SELECT user_id, cents,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+        |    ts
+        |  FROM e),
+        |weighted AS (
+        |  SELECT user_id, cents,
+        |    LEAST((epoch_us(nxt) - epoch_us(ts)) // 1000, 3600000) AS dt_ms
+        |  FROM stepped WHERE nxt IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents * dt_ms) AS BIGINT) AS sum_wv,
+        |  CAST(sum(dt_ms) AS BIGINT) AS sum_w
+        |FROM weighted GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .withColumn("nxt", lead(col("ts"), 1).over(byUser))
+        .filter(col("nxt").isNotNull)
+        .withColumn("dt_ms",
+          least(expr("(unix_micros(nxt) - unix_micros(ts)) div 1000"),
+            lit(3600000L)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents") * col("dt_ms")).as("sum_wv"),
+          sum(col("dt_ms")).as("sum_w"))
+        .orderBy("user_id")
     }
   )
 }

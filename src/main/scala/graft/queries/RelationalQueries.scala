@@ -685,6 +685,41 @@ object RelationalQueries {
         .unionByName(Quality.childlessCount(o, "o_orderkey", li, "l_orderkey",
           "orders have lineitems"))
         .orderBy("check")
+    },
+
+    // Robust per-group statistics (operators/Robust.madOutliers):
+    // discrete median + MAD + outlier counts of order cents per
+    // priority. Integer-exact throughout — the discrete median is an
+    // actual data value at rank (n+1) div 2, which DuckDB's
+    // percentile_disc(0.5) selects identically (verified: first value
+    // with cumulative distribution ≥ 0.5 = the lower median), so the
+    // oracle is a genuinely different formulation of the same ranks.
+    // No global window: both rank passes partition by priority.
+    QueryDef.sql("q126_robust_stats",
+      """WITH cents AS (
+        |  SELECT o_orderpriority AS prio, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders),
+        |med AS (
+        |  SELECT prio, CAST(count(*) AS BIGINT) AS n,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS med
+        |  FROM cents GROUP BY 1),
+        |dev AS (
+        |  SELECT c.prio, abs(c.v - m.med) AS dd, m.n, m.med
+        |  FROM cents c JOIN med m USING (prio)),
+        |mad AS (
+        |  SELECT prio, percentile_disc(0.5) WITHIN GROUP (ORDER BY dd) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.prio AS o_orderpriority, min(d.n) AS n, min(d.med) AS med,
+        |  min(m.mad) AS mad,
+        |  CAST(count(*) FILTER (WHERE d.dd > 5 * m.mad) AS BIGINT) AS n_out
+        |FROM dev d JOIN mad m USING (prio)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val cents = orders(s, d).select(col("o_orderpriority"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      graft.operators.Robust
+        .madOutliers(cents, "o_orderpriority", "v", "o_orderkey", c = 5L)
+        .orderBy("o_orderpriority")
     }
   )
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class RobustSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("groupMedian picks the lower-median element per group") {
+    val df = Seq(
+      ("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 3L), ("a", 40L, 4L),
+      ("b", 7L, 5L)).toDF("g", "v", "id")
+    val out = Robust.groupMedian(df, "g", "v", "id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // n=4 -> rank (4+1) div 2 = 2 -> value 20 (lower median); n=1 -> 7
+    assert(out === Map("a" -> ((4L, 20L)), "b" -> ((1L, 7L))))
+  }
+
+  test("madOutliers: hand-computed median, MAD and outlier count") {
+    // group g: values 0,10,10,10,10,10,10,1000 — med=10 (rank 4 of 8),
+    // deviations 10,0,0,0,0,0,0,990 — mad=0 (rank 4), outliers = rows
+    // with dev > 5*0 = 0 -> two rows (0 and 1000)
+    val df = Seq(0L, 10L, 10L, 10L, 10L, 10L, 10L, 1000L).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }.toDF("g", "v", "id")
+    val r = Robust.madOutliers(df, "g", "v", "id").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((8L, 10L, 0L, 2L)))
+  }
+
+  test("madOutliers matches a driver-side reference on random groups") {
+    val rnd = new scala.util.Random(7)
+    val rows = for (g <- 0 until 5; i <- 0 until (rnd.nextInt(20) + 1))
+      yield (s"g$g", rnd.nextInt(1000).toLong, (g * 1000 + i).toLong)
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      val vs = rs.map(_._2)
+      val med = lowerMedian(vs)
+      val mad = lowerMedian(vs.map(v => math.abs(v - med)))
+      (g, (vs.size.toLong, med, mad,
+        vs.count(v => math.abs(v - med) > 5 * mad).toLong))
+    }
+    val got = Robust.madOutliers(rows.toDF("g", "v", "id"), "g", "v", "id")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expect)
+  }
+}
