@@ -1287,6 +1287,33 @@ object PipelineQueries {
       graft.operators.Bfs.distances(edges, sources).orderBy("node")
     },
 
+    // Per-label embedding centroid sums — vector aggregation done
+    // relationally: posexplode each vector once, one (label, dim)
+    // shuffle with map-side combine; 640 output rows check every
+    // component of every label centroid. Exactness: components are
+    // floor-quantized at 3 decimals IN DOUBLE (float→double is exact,
+    // ×1000 is one IEEE double op both engines compute identically;
+    // floor, NOT a bare cast — DuckDB's double→BIGINT cast ROUNDS
+    // while Spark's truncates), then summed as BIGINTs. The centroid
+    // itself is sum/n — left to the consumer per the float ground
+    // rules; n rides along per label.
+    QueryDef.sql("q128_label_centroids",
+      """SELECT label, CAST(dim AS INT) AS dim,
+        |  CAST(sum(CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000)
+        |    AS BIGINT)) AS BIGINT) AS sum_q,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS dim) p
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "comp")))
+        .select(col("label"), (col("pos") + 1).as("dim"),
+          floor(col("comp").cast("double") * 1000).cast("long").as("q"))
+        .groupBy("label", "dim")
+        .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+        .orderBy("label", "dim")
+    },
+
     // Weighted single-source-set shortest paths (Sssp.shortestPaths,
     // Bellman–Ford frontier relaxation — the weighted sibling of q110's
     // hop-count BFS, over the same trade graph with per-pair min
