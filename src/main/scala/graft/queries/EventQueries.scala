@@ -618,6 +618,38 @@ object EventQueries {
           sum(col("cents") * col("dt_ms")).as("sum_wv"),
           sum(col("dt_ms")).as("sum_w"))
         .orderBy("user_id")
+    },
+
+    // OHLC bar resampling (operators/Bars): ticks → hourly candlesticks
+    // per event_type. Open/close are defined by the TOTAL order
+    // (ts, event_id), never arrival order, so any partitioning agrees;
+    // prices are exact integer cents. One exchange: both row_number
+    // windows and the final agg hash on (series, bucket_ms). Oracle
+    // restates the same rank-1 formulation; ts goes through the µs
+    // truncation CTE per the ns ground rule, and the bucket is
+    // epoch-ms floor (floor ∘ floor).
+    QueryDef.sql("q131_ohlc_bars",
+      """WITH e AS (
+        |  SELECT event_type AS series,
+        |    (epoch_us(ts) // 1000 // 3600000) * 3600000 AS bucket_ms,
+        |    make_timestamp(epoch_us(ts)) AS ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT series, bucket_ms, cents,
+        |    row_number() OVER (PARTITION BY series, bucket_ms
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY series, bucket_ms
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT series, bucket_ms,
+        |  max(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+        |  max(cents) AS high_cents, min(cents) AS low_cents,
+        |  max(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS vol_cents
+        |FROM w GROUP BY 1, 2 ORDER BY series, bucket_ms""".stripMargin) { (s, d) =>
+      graft.operators.Bars.ohlc(Tables.events(s, d), bucketMinutes = 60)
+        .orderBy("series", "bucket_ms")
     }
   )
 }

@@ -720,6 +720,81 @@ object RelationalQueries {
       graft.operators.Robust
         .madOutliers(cents, "o_orderpriority", "v", "o_orderkey", c = 5L)
         .orderBy("o_orderpriority")
+    },
+
+    // Interval coalescing / gaps-and-islands (operators/Intervals):
+    // each order opens a 30-day activity window [day, day+30); per
+    // customer the overlapping windows merge into maximal disjoint
+    // "activity islands". The engine is the single-window-pass sweep
+    // (running max end over preceding rows — no interval² self-join);
+    // the oracle restates the identical sweep in DuckDB SQL. All
+    // columns integral (epoch days), order (start, end, o_orderkey)
+    // total, so flags agree bit-for-bit.
+    QueryDef.sql("q129_interval_merge",
+      """WITH iv AS (
+        |  SELECT o_custkey AS key, o_orderkey AS id,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 30 AS e
+        |  FROM orders),
+        |flagged AS (
+        |  SELECT key, id, s, e,
+        |    max(e) OVER (PARTITION BY key ORDER BY s, e, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |numbered AS (
+        |  SELECT key, s, e,
+        |    CAST(sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY key ORDER BY s, e, id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island_idx
+        |  FROM flagged)
+        |SELECT key AS o_custkey, island_idx,
+        |  min(s) AS start_day, max(e) AS end_day,
+        |  count(*) AS n_intervals
+        |FROM numbered GROUP BY 1, 2 ORDER BY o_custkey, island_idx""".stripMargin) { (s, d) =>
+      val iv = orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("s"))
+        .withColumn("e", col("s") + 30)
+      graft.operators.Intervals
+        .mergeIntervals(iv, "o_custkey", "o_orderkey", "s", "e")
+        .select(col("key").as("o_custkey"), col("island_idx"),
+          col("start").as("start_day"), col("end").as("end_day"),
+          col("n_intervals"))
+        .orderBy("o_custkey", "island_idx")
+    },
+
+    // Deterministic mode (argmax aggregation): the most frequent order
+    // priority per nation, ties broken lexicographically — the
+    // count+rank formulation that stays exact and engine-independent
+    // where a native mode() agg has unspecified tie behavior. Both
+    // rank passes partition by nation (no global window); the
+    // dimension chain customer→nation broadcasts.
+    QueryDef.sql("q130_mode_per_group",
+      """WITH c AS (
+        |  SELECT n_name, o_orderpriority, count(*) AS n
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT n_name, o_orderpriority, n,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY n DESC, o_orderpriority) AS rn
+        |  FROM c)
+        |SELECT n_name, o_orderpriority AS mode_priority, n
+        |FROM r WHERE rn = 1 ORDER BY n_name""".stripMargin) { (s, d) =>
+      val counts = orders(s, d)
+        .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(nation(s, d), col("n_nationkey") === col("c_nationkey"))
+        .groupBy("n_name", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val byNation = org.apache.spark.sql.expressions.Window
+        .partitionBy("n_name").orderBy(col("n").desc, col("o_orderpriority"))
+      counts.withColumn("rn", row_number().over(byNation))
+        .filter(col("rn") === 1)
+        .select(col("n_name"), col("o_orderpriority").as("mode_priority"), col("n"))
+        .orderBy("n_name")
     }
   )
 }
