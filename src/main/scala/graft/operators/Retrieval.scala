@@ -105,6 +105,32 @@ object Retrieval {
       .select(col("doc").as(idCol), col("n_hits"))
   }
 
+  /** Boolean AND retrieval over the same on-the-fly inverted index as
+    * [[phraseSearch]]: documents containing EVERY term in `terms`
+    * (token-exact, not substring), with the total occurrence count of
+    * the query terms per matching document.
+    *
+    * Plan: explode → `isin` posting fetch BEFORE any shuffle (only the
+    * query terms' postings survive the scan), one groupBy(doc) computing
+    * both the distinct-term count (the AND gate) and the hit total —
+    * candidate cost Σ posting(w_i), no per-term join chain, no
+    * positions. The q132 oracle answers the same query with entirely
+    * different machinery — DuckDB array predicates (`list_contains` per
+    * term + `list_filter` length) — so agreement checks AND semantics
+    * and tokenization, not the index implementation. */
+  def booleanSearch(docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, "query: 1..16 terms")
+    require(terms.distinct.size == terms.size, "query terms must be distinct")
+    docs.select(col(idCol).as("doc"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc")
+      .agg(count_distinct(col("term")).as("k"), count(lit(1)).as("n_hits"))
+      .filter(col("k") === terms.size)
+      .select(col("doc").as(idCol), col("n_hits"))
+  }
+
   /** Top-k documents for a bag-of-terms probe query, scored by the
     * BM25-saturated tf with rational idf (scaladoc above). Output:
     * (idCol, score) ordered by score DESC, id — ties on identical

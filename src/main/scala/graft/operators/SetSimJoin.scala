@@ -80,4 +80,50 @@ object SetSimJoin {
       .filter(col("inter") * tDen >= col("uni") * tNum)
       .select("id_a", "id_b", "inter", "uni")
   }
+
+  /** Asymmetric containment join: all ordered pairs (a, b), a ≠ b, with
+    * |A∩B| ≥ t·|A| — "document a is (nearly) contained in document b".
+    * The dedup signal Jaccard misses: a quote, excerpt or
+    * concat-of-documents has low Jaccard to its source but containment
+    * ≈ 1, which is why curation pipelines run BOTH (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022 measures exactly this asymmetric overlap).
+    *
+    * Prefix filter, containment variant: the required overlap is
+    * o = ⌈t·|A|⌉, so if a pair shares NO token among A's
+    * |A| − o + 1 rarest, every shared token sits in A's o−1 suffix
+    * slots — impossible. Index only A-side prefixes (rarest-first by
+    * global (df, tok) order) but probe the FULL posting list on the
+    * B side (B's size never bounds the overlap, so B cannot be
+    * prefix-pruned). Same verify shape as [[jaccardJoin]]: gather each
+    * candidate's token set once, intersect per pair, compare by integer
+    * cross-multiplication. Returns (id_a, id_b, inter, sz_a), BIGINT
+    * throughout; q133's oracle is the UNFILTERED all-pairs join, so
+    * exact agreement is the losslessness proof on real data. */
+  def containmentJoin(tokens: DataFrame, tNum: Int, tDen: Int,
+                      idCol: String = "id", tokCol: String = "tok"): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    val toks = tokens.select(col(idCol).cast("long").as("id"),
+      col(tokCol).as("tok"))
+    val dfreq = broadcast(toks.groupBy("tok").agg(count(lit(1)).as("df")))
+    val ranked = toks.join(dfreq, "tok")
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("id").orderBy("df", "tok")))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+    val pref = ranked.filter(
+      col("rnk") <= col("sz") - expr(s"(($tNum * sz) + $tDen - 1) div $tDen") + 1)
+      .select("id", "tok").persist()
+    val cand = pref.select(col("id").as("id_a"), col("tok"))
+      .join(toks.select(col("id").as("id_b"), col("tok")), "tok")
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val arrs = toks.groupBy("id").agg(collect_set(col("tok")).as("ts")).persist()
+    cand
+      .join(arrs.select(col("id").as("id_a"), col("ts").as("ta")), "id_a")
+      .join(arrs.select(col("id").as("id_b"), col("ts").as("tb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("sz_a", size(col("ta")).cast("long"))
+      .filter(col("inter") * tDen >= col("sz_a") * tNum)
+      .select("id_a", "id_b", "inter", "sz_a")
+  }
 }

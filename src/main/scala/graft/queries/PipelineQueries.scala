@@ -1538,6 +1538,53 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_nodes"),
           count_distinct(col("comp")).as("n_groups"))
         .orderBy("fold")
+    },
+
+    // Boolean AND retrieval (Retrieval.booleanSearch): documents
+    // containing all three probe terms, with total query-term
+    // occurrences. Engine = inverted-index posting fetch + one groupBy;
+    // oracle = DuckDB array predicates (list_contains per term +
+    // list_filter length) — entirely different machinery that must
+    // agree doc-for-doc. All-integer.
+    QueryDef.sql("q132_boolean_search",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(arr,
+        |    x -> x IN ('vector', 'hash', 'join'))) AS BIGINT) AS n_hits
+        |FROM d
+        |WHERE list_contains(arr, 'vector') AND list_contains(arr, 'hash')
+        |  AND list_contains(arr, 'join')
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Retrieval.booleanSearch(
+          Tables.documents(s, d), "doc_id", "text",
+          Seq("vector", "hash", "join"))
+        .orderBy("doc_id")
+    },
+
+    // Asymmetric containment join (SetSimJoin.containmentJoin) over the
+    // SAME shared shingle postings as q69/q113: ordered pairs where
+    // ≥ 4/5 of a's shingles also occur in b — the quote/excerpt signal
+    // Jaccard misses. The engine indexes only each a's
+    // |A|−⌈4|A|/5⌉+1 rarest shingles; the oracle is the UNFILTERED
+    // all-pairs posting join, so exact agreement is the containment
+    // prefix theorem checked on real data. All-BIGINT.
+    QueryDef.sql("q133_containment_join",
+      """WITH post AS (SELECT * FROM read_parquet('__AUX__/q69_postings/*.parquet')),
+        |sizes AS (SELECT id, count(*) AS sz FROM post GROUP BY id),
+        |com AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle = b.shingle AND a.id <> b.id
+        |  GROUP BY 1, 2)
+        |SELECT c.id_a, c.id_b, c.inter, s.sz AS sz_a
+        |FROM com c JOIN sizes s ON s.id = c.id_a
+        |WHERE c.inter * 5 >= s.sz * 4
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val postings = Aux.share(
+        Dedup.ngramPostings(docsWithPlants(s, d), "doc_id", "text"),
+        d, "q69_postings")
+      graft.operators.SetSimJoin.containmentJoin(postings, tNum = 4, tDen = 5,
+          idCol = "id", tokCol = "shingle")
+        .orderBy("id_a", "id_b")
     }
   )
 

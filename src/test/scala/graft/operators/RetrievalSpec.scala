@@ -108,4 +108,38 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == expected)
     assert(expected.nonEmpty) // the comparison is not vacuous
   }
+
+  test("booleanSearch: AND semantics, token-exact, occurrence totals") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a"),        // has a,b,c → hits a,a,b,c = 4
+      (2L, "a b"),            // missing c → out
+      (3L, "c b a"),          // order-free → 3
+      (4L, "ab bc ca"),       // substrings, not tokens → out
+      (5L, "c c b a z")       // 4 hits
+    ).toDF("doc_id", "text")
+    val got = Retrieval.booleanSearch(docs, "doc_id", "text", Seq("a", "b", "c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 4L, 3L -> 3L, 5L -> 4L))
+  }
+
+  test("booleanSearch: matches a driver-side reference on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = Seq("a", "b", "c", "d", "e")
+    val docs = (0L until 150L).map { i =>
+      (i, Seq.fill(8)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val terms = Seq("a", "b")
+    val expected = docs.collect().flatMap { r =>
+      val toks = r.getString(1).split(" ")
+      if (terms.forall(toks.contains))
+        Some(r.getLong(0) -> toks.count(terms.contains).toLong)
+      else None
+    }.toMap
+    val got = Retrieval.booleanSearch(docs, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
 }

@@ -67,4 +67,46 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(run(sets, 1, 1) == Map((1L, 2L) -> (1L, 1L)))
     assert(run(sets, 9, 10) == Map((1L, 2L) -> (1L, 1L)))
   }
+
+  private def runContain(sets: Map[Long, Set[String]], tNum: Int, tDen: Int) = {
+    import spark.implicits._
+    val toks = sets.toSeq.flatMap { case (id, ts) => ts.map(id -> _) }
+      .toDF("id", "tok")
+    SetSimJoin.containmentJoin(toks, tNum, tDen)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  private def bruteContain(sets: Map[Long, Set[String]], tNum: Int, tDen: Int) = {
+    val ids = sets.keys.toSeq
+    (for {
+      a <- ids; b <- ids; if a != b
+      inter = (sets(a) & sets(b)).size.toLong
+      if inter * tDen >= sets(a).size.toLong * tNum
+    } yield (a, b) -> (inter, sets(a).size.toLong)).toMap
+  }
+
+  test("containment: subset found in both orientations asymmetrically") {
+    val sets = Map(
+      1L -> Set("a", "b"),            // fully inside 2
+      2L -> Set("a", "b", "c", "d", "e"),
+      3L -> Set("x", "y"))
+    // a=1 contained in b=2 at 2/2; 2 in 1 only 2/5 < 4/5
+    assert(runContain(sets, 4, 5) == Map((1L, 2L) -> (2L, 2L)))
+  }
+
+  test("containment: random corpora match driver-side brute force") {
+    val rnd = new scala.util.Random(211)
+    val vocab = (0 until 30).map(i => s"w$i")
+    for (trial <- 1 to 3) {
+      val sets = (1L to 50L).map { id =>
+        id -> rnd.shuffle(vocab).take(2 + rnd.nextInt(8)).toSet
+      }.toMap
+      for ((tNum, tDen) <- Seq((1, 2), (4, 5), (1, 1))) {
+        assert(runContain(sets, tNum, tDen) == bruteContain(sets, tNum, tDen),
+          s"trial=$trial t=$tNum/$tDen")
+      }
+    }
+  }
 }
