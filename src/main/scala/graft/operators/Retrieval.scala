@@ -105,6 +105,38 @@ object Retrieval {
       .select(col("doc").as(idCol), col("n_hits"))
   }
 
+  /** Collocation-strength table: every adjacent word pair occurring at
+    * least `minPair` times, with the exact integer PMI components —
+    * pair count, both unigram marginals, and the corpus token total.
+    * The association score itself (log of the count ratio) is left to
+    * the consumer per the float ground rules; the four integers
+    * determine it exactly, and ranking by n_pair·n_total / (n_w1·n_w2)
+    * is doable with integer cross-multiplication.
+    *
+    * Plan: one token explode feeds the unigram counts, one bigram
+    * explode the pair counts; marginals join back via the (small, by
+    * Heaps' law) vocabulary — broadcast; the 1-row total is a broadcast
+    * cross join (the intended J4 pattern). Tokens are [[cleanTokens]]
+    * (empty tokens dropped); bigram keys never collide with token
+    * boundaries because tokens cannot contain the joining space. */
+  def collocationStats(docs: DataFrame, textCol: String,
+                       minPair: Long): DataFrame = {
+    val toks = docs.select(cleanTokens(col(textCol)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = uni.agg(sum(col("cnt")).as("n_total"))
+    val pairs = toks.select(explode(bigramsOf(col("toks"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPair)
+      .select(split(col("bigram"), " ").getItem(0).as("w1"),
+        split(col("bigram"), " ").getItem(1).as("w2"), col("n_pair"))
+    pairs
+      .join(broadcast(uni.select(col("w").as("w1"), col("cnt").as("n_w1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cnt").as("n_w2"))), "w2")
+      .crossJoin(broadcast(total))
+      .select("w1", "w2", "n_pair", "n_w1", "n_w2", "n_total")
+  }
+
   /** Boolean AND retrieval over the same on-the-fly inverted index as
     * [[phraseSearch]]: documents containing EVERY term in `terms`
     * (token-exact, not substring), with the total occurrence count of

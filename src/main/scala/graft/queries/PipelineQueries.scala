@@ -1585,8 +1585,101 @@ object PipelineQueries {
       graft.operators.SetSimJoin.containmentJoin(postings, tNum = 4, tDen = 5,
           idCol = "id", tokCol = "shingle")
         .orderBy("id_a", "id_b")
+    },
+
+    // k-core decomposition (operators/Kcore, synchronous peeling) of
+    // the qty<4 trade graph at k=5 — a 3-round peel at sf0.01 (7 at
+    // sf0.1), core 240 nodes. Oracle = 12 unrolled peeling rounds
+    // generated by Kcore.oracleSql; the engine early-exits at the
+    // fixpoint and raises past maxRounds, so a green row proves both
+    // reached the same fixpoint. All-integer.
+    QueryDef.sql("q134_kcore",
+      graft.operators.Kcore.oracleSql(tradeEdgesSql, k = 5, rounds = 12)) { (s, d) =>
+      Aux.shareBuilt(s, d, "q134_kcore5") {
+        graft.operators.Kcore.kcore(tradeEdges(s, d), k = 5)
+      }.orderBy("node")
+    },
+
+    // Collocation strength (Retrieval.collocationStats): adjacent word
+    // pairs with exact integer PMI components — pair count, unigram
+    // marginals, corpus total. The association score is left to the
+    // consumer (float ground rules); the integers determine it exactly.
+    // Oracle re-derives pairs positionally (string_split + series
+    // indexing) — an independent tokenizer/pairing path.
+    QueryDef.sql("q135_collocations",
+      """WITH d AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        |           FROM documents),
+        |uni AS (SELECT unnest(arr) AS w FROM d),
+        |ucnt AS (SELECT w, count(*) AS cnt FROM uni GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM uni),
+        |big AS (SELECT arr[i] AS w1, arr[i + 1] AS w2
+        |        FROM d, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) p),
+        |pcnt AS (SELECT w1, w2, count(*) AS n_pair FROM big GROUP BY 1, 2)
+        |SELECT p.w1, p.w2, p.n_pair, u1.cnt AS n_w1, u2.cnt AS n_w2, t.n_total
+        |FROM pcnt p
+        |JOIN ucnt u1 ON u1.w = p.w1
+        |JOIN ucnt u2 ON u2.w = p.w2, tot t
+        |WHERE p.n_pair >= 25
+        |ORDER BY w1, w2""".stripMargin) { (s, d) =>
+      graft.operators.Retrieval.collocationStats(
+          Tables.documents(s, d), "text", minPair = 25L)
+        .orderBy("w1", "w2")
+    },
+
+    // Degree histogram of the shared trade graph (GraphStats): the
+    // shape statistic every graph pipeline checks before choosing
+    // partitioning/skew strategy. Two tiny aggs.
+    QueryDef.sql("q136_degree_hist",
+      tradeEdgesSql +
+      """,
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)
+        |SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY deg""".stripMargin) { (s, d) =>
+      graft.operators.GraphStats.degreeHistogram(tradeEdges(s, d))
+        .orderBy("deg")
+    },
+
+    // Distinct 2-hop neighborhood counts (GraphStats.twoHopCounts) —
+    // the friend-of-friend candidate pool of link prediction. Cost is
+    // Σ deg(mid)² 2-paths, never |V|²; oracle restates it as a
+    // self-join + NOT EXISTS in DuckDB. All-integer.
+    QueryDef.sql("q137_twohop",
+      tradeEdgesSql +
+      """,
+        |h2 AS (SELECT DISTINCT e1.src AS a, e2.dst AS b
+        |       FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+        |       WHERE e1.src <> e2.dst),
+        |nf AS (SELECT a, b FROM h2 WHERE NOT EXISTS (
+        |  SELECT 1 FROM edges e WHERE e.src = h2.a AND e.dst = h2.b))
+        |SELECT a AS node, count(*) AS n_twohop
+        |FROM nf GROUP BY 1 ORDER BY node""".stripMargin) { (s, d) =>
+      graft.operators.GraphStats.twoHopCounts(tradeEdges(s, d))
+        .orderBy("node")
     }
   )
+
+  /** The q134/q136/q137 graph: customer–supplier trade pairs with any
+    * qty<4 lineitem, as SYMMETRIC distinct edges (c*2 / s*2+1 id
+    * spaces), materialized once per sf via [[Aux.shareBuilt]]. */
+  // a def, not a val: defs above initializes first (a val here would
+  // still be null while the Seq is being built)
+  private def tradeEdgesSql: String =
+    """WITH pair AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE l_quantity < 4),
+      |edges AS MATERIALIZED (SELECT c*2 AS src, s*2+1 AS dst FROM pair
+      |  UNION SELECT s*2+1, c*2 FROM pair)""".stripMargin
+
+  private def tradeEdges(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Aux.shareBuilt(s, d, "q134_trade_edges") {
+      val pair = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_quantity") < 4)
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+      pair.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+        .unionByName(pair.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+        .distinct()
+    }
 
   /** Connected components of the sparsified trade graph, materialized
     * once per sf via [[Aux.share]] (write-once, content-stamped) and

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def sym(pairs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+
+  test("twoHopCounts: path graph — ends see one 2-hop, middle sees both ends") {
+    // path 1-2-3: 1's 2-hop = {3}, 3's = {1}, 2's = {} (1,3 adjacent to 2)
+    val g = sym(Seq((1L, 2L), (2L, 3L)))
+    val got = GraphStats.twoHopCounts(g.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 3L -> 1L))
+  }
+
+  test("twoHopCounts: direct neighbors and self are excluded") {
+    // triangle 1-2-3: every 2-hop target is also a direct neighbor
+    val g = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(GraphStats.twoHopCounts(g.toDF("src", "dst")).count() === 0L)
+  }
+
+  test("twoHopCounts matches driver-side brute force on random graphs") {
+    val rnd = new scala.util.Random(83)
+    for (trial <- 1 to 3) {
+      val pairs = Seq.fill(80)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(p => p._1 != p._2)
+      val adj = sym(pairs).distinct.groupBy(_._1)
+        .map { case (n, es) => n -> es.map(_._2).toSet }
+      val expect = adj.flatMap { case (n, nbrs) =>
+        val twoHop = nbrs.flatMap(m => adj.getOrElse(m, Set.empty)) - n -- nbrs
+        if (twoHop.nonEmpty) Some(n -> twoHop.size.toLong) else None
+      }
+      val got = GraphStats.twoHopCounts(sym(pairs).toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect, s"trial=$trial")
+    }
+  }
+
+  test("degreeHistogram: star graph — hub degree n, leaves degree 1") {
+    val g = sym((2L to 7L).map(i => (1L, i)))
+    val got = GraphStats.degreeHistogram(g.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(6L -> 1L, 1L -> 6L))
+  }
+}

@@ -109,6 +109,21 @@ class RetrievalSpec extends AnyFunSuite {
     assert(expected.nonEmpty) // the comparison is not vacuous
   }
 
+  test("collocationStats: counts and marginals match a driver reference") {
+    import spark.implicits._
+    val docs = Seq(
+      "new york new york city",
+      "york new york",
+      "quiet  day").toDF("text") // double space → empty token dropped
+    val got = Retrieval.collocationStats(docs, "text", minPair = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // tokens: 5 + 3 + 2 = 10; "new york" ×3, "york new" ×2 (others <2)
+    assert(got === Map(
+      ("new", "york") -> ((3L, 3L, 4L, 10L)),
+      ("york", "new") -> ((2L, 4L, 3L, 10L))))
+  }
+
   test("booleanSearch: AND semantics, token-exact, occurrence totals") {
     import spark.implicits._
     val docs = Seq(

@@ -38,7 +38,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "q39_embed_topk",         // brute-force baseline: corpus × BROADCAST
                               // queries — the exact-search definition; the
                               // scale paths are q40/q54 (LSH/IVF)
-    "q82_ranked_retrieval")   // posting rows × 1-row (N, Σdl) stats
+    "q82_ranked_retrieval",   // posting rows × 1-row (N, Σdl) stats
+    "q135_collocations")      // pair rows × 1-row corpus-total broadcast
 
   private lazy val optimized: Map[String, LogicalPlan] =
     graft.SparkEntry.queries.map { case (name, fn) =>
