@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Bfs, BloomJoin, Bpe, ChangeCapture, Cooccur,
-  CountMin, Curation, Dedup, Funnel, Fuzzy, Hierarchy, IvfIndex, PageRank,
-  PrefixSum, RangeJoin, Retrieval, Scd, SetSimJoin, Skyline, Sssp, TableSync,
-  TopKAgg, Triangles, ZOrder}
+import graft.operators.{AsofJoin, Bars, Bfs, BloomJoin, Bpe, ChangeCapture,
+  Cooccur, CountMin, Curation, Dedup, Funnel, Fuzzy, GraphStats, Hierarchy,
+  Intervals, IvfIndex, Kcore, PageRank, PrefixSum, RangeJoin, Retrieval, Scd,
+  SetSimJoin, Skyline, Sssp, TableSync, TopKAgg, Triangles, ZOrder}
 
 /** Scale-stress harness for the dedup/ANN families: measures how runtime
   * grows with corpus size, so the "candidate cost is Σ df²" / "probe
@@ -439,6 +439,69 @@ object BenchScale {
           (expr("user_id div 10000000") * 1000L + col("event_id") % 1000).as("id_b"))
           .distinct()
         Dedup.connectedComponents(pairs, maxIter = 40).count()
+      },
+      "interval_merge" -> { k =>
+        // k× users with identical per-user interval sets: the island
+        // sweep is per-key window work — the embarrassingly-parallel
+        // axis (one exchange on the key, per-key n log n sort)
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val iv = e.select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts) div 86400000000").as("s"))
+          .withColumn("e", col("s") + 30)
+        Intervals.mergeIntervals(iv, "user_id", "event_id", "s", "e").count()
+      },
+      "ohlc" -> { k =>
+        // rows grow k× inside FIXED (series, hour-bucket) partitions:
+        // the two in-bucket rank sorts are the k·log k axis (same worst
+        // axis as prefix_sum; a longer history would instead add
+        // parallel buckets)
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+          .withColumn("value", (col("event_id") % 1000).cast("double") / 10.0)
+        Bars.ohlc(e, bucketMinutes = 60).count()
+      },
+      "kcore" -> { k =>
+        // copy tag inside the hub id (components_star pattern): k
+        // disjoint copies of the k=1 bipartite graph — peel depth
+        // constant, each round's degree count + semi joins grow k×
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val pair = e.select((col("user_id") + lit(1000000000L)).as("c"),
+          (expr("user_id div 10000000") * 1000L + col("event_id") % 1000).as("s"))
+          .distinct()
+        val edges = pair.select(col("c").as("src"), col("s").as("dst"))
+          .unionByName(pair.select(col("s").as("src"), col("c").as("dst")))
+        Kcore.kcore(edges, k = 5, maxRounds = 40).count()
+      },
+      "twohop" -> { k =>
+        // per-copy binary forests (the `hierarchy` construction, made
+        // symmetric): 2-hop sets are degree-bounded (grandparent,
+        // sibling, grandchildren), so 2-paths grow k× with users —
+        // never the hub-squared blow-up a dense bipartite fixture
+        // would fake
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val nodes = e.select(col("user_id")).distinct()
+          .withColumn("local", col("user_id") % 10000000L)
+          .select(col("user_id").as("src"),
+            when(col("local") < 4, col("user_id"))
+              .otherwise(col("user_id") - col("local") + expr("local div 2"))
+              .as("dst"))
+        val edges = nodes.unionByName(
+          nodes.select(col("dst").as("src"), col("src").as("dst")))
+        GraphStats.twoHopCounts(edges).count()
+      },
+      "containment" -> { k =>
+        // word salting keeps copies' shingle spaces disjoint (the
+        // setsim_prefix argument): the A-side prefix index grows k×
+        // but collides only within a copy — candidates k×, never k²
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        SetSimJoin.containmentJoin(Dedup.ngramPostings(d, "doc_id", "text"),
+          tNum = 4, tDen = 5, idCol = "id", tokCol = "shingle").count()
+      },
+      "collocations" -> { k =>
+        // salted copies → disjoint bigram spaces: unigram + pair key
+        // spaces grow k× along with the scan (worst case for the two
+        // count shuffles; a repetitive corpus would shrink them)
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        Retrieval.collocationStats(d, "text", minPair = 25L).count()
       },
     )
 
