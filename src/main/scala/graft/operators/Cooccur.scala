@@ -52,4 +52,32 @@ object Cooccur {
       .filter(col("support") >= minSupport)
       .orderBy(col("support").desc, col("a"), col("b"))
   }
+
+  /** Association rules over the same capped-vocabulary baskets: every
+    * frequent pair (a < b) with the exact integer components of both
+    * directed rules — pair support, item marginals, basket total.
+    * confidence(a→b) = sup_ab/sup_a and lift = sup_ab·n/(sup_a·sup_b)
+    * are determined exactly by the four BIGINTs; the ratios themselves
+    * are left to the consumer (float ground rules), and thresholding
+    * "confidence ≥ p/q" is integer cross-multiplication.
+    *
+    * Scale: same bounded pair generator as [[frequentPairs]]; the
+    * marginal joins ship a vocabulary-sized broadcast and the basket
+    * count a 1-row broadcast cross join (the intended J4 pattern). */
+  def associationRules(docs: DataFrame, idCol: String, textCol: String,
+                       vocabSize: Int, minSupport: Long): DataFrame = {
+    val p = vocabPostings(docs, idCol, textCol, vocabSize)
+    val itemSup = p.groupBy("term").agg(count(lit(1)).as("sup"))
+    val baskets = docs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val l = p.select(col("doc"), col("term").as("a"))
+    val r = p.select(col("doc").as("d2"), col("term").as("b"))
+    l.join(r, l("doc") === r("d2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= minSupport)
+      .join(broadcast(itemSup.select(col("term").as("a"), col("sup").as("sup_a"))), "a")
+      .join(broadcast(itemSup.select(col("term").as("b"), col("sup").as("sup_b"))), "b")
+      .crossJoin(broadcast(baskets))
+      .select("a", "b", "sup_ab", "sup_a", "sup_b", "n_baskets")
+  }
 }

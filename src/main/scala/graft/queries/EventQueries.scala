@@ -650,6 +650,41 @@ object EventQueries {
         |FROM w GROUP BY 1, 2 ORDER BY series, bucket_ms""".stripMargin) { (s, d) =>
       graft.operators.Bars.ohlc(Tables.events(s, d), bucketMinutes = 60)
         .orderBy("series", "bucket_ms")
+    },
+
+    // Clickstream path analysis (ordered collect): each user-day's
+    // first five event types in (ts, event_id) total order joined into
+    // a path string, then path frequencies. The deterministic ordered-
+    // array aggregation pattern: collect_list is order-free, so the
+    // order lives in sort_array over (ts, event_id, type) structs —
+    // engine-independent because the struct order is total. The sorted
+    // array is materialized to an ATTRIBUTE before the transform
+    // (interpreted-HOF ground rule). Oracle uses DuckDB's native
+    // ORDER BY-inside-list aggregate — different machinery, same paths;
+    // µs-truncation CTE per the ns ground rule.
+    QueryDef.sql("q138_session_paths",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    make_timestamp(epoch_us(ts)) AS ts
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    array_to_string(
+        |      list_slice(list(event_type ORDER BY ts, event_id), 1, 5),
+        |      '>') AS path
+        |  FROM e GROUP BY 1, 2)
+        |SELECT path, count(*) AS n
+        |FROM p GROUP BY 1 HAVING count(*) >= 5 ORDER BY path""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))).as("seq"))
+        .withColumn("seq5", slice(col("seq"), 1, 5))
+        .withColumn("path",
+          array_join(transform(col("seq5"), x => x.getField("event_type")), ">"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .orderBy("path")
     }
   )
 }

@@ -1654,6 +1654,68 @@ object PipelineQueries {
         |FROM nf GROUP BY 1 ORDER BY node""".stripMargin) { (s, d) =>
       graft.operators.GraphStats.twoHopCounts(tradeEdges(s, d))
         .orderBy("node")
+    },
+
+    // Association rules (Cooccur.associationRules — the rule-emission
+    // step over q96's bounded 2-itemset core): each frequent pair ships
+    // the four exact BIGINTs (sup_ab, sup_a, sup_b, n_baskets) that
+    // determine confidence and lift; ratios left to the consumer per
+    // the float ground rules. Marginals broadcast; 1-row basket total
+    // cross join (intended J4 pattern).
+    QueryDef.sql("q139_assoc_rules",
+      """WITH postings AS (
+        |  SELECT DISTINCT doc_id AS doc, t.term
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  WHERE t.term <> ''),
+        |vocab AS (
+        |  SELECT term FROM postings GROUP BY term
+        |  ORDER BY count(*) DESC, term LIMIT 20),
+        |vp AS (SELECT doc, term FROM postings JOIN vocab USING (term)),
+        |sup AS (SELECT term, count(*) AS s FROM vp GROUP BY 1),
+        |nb AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_baskets
+        |       FROM documents),
+        |pairs AS (
+        |  SELECT l.term AS a, r.term AS b, count(*) AS sup_ab
+        |  FROM vp l JOIN vp r ON l.doc = r.doc AND l.term < r.term
+        |  GROUP BY 1, 2 HAVING count(*) >= 325)
+        |SELECT p.a, p.b, p.sup_ab, sa.s AS sup_a, sb.s AS sup_b, nb.n_baskets
+        |FROM pairs p
+        |JOIN sup sa ON sa.term = p.a
+        |JOIN sup sb ON sb.term = p.b, nb
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      graft.operators.Cooccur.associationRules(
+          Tables.documents(s, d), "doc_id", "text",
+          vocabSize = 20, minSupport = 325L)
+        .orderBy("a", "b")
+    },
+
+    // Contingency table with exact chi-square components: (lang ×
+    // source) observed counts plus row/column marginals and the grand
+    // total — the four BIGINTs determine every cell's chi-square term
+    // (obs·n − row_n·col_n)²/(n·row_n·col_n) exactly; marginal tables
+    // broadcast, total is a 1-row broadcast cross join.
+    QueryDef.sql("q140_contingency",
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS obs
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS row_n
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(obs) AS BIGINT) AS col_n
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells)
+        |SELECT c.lang, c.source, c.obs, rt.row_n, ct.col_n, tot.n
+        |FROM cells c
+        |JOIN rt USING (lang) JOIN ct USING (source), tot
+        |ORDER BY lang, source""".stripMargin) { (s, d) =>
+      val cells = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+      val rt = cells.groupBy("lang").agg(sum(col("obs")).as("row_n"))
+      val ct = cells.groupBy("source").agg(sum(col("obs")).as("col_n"))
+      val tot = cells.agg(sum(col("obs")).as("n"))
+      cells.join(broadcast(rt), "lang").join(broadcast(ct), "source")
+        .crossJoin(broadcast(tot))
+        .select("lang", "source", "obs", "row_n", "col_n", "n")
+        .orderBy("lang", "source")
     }
   )
 

@@ -58,4 +58,40 @@ class CooccurSpec extends AnyFunSuite {
     assert(got == expected)
     assert(expected.nonEmpty)
   }
+
+  test("associationRules: marginals and basket total are exact") {
+    import spark.implicits._
+    // baskets: {a,b} ×2, {a} ×1, {b,c} ×1 → sup_a=3, sup_b=3, sup_ab=2
+    val docs = Seq((1L, "a b"), (2L, "b a a"), (3L, "a"), (4L, "b c"))
+      .toDF("doc_id", "text")
+    val got = Cooccur.associationRules(docs, "doc_id", "text", 8, 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(("a", "b") -> ((2L, 3L, 3L, 4L))))
+  }
+
+  test("associationRules: components match frequentPairs + driver marginals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("s", "t", "u", "v", "w", "x")
+    val raw = (0L until 60L).map { i =>
+      (i, Seq.fill(5)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = Cooccur.associationRules(raw.toDF("doc_id", "text"), "doc_id", "text", 6, 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val sup = raw.flatMap(_._2.split(" ").distinct)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val expected = raw
+      .flatMap { case (_, t) =>
+        val items = t.split(" ").distinct.sorted
+        for (i <- items.indices; j <- (i + 1) until items.length)
+          yield (items(i), items(j))
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 2L)
+      .map { case ((a, b), s) => (a, b) -> ((s, sup(a), sup(b), 60L)) }
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
 }

@@ -39,7 +39,9 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
                               // queries — the exact-search definition; the
                               // scale paths are q40/q54 (LSH/IVF)
     "q82_ranked_retrieval",   // posting rows × 1-row (N, Σdl) stats
-    "q135_collocations")      // pair rows × 1-row corpus-total broadcast
+    "q135_collocations",      // pair rows × 1-row corpus-total broadcast
+    "q139_assoc_rules",       // pair rows × 1-row basket-total broadcast
+    "q140_contingency")       // cells × 1-row grand-total broadcast
 
   private lazy val optimized: Map[String, LogicalPlan] =
     graft.SparkEntry.queries.map { case (name, fn) =>
