@@ -135,4 +135,30 @@ object Curation {
     require(folds > 0)
     comps.withColumn("fold", pmod(col("comp"), lit(folds.toLong)))
   }
+
+  /** MDM survivorship / golden-record selection: one winner per
+    * duplicate cluster by the deterministic rule (priority ASC, id ASC)
+    * — "most trusted system first, oldest record breaks ties", the
+    * standard master-data consolidation step after entity resolution.
+    * Output per cluster: the surviving id and its priority, the member
+    * count, and how many distinct source priorities contributed
+    * (n_prios > 1 = a genuinely cross-system merge).
+    *
+    * Scale: the rank window and the aggregation hash the SAME cluster
+    * key — one exchange; no cluster² term anywhere (survivor selection
+    * is a rank, not a pairwise compare). All output integral except the
+    * cluster key. */
+  def goldenRecords(records: DataFrame, clusterCol: String,
+                    prioCol: String, idCol: String): DataFrame = {
+    val byCluster = Window.partitionBy(clusterCol)
+      .orderBy(col(prioCol).asc, col(idCol).asc)
+    records
+      .withColumn("_rn", row_number().over(byCluster))
+      .groupBy(col(clusterCol).as("cluster"))
+      .agg(
+        max(when(col("_rn") === 1, col(idCol))).as("survivor_id"),
+        max(when(col("_rn") === 1, col(prioCol))).as("survivor_prio"),
+        count(lit(1)).as("n_members"),
+        count_distinct(col(prioCol)).as("n_prios"))
+  }
 }

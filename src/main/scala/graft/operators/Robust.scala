@@ -62,4 +62,27 @@ object Robust {
         sum(when(col("_d") > lit(c) * col("mad"), 1L).otherwise(0L))
           .as("n_out"))
   }
+
+  /** Rolling discrete (lower) median: for each row, the median of the
+    * trailing `lookback`+1 values per key in `ordCols` order — the
+    * robust smoother of metric/time-series pipelines (median absorbs
+    * spikes a rolling mean chases). The frame is a bounded ROWS window,
+    * so per-row state is ≤ lookback+1 longs and the pass stays
+    * partition-parallel on the key (never a global window); the median
+    * is rank arithmetic over sort_array — an actual data value, no
+    * interpolation, no floats. Ordering must be total (pass a unique
+    * tie-break column in ordCols) or the frame itself is
+    * engine-dependent. Appends column `med`. */
+  def rollingMedian(df: DataFrame, keyCol: String, ordCols: Seq[String],
+                    valCol: String, lookback: Int): DataFrame = {
+    require(lookback >= 0, s"lookback must be >= 0: $lookback")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(ordCols.map(col): _*)
+      .rowsBetween(-lookback, Window.currentRow)
+    df.withColumn("_arr",
+        sort_array(collect_list(col(valCol).cast("long")).over(w)))
+      .withColumn("med",
+        element_at(col("_arr"), expr("CAST((size(_arr) + 1) div 2 AS INT)")))
+      .drop("_arr")
+  }
 }

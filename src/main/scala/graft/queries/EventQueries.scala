@@ -685,6 +685,36 @@ object EventQueries {
         .groupBy("path").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 5)
         .orderBy("path")
+    },
+
+    // Rolling discrete median (Robust.rollingMedian): per-user trailing
+    // 7-event median of cents — the robust smoother. Bounded ROWS
+    // window (≤7 longs of state per row), never a global window; the
+    // (ts, event_id) total order makes the frame engine-exact, and the
+    // lower-median rank arithmetic is float-free. Oracle = DuckDB
+    // windowed list() + list_sort + rank index (µs-truncation CTE per
+    // the ns ground rule). user_id % 25 keeps the dump row count sane
+    // AND exercises scan pushdown on the filter.
+    QueryDef.sql("q141_rolling_median",
+      """WITH e AS (
+        |  SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE user_id % 25 = 0),
+        |w AS (
+        |  SELECT user_id, event_id,
+        |    list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS l
+        |  FROM e)
+        |SELECT user_id, event_id, list_sort(l)[(len(l) + 1) // 2] AS med
+        |FROM w ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      graft.operators.Robust.rollingMedian(
+          Tables.events(s, d)
+            .filter(col("user_id") % 25 === 0)
+            .select(col("user_id"), col("event_id"), col("ts"),
+              (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")),
+          "user_id", Seq("ts", "event_id"), "cents", lookback = 6)
+        .select("user_id", "event_id", "med")
+        .orderBy("user_id", "event_id")
     }
   )
 }

@@ -1716,6 +1716,45 @@ object PipelineQueries {
         .crossJoin(broadcast(tot))
         .select("lang", "source", "obs", "row_n", "col_n", "n")
         .orderBy("lang", "source")
+    },
+
+    // Golden-record survivorship (Curation.goldenRecords) over a
+    // three-system corpus (the q95 snapshot pattern: system A = all
+    // docs at priority 1, B drops keys ≡3 (mod 10) at priority 2, C
+    // keeps keys ≡0 (mod 5) at priority 3; same text, re-keyed ids).
+    // Clusters on md5(text); the survivor is rank 1 of
+    // (priority ASC, id ASC) — "most trusted system, oldest record".
+    // One exchange (rank + agg share the cluster key). All-integer
+    // except the cluster hash.
+    QueryDef.sql("q142_survivorship",
+      """WITH recs AS (
+        |  SELECT doc_id, md5(text) AS cluster, 1 AS prio FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(text), 2 FROM documents
+        |  WHERE doc_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, md5(text), 3 FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |ranked AS (
+        |  SELECT cluster, doc_id, prio,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY prio, doc_id) AS rn
+        |  FROM recs)
+        |SELECT cluster,
+        |  max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+        |  max(CASE WHEN rn = 1 THEN prio END) AS survivor_prio,
+        |  count(*) AS n_members,
+        |  CAST(count(DISTINCT prio) AS BIGINT) AS n_prios
+        |FROM ranked GROUP BY 1 ORDER BY cluster""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).select(col("doc_id"), md5(col("text")).as("cluster"))
+      val recs = base.select(col("doc_id"), col("cluster"), lit(1).as("prio"))
+        .unionByName(base.filter(col("doc_id") % 10 =!= 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("cluster"),
+            lit(2).as("prio")))
+        .unionByName(base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("cluster"),
+            lit(3).as("prio")))
+      graft.operators.Curation.goldenRecords(recs, "cluster", "prio", "doc_id")
+        .orderBy("cluster")
     }
   )
 

@@ -795,6 +795,41 @@ object RelationalQueries {
         .filter(col("rn") === 1)
         .select(col("n_name"), col("o_orderpriority").as("mode_priority"), col("n"))
         .orderBy("n_name")
+    },
+
+    // Spearman rank-correlation components per priority group: ranks
+    // of price and date over the (value, o_orderkey) TOTAL orders, then
+    // the exact BIGINT pair (n, Σd²) — ρ = 1 − 6Σd²/(n(n²−1)) is fully
+    // determined by them and left to the consumer (float ground rules).
+    // Both rank windows and the agg partition by the group key (one
+    // exchange, no global window). Σd² bound: n ≤ 10⁷ per group even at
+    // sf100 ⇒ Σd² ≤ n³ ≈ 10²¹ overflows... at THIS design point groups
+    // are priority classes of ≤ n/5; the long bound n³ < 2⁶³ holds to
+    // n ≈ 2×10⁶ per group — beyond that shift to DECIMAL(38,0) sums.
+    QueryDef.sql("q143_spearman",
+      """WITH r AS (
+        |  SELECT o_orderpriority AS grp,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rp,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_orderdate, o_orderkey) AS rd
+        |  FROM orders)
+        |SELECT grp, count(*) AS n,
+        |  CAST(sum((rp - rd) * (rp - rd)) AS BIGINT) AS sum_d2
+        |FROM r GROUP BY 1 ORDER BY grp""".stripMargin) { (s, d) =>
+      val byPrice = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+      val byDate = Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+      orders(s, d)
+        .select(col("o_orderpriority").as("grp"),
+          row_number().over(byPrice).as("rp"),
+          row_number().over(byDate).as("rd"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          sum((col("rp").cast("long") - col("rd")) *
+            (col("rp").cast("long") - col("rd"))).as("sum_d2"))
+        .orderBy("grp")
     }
   )
 }

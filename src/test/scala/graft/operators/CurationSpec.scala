@@ -99,4 +99,24 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 300L), (3L, 1L, 88L),
       (4L, 0L, 0L)))
   }
+
+  test("goldenRecords: priority wins, id breaks ties, stats exact") {
+    import spark.implicits._
+    val recs = Seq(
+      // cluster x: prio-2 id 10 loses to prio-1 id 20; three members,
+      // two distinct priorities
+      ("x", 10L, 2), ("x", 20L, 1), ("x", 30L, 2),
+      // cluster y: same priority — lower id survives
+      ("y", 7L, 3), ("y", 5L, 3),
+      // singleton
+      ("z", 99L, 9))
+      .toDF("cluster", "id", "prio")
+    val got = Curation.goldenRecords(recs, "cluster", "prio", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "x" -> ((20L, 1, 3L, 2L)),
+      "y" -> ((5L, 3, 2L, 1L)),
+      "z" -> ((99L, 9, 1L, 1L))))
+  }
 }

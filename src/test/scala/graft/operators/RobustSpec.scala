@@ -51,4 +51,33 @@ class RobustSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(got === expect)
   }
+
+  test("rollingMedian: trailing lower median over the (ord, id) order") {
+    val df = Seq(
+      ("a", 1L, 5L), ("a", 2L, 1L), ("a", 3L, 9L), ("a", 4L, 4L),
+      ("a", 5L, 7L), ("b", 1L, 100L))
+      .toDF("k", "i", "v")
+    val got = Robust.rollingMedian(df, "k", Seq("i"), "v", lookback = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // windows: [5],[5,1],[5,1,9],[1,9,4],[9,4,7] → meds 5,1,5,4,7
+    assert(got === Map(("a", 1L) -> 5L, ("a", 2L) -> 1L, ("a", 3L) -> 5L,
+      ("a", 4L) -> 4L, ("a", 5L) -> 7L, ("b", 1L) -> 100L))
+  }
+
+  test("rollingMedian matches a driver-side reference on random series") {
+    val rnd = new scala.util.Random(59)
+    val rows = for (k <- 0 until 4; i <- 0 until 40)
+      yield (s"k$k", i.toLong, rnd.nextInt(1000).toLong)
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val expect = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.zipWithIndex.map { case ((_, i, _), idx) =>
+        (k, i) -> lowerMedian(sorted.slice(math.max(0, idx - 4), idx + 1).map(_._3))
+      }
+    }
+    val got = Robust.rollingMedian(rows.toDF("k", "i", "v"), "k", Seq("i"), "v",
+        lookback = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got === expect)
+  }
 }
