@@ -148,6 +148,20 @@ object Curation {
     * key — one exchange; no cluster² term anywhere (survivor selection
     * is a rank, not a pairwise compare). All output integral except the
     * cluster key. */
+  /** k-anonymity audit — the privacy complement of [[redactPii]]: every
+    * quasi-identifier combination whose group is smaller than k, i.e.
+    * the cells where a released dataset would let a linker re-identify
+    * individuals. One map-side-combined aggregation over the QI key +
+    * a size filter; output is the suppression/generalization worklist
+    * (qi..., n), n < k. Scale: cell cardinality is the product of QI
+    * domains, never row count; the shuffle is the QI key. */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty && k >= 2, s"need QI columns and k >= 2 (got $k)")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
+
   def goldenRecords(records: DataFrame, clusterCol: String,
                     prioCol: String, idCol: String): DataFrame = {
     val byCluster = Window.partitionBy(clusterCol)

@@ -1755,6 +1755,53 @@ object PipelineQueries {
             lit(3).as("prio")))
       graft.operators.Curation.goldenRecords(recs, "cluster", "prio", "doc_id")
         .orderBy("cluster")
+    },
+
+    // Compaction planning (operators/Compaction): a synthetic file
+    // listing (one "file" per (ship month, orderkey·10+linenumber),
+    // bytes ∝ summed quantity — the pre-aggregation makes the file id
+    // UNIQUE within its partition; the raw synthetic lineitem repeats
+    // (orderkey, linenumber) pairs, and a tied ORDER BY id let the two
+    // engines pack 104 boundary files into different bins) bin-packed
+    // to ≈500 KB targets by the deterministic running-sum rule
+    // bin = cum_before div target. Window partitions by ship month
+    // (never global); all-integer.
+    QueryDef.sql("q144_compaction_plan",
+      """WITH files AS (
+        |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS part,
+        |    l_orderkey * 10 + l_linenumber AS id,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) * 1000 AS bytes
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT part, bytes,
+        |    coalesce(CAST(sum(bytes) OVER (PARTITION BY part ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS cum_before
+        |  FROM files)
+        |SELECT part, cum_before // 500000 AS bin,
+        |  count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS sum_bytes
+        |FROM cum GROUP BY 1, 2 ORDER BY part, bin""".stripMargin) { (s, d) =>
+      val files = Tables.lineitem(s, d)
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("part"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+        .agg((sum(col("l_quantity").cast("long")) * 1000).as("bytes"))
+      graft.operators.Compaction.plan(files, "part", "id", "bytes",
+          targetBytes = 500000L)
+        .orderBy("part", "bin")
+    },
+
+    // k-anonymity audit (Curation.kAnonymityAudit): quasi-identifier
+    // cells (nation, market segment) with fewer than k=10 customers —
+    // the re-identification worklist a release pipeline must suppress
+    // or generalize. One QI-keyed aggregation; all-integer.
+    QueryDef.sql("q145_kanonymity",
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |FROM customer
+        |GROUP BY 1, 2 HAVING count(*) < 10
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (s, d) =>
+      graft.operators.Curation.kAnonymityAudit(
+          Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"), k = 10L)
+        .orderBy("c_nationkey", "c_mktsegment")
     }
   )
 
