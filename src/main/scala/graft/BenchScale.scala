@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{AsofJoin, Bars, Bfs, BloomJoin, Bpe, ChangeCapture,
   Cooccur, CountMin, Curation, Dedup, Funnel, Fuzzy, GraphStats, Hierarchy,
-  Intervals, IvfIndex, Kcore, PageRank, PrefixSum, RangeJoin, Retrieval, Scd,
-  SetSimJoin, Skyline, Sssp, TableSync, TopKAgg, Triangles, ZOrder}
+  Intervals, IvfIndex, Kcore, Lpa, PageRank, PrefixSum, RangeJoin, Retrieval,
+  Scd, SetSimJoin, Skyline, SpanDedup, Sssp, TableSync, TopKAgg, Triangles,
+  ZOrder}
 
 /** Scale-stress harness for the dedup/ANN families: measures how runtime
   * grows with corpus size, so the "candidate cost is Σ df²" / "probe
@@ -502,6 +503,26 @@ object BenchScale {
         // count shuffles; a repetitive corpus would shrink them)
         val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
         Retrieval.collocationStats(d, "text", minPair = 25L).count()
+      },
+      "lpa" -> { k =>
+        // kcore's fixture: k disjoint copies of the bipartite
+        // user-event graph — 4 fixed rounds, each round's label join +
+        // two aggs grow k× with the edge list
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val pair = e.select((col("user_id") + lit(1000000000L)).as("c"),
+          (expr("user_id div 10000000") * 1000L + col("event_id") % 1000).as("s"))
+          .distinct()
+        val edges = pair.select(col("c").as("src"), col("s").as("dst"))
+          .unionByName(pair.select(col("s").as("src"), col("c").as("dst")))
+        Lpa.communities(edges, rounds = 4).count()
+      },
+      "dup_spans" -> { k =>
+        // salted copies → disjoint span spaces: span positions, the
+        // span-df shuffle and the dup-set join all grow k×; cross-copy
+        // duplicate spans are impossible by construction, so the
+        // duplicated-span set stays per-copy-shaped
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        SpanDedup.dupSpanStats(d, "doc_id", "text", k = 8).count()
       },
     )
 
