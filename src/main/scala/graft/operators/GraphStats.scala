@@ -44,4 +44,31 @@ object GraphStats {
       .groupBy("src").agg(count(lit(1)).as("deg"))
       .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
   }
+
+  /** Local clustering-coefficient components per node: (node, deg,
+    * n_tri) — the coefficient 2·n_tri / (deg·(deg−1)) is fully
+    * determined by the exact BIGINT pair and left to the consumer
+    * (float ground rules). The "how clique-ish is each neighborhood"
+    * signal community and link-prediction passes threshold on.
+    *
+    * Triangle counts ride [[Triangles.enumerate]]'s degree-oriented
+    * enumeration (candidate cost Σ deg_oriented², never Σ deg²), then
+    * one explode of the 3 corners + a node-keyed count; degree is one
+    * more count over the symmetric edge list. Input must be symmetric
+    * (feed both directions); degree-1 nodes report n_tri = 0. */
+  def clusteringComponents(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val tris = Triangles.enumerate(
+      e.select(col("src").as("a"), col("dst").as("b")))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 }

@@ -75,4 +75,26 @@ object Quality {
   def childlessCount(parent: DataFrame, parentKey: String, child: DataFrame,
                      childKey: String, name: String): DataFrame =
     orphanCount(parent, parentKey, child, childKey, name)
+
+  /** Functional-dependency audit lhs → rhs: the violating-determinant
+    * worklist — every lhs group carrying ≥ 2 distinct rhs combinations,
+    * with its distinct-dependent count and total row count. The
+    * profiling primitive behind FD discovery (test a candidate FD at
+    * table scale) and denormalization checks ("is this column really
+    * determined by that key?").
+    *
+    * Two chained aggregations: distinct (lhs, rhs) combos first (the
+    * map-side combine collapses duplicate combos before the shuffle),
+    * then a lhs-keyed re-agg — never a self-join, never DISTINCT inside
+    * an agg over the raw rows. All counts BIGINT. */
+  def fdViolations(df: DataFrame, lhs: Seq[String],
+                   rhs: Seq[String]): DataFrame = {
+    require(lhs.nonEmpty && rhs.nonEmpty,
+      "Quality.fdViolations: lhs and rhs must be non-empty")
+    val combos = df.groupBy((lhs ++ rhs).map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    combos.groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("n_rhs"), sum(col("n")).as("n_rows"))
+      .filter(col("n_rhs") >= 2)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Language-model corpus statistics and ranked text retrieval — the
@@ -213,5 +214,34 @@ object Retrieval {
     perDoc.select(col(idCol), score.as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
+  }
+
+  /** Keyword extraction: the top-`topN` terms per document by the
+    * rarity-weighted score tf/df (the TF-IDF shape with a rational idf
+    * — log-free, so the one float involved is a SINGLE IEEE division
+    * both engines compute bit-identically per the mirrored-arithmetic
+    * ground rule; it is the sort key only and never emitted). Output
+    * (doc, term, tf, df, rn) — all integers, rn ∈ [1, topN], order
+    * within a doc total via (score DESC, term ASC).
+    *
+    * Scale: per-doc tf agg (map-side combined), vocabulary-sized df
+    * re-agg from the tf table (df = distinct docs per term, counted
+    * WITHOUT a second scan of the corpus), term-keyed join back, one
+    * doc-partitioned rank window. Per-doc candidate terms bound the
+    * window partitions; nothing is global. */
+  def keywordExtract(docs: DataFrame, idCol: String, textCol: String,
+                     topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    val tf = docs.select(col(idCol).as("doc"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc")
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .select(col("doc"), col("term"), col("tf"), col("df"), col("rn"))
   }
 }

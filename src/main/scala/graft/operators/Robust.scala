@@ -85,4 +85,45 @@ object Robust {
         element_at(col("_arr"), expr("CAST((size(_arr) + 1) div 2 AS INT)")))
       .drop("_arr")
   }
+
+  /** Per-group winsorized sums: values below the discrete p-th /
+    * above the (1−p)-th percentile are clamped to those percentile
+    * VALUES before summing — the outlier treatment that keeps totals
+    * resistant without dropping rows (trimming changes n; winsorizing
+    * doesn't). p is the rational pNum/pDen (e.g. 1/20 = 5%); bounds
+    * are the actual data values at ranks ⌈n·p⌉ (floored at 1) and
+    * ⌈n·(1−p)⌉ of the (value, id) total order — discrete, exact, no
+    * interpolation, so the whole operator is integer arithmetic.
+    *
+    * Returns (grp, n, lo, hi, sum_w, n_lo, n_hi): group size, both
+    * clamp values, the winsorized BIGINT sum, and how many rows were
+    * clamped at each end. One rank+count window pass partitioned by
+    * the group key, a group-cardinality bounds join back (persisted —
+    * the ranked stage feeds bounds AND the final agg, the AQE-reuse
+    * lesson), one aggregation; never a global window. */
+  def winsorizedSums(df: DataFrame, grpCol: String, valCol: String,
+                     idCol: String, pNum: Long, pDen: Long): DataFrame = {
+    require(pNum >= 0 && pNum * 2 < pDen,
+      s"p must be in [0, 0.5): $pNum/$pDen")
+    val w = Window.partitionBy(grpCol).orderBy(col("_v"), col(idCol))
+    val ranked = df
+      .select(col(grpCol), col(valCol).cast("long").as("_v"), col(idCol))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(grpCol)))
+      .withColumn("_lo_rank",
+        greatest(expr(s"(_n * $pNum + ${pDen - 1}) div $pDen"), lit(1L)))
+      .withColumn("_hi_rank",
+        expr(s"(_n * ${pDen - pNum} + ${pDen - 1}) div $pDen"))
+      .persist()
+    val bounds = ranked.groupBy(grpCol).agg(
+      max(when(col("_rn") === col("_lo_rank"), col("_v"))).as("lo"),
+      max(when(col("_rn") === col("_hi_rank"), col("_v"))).as("hi"))
+    ranked.join(bounds, grpCol)
+      .groupBy(grpCol)
+      .agg(count(lit(1)).as("n"), first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"),
+        sum(greatest(least(col("_v"), col("hi")), col("lo"))).as("sum_w"),
+        sum(when(col("_v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("_v") > col("hi"), 1L).otherwise(0L)).as("n_hi"))
+  }
 }

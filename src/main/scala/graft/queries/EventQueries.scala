@@ -715,6 +715,48 @@ object EventQueries {
           "user_id", Seq("ts", "event_id"), "cents", lookback = 6)
         .select("user_id", "event_id", "med")
         .orderBy("user_id", "event_id")
+    },
+
+    // Winsorized per-user sums (Robust.winsorizedSums): values clamped
+    // at the discrete 5th/95th percentile VALUES (ranks ⌈n/20⌉ and
+    // ⌈19n/20⌉ of the (cents, event_id) total order) before summing —
+    // outlier-resistant totals without dropping rows. Entirely integer
+    // arithmetic (discrete bounds, long clamps); one rank+count window
+    // pass partitioned by user, group-sized bounds join, one agg. No ts
+    // anywhere, so no µs-truncation CTE needed.
+    QueryDef.sql("q152_winsorized",
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE user_id % 25 = 0),
+        |r AS (
+        |  SELECT user_id, cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
+        |rr AS (
+        |  SELECT *, greatest((n + 19) // 20, 1) AS lo_rank,
+        |    (n * 19 + 19) // 20 AS hi_rank
+        |  FROM r),
+        |b AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN rn = lo_rank THEN cents END) AS lo,
+        |    max(CASE WHEN rn = hi_rank THEN cents END) AS hi
+        |  FROM rr GROUP BY 1)
+        |SELECT rr.user_id, CAST(count(*) AS BIGINT) AS n,
+        |  max(b.lo) AS lo, max(b.hi) AS hi,
+        |  CAST(sum(greatest(least(rr.cents, b.hi), b.lo)) AS BIGINT) AS sum_w,
+        |  CAST(sum(CASE WHEN rr.cents < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN rr.cents > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+        |FROM rr JOIN b USING (user_id)
+        |GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      graft.operators.Robust.winsorizedSums(
+          Tables.events(s, d)
+            .filter(col("user_id") % 25 === 0)
+            .select(col("user_id"), col("event_id"),
+              (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")),
+          "user_id", "cents", "event_id", pNum = 1L, pDen = 20L)
+        .orderBy("user_id")
     }
   )
 }

@@ -1113,28 +1113,15 @@ object PipelineQueries {
     // self-join — a different orientation whose triangle set must
     // match exactly.
     QueryDef.sql("q102_triangles",
-      """WITH g AS (
-        |  SELECT DISTINCT l_orderkey, l_suppkey,
-        |    date_trunc('day', l_shipdate) AS dday FROM lineitem),
-        |e AS (
-        |  SELECT DISTINCT g1.l_orderkey AS a, g2.l_orderkey AS b
-        |  FROM g g1 JOIN g g2 ON g1.l_suppkey = g2.l_suppkey
-        |    AND g1.dday = g2.dday AND g1.l_orderkey < g2.l_orderkey)
+      orderAdjSql +
+      """
         |SELECT e1.a AS a, e1.b AS b, e2.b AS c
         |FROM e e1
         |JOIN e e2 ON e2.a = e1.b
         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         |ORDER BY a, b, c""".stripMargin) { (s, d) =>
-      val g = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
-        date_trunc("day", col("l_shipdate")).as("dday")).distinct()
-      val g1 = g.select(col("l_orderkey").as("k1"), col("l_suppkey").as("s1"),
-        col("dday").as("d1"))
-      val g2 = g.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"),
-        col("dday").as("d2"))
-      val e = g1.join(g2, col("s1") === col("s2") && col("d1") === col("d2") &&
-          col("k1") < col("k2"))
-        .select(col("k1").as("a"), col("k2").as("b")).distinct()
-      graft.operators.Triangles.enumerate(e).orderBy("a", "b", "c")
+      graft.operators.Triangles.enumerate(orderAdjEdges(s, d))
+        .orderBy("a", "b", "c")
     },
 
     // Bucketed co-located join (Bucketed): orders and lineitem persisted
@@ -1802,6 +1789,166 @@ object PipelineQueries {
       graft.operators.Curation.kAnonymityAudit(
           Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"), k = 10L)
         .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // Label-propagation communities (operators/Lpa) on the shared trade
+    // graph — 4 synchronous rounds, deterministic (max count, tie →
+    // smallest label) so every round is cross-engine exact; the oracle
+    // unrolls the identical 4 rounds as materialized DuckDB CTEs with a
+    // row_number argmax (different machinery than the engine's max_by,
+    // same total order). Per round: one broadcast label join + two aggs,
+    // O(|E|); all-integer.
+    QueryDef.sql("q146_lpa_communities",
+      graft.operators.Lpa.oracleSql(tradeEdgesSql, rounds = 4)) { (s, d) =>
+      Aux.shareBuilt(s, d, "q146_lpa4") {
+        graft.operators.Lpa.communities(tradeEdges(s, d), rounds = 4)
+      }.orderBy("node")
+    },
+
+    // Span-level duplication stats (operators/SpanDedup): per-document
+    // count of 8-token span positions whose span recurs in ANOTHER
+    // document — the substring-dedup signal document-level dedup misses
+    // (quoted boilerplate inside otherwise-distinct docs; 47 docs carry
+    // cross-doc 8-gram spans at sf0.01). Span enumeration is row-local
+    // (shinglesUdf — interpreted-HOF ground rule); shuffles are span-df,
+    // span-join, doc-agg. Oracle re-enumerates spans positionally with
+    // list_slice + a greatest(len-k+1, 1) grid mirroring shinglesOf's
+    // whole-text short-doc contract. All-integer.
+    QueryDef.sql("q147_dup_spans",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |sp AS (
+        |  SELECT doc_id, array_to_string(list_slice(arr, pos, pos + 7), ' ') AS span
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(len(arr) - 7, 1))) AS pos) p),
+        |dupset AS (SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+        |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+        |dup AS (
+        |  SELECT s.doc_id, count(*) AS n_dup_pos,
+        |    CAST(count(DISTINCT s.span) AS BIGINT) AS n_dup_spans
+        |  FROM sp s JOIN dupset USING (span) GROUP BY 1)
+        |SELECT t.doc_id, t.n_spans,
+        |  coalesce(d.n_dup_pos, 0) AS n_dup_pos,
+        |  coalesce(d.n_dup_spans, 0) AS n_dup_spans
+        |FROM tot t LEFT JOIN dup d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.SpanDedup.dupSpanStats(
+          Tables.documents(s, d), "doc_id", "text", k = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Functional-dependency audit (Quality.fdViolations): does
+    // l_partkey determine l_suppkey? No — the violating-determinant
+    // worklist lists every part shipped by ≥ 2 suppliers with its
+    // distinct-supplier and row counts. Two chained aggregations
+    // (distinct combos map-side-combined, then the determinant re-agg);
+    // never DISTINCT-inside-agg over raw rows, never a self-join.
+    // All-integer.
+    QueryDef.sql("q148_fd_violations",
+      """WITH combos AS (
+        |  SELECT l_partkey, l_suppkey, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rhs,
+        |  CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM combos GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY l_partkey""".stripMargin) { (s, d) =>
+      graft.operators.Quality.fdViolations(
+          Tables.lineitem(s, d), Seq("l_partkey"), Seq("l_suppkey"))
+        .orderBy("l_partkey")
+    },
+
+    // Cascade-delete planning (operators/Erasure): tombstone customers
+    // (c_custkey ≡ 0 mod 97) walked down the FK chain — per-table
+    // purge/keep manifests sized BEFORE any rewrite. Each count is one
+    // broadcast join over one scan (flag + conditional count in the
+    // same agg); derived tombstones (orderkeys of purged customers)
+    // stay tombstone-proportional, so every cascade level broadcasts.
+    // All-integer.
+    QueryDef.sql("q149_delete_cascade",
+      """WITH tomb AS (SELECT c_custkey AS key FROM customer WHERE c_custkey % 97 = 0),
+        |po AS (SELECT DISTINCT o_orderkey AS key FROM orders
+        |       WHERE o_custkey IN (SELECT key FROM tomb))
+        |SELECT * FROM (
+        |  SELECT 'customer' AS table_name,
+        |    (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT key FROM tomb)) AS purge_rows,
+        |    (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT key FROM tomb)) AS keep_rows
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    (SELECT count(*) FROM orders WHERE o_custkey IN (SELECT key FROM tomb)),
+        |    (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT key FROM tomb))
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT key FROM po)),
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT key FROM po)))
+        |ORDER BY table_name""".stripMargin) { (s, d) =>
+      import graft.operators.Erasure
+      val tomb = Tables.customer(s, d)
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("key"))
+      val orderTomb = Erasure.derivedTombstones(
+        Tables.orders(s, d), "o_custkey", "o_orderkey", tomb)
+      Erasure.purgeCounts("customer", Tables.customer(s, d), "c_custkey", tomb)
+        .unionByName(Erasure.purgeCounts("orders", Tables.orders(s, d),
+          "o_custkey", tomb))
+        .unionByName(Erasure.purgeCounts("lineitem", Tables.lineitem(s, d),
+          "l_orderkey", orderTomb))
+        .orderBy("table_name")
+    },
+
+    // Local clustering-coefficient components
+    // (GraphStats.clusteringComponents) over the shared q102
+    // order-adjacency graph: per node the exact BIGINT pair (deg,
+    // n_tri) that determines 2·n_tri/(deg·(deg−1)) — the
+    // neighborhood-cliquishness signal. Triangle counts ride the
+    // degree-oriented enumeration; the oracle re-counts corners from
+    // the id-ordered 3-way self-join (a different orientation) and
+    // degrees from the symmetrized edge list. All-integer.
+    QueryDef.sql("q151_clustering_coeff",
+      orderAdjSql +
+      """,
+        |sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (
+        |  SELECT u.node, count(*) AS n_tri
+        |  FROM tri, LATERAL (SELECT unnest([a, b, c]) AS node) u
+        |  GROUP BY 1)
+        |SELECT d.node, d.deg, coalesce(t.n_tri, 0) AS n_tri
+        |FROM deg d LEFT JOIN tn t USING (node)
+        |ORDER BY node""".stripMargin) { (s, d) =>
+      val e = orderAdjEdges(s, d)
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      graft.operators.GraphStats.clusteringComponents(sym)
+        .orderBy("node")
+    },
+
+    // Keyword extraction (Retrieval.keywordExtract): top-3 terms per
+    // document by the rational-idf score tf/df — the sort key is ONE
+    // IEEE division both engines compute bit-identically (mirrored-
+    // arithmetic ground rule) and is never emitted; output is all
+    // integers. Per-doc tf agg, vocab-sized df re-agg (no second corpus
+    // scan), term join, doc-partitioned rank window.
+    QueryDef.sql("q153_keyword_extract",
+      """WITH toks AS (
+        |  SELECT doc_id AS doc, t.term
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  WHERE t.term <> ''),
+        |tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT doc, term, tf, df,
+        |    row_number() OVER (PARTITION BY doc
+        |      ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS rn
+        |  FROM tf JOIN dfq USING (term))
+        |SELECT doc, term, tf, df, CAST(rn AS INT) AS rn
+        |FROM sc WHERE rn <= 3 ORDER BY doc, rn""".stripMargin) { (s, d) =>
+      graft.operators.Retrieval.keywordExtract(
+          Tables.documents(s, d), "doc_id", "text", topN = 3)
+        .orderBy("doc", "rn")
     }
   )
 
@@ -1810,6 +1957,35 @@ object PipelineQueries {
     * spaces), materialized once per sf via [[Aux.shareBuilt]]. */
   // a def, not a val: defs above initializes first (a val here would
   // still be null while the Seq is being built)
+  /** The q102/q151 graph: order-adjacency (two orders connected iff
+    * some supplier ships for both on the same day), canonical a<b
+    * distinct edges, materialized once per sf via [[Aux.shareBuilt]] —
+    * the adjacency self-join is the expensive stage and both consumers
+    * (triangle enumeration, clustering components) reuse it. */
+  private def orderAdjEdges(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Aux.shareBuilt(s, d, "q102_order_adj") {
+      val g = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+        date_trunc("day", col("l_shipdate")).as("dday")).distinct()
+      val g1 = g.select(col("l_orderkey").as("k1"), col("l_suppkey").as("s1"),
+        col("dday").as("d1"))
+      val g2 = g.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"),
+        col("dday").as("d2"))
+      g1.join(g2, col("s1") === col("s2") && col("d1") === col("d2") &&
+          col("k1") < col("k2"))
+        .select(col("k1").as("a"), col("k2").as("b")).distinct()
+    }
+
+  /** The shared SQL prefix defining the same order-adjacency edges for
+    * the q102/q151 oracles. */
+  private def orderAdjSql: String =
+    """WITH g AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey,
+      |    date_trunc('day', l_shipdate) AS dday FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT g1.l_orderkey AS a, g2.l_orderkey AS b
+      |  FROM g g1 JOIN g g2 ON g1.l_suppkey = g2.l_suppkey
+      |    AND g1.dday = g2.dday AND g1.l_orderkey < g2.l_orderkey)""".stripMargin
+
   private def tradeEdgesSql: String =
     """WITH pair AS MATERIALIZED (
       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s

@@ -830,6 +830,48 @@ object RelationalQueries {
           sum((col("rp").cast("long") - col("rd")) *
             (col("rp").cast("long") - col("rd"))).as("sum_d2"))
         .orderBy("grp")
+    },
+
+    // Per-nation revenue-trend (OLS) components: daily revenue cents
+    // per nation, then the five exact BIGINTs (n, Σx, Σy, Σxy, Σx²)
+    // that fully determine slope and intercept — the float solve is the
+    // consumer's (float ground rules). x = day index from 1992-01-01
+    // (small int; epoch-µs x would overflow Σx²), y = DECIMAL-exact
+    // daily cents. Customer→nation dimension chain broadcasts into the
+    // orders scan; two chained aggs. Long bounds: Σxy ≈ days²·cents/day
+    // ≈ 2.5×10¹⁷ at sf100 — within 2⁶³; past that, DECIMAL(38,0) sums.
+    QueryDef.sql("q150_trend_components",
+      """WITH cn AS (
+        |  SELECT c_custkey, n_name
+        |  FROM customer JOIN nation ON n_nationkey = c_nationkey),
+        |daily AS (
+        |  SELECT n_name,
+        |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM orders JOIN cn ON c_custkey = o_custkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |  CAST(sum(x * x) AS BIGINT) AS sum_x2
+        |FROM daily GROUP BY 1 ORDER BY n_name""".stripMargin) { (s, d) =>
+      val cn = customer(s, d)
+        .join(nation(s, d), col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val daily = orders(s, d)
+        .join(broadcast(cn), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("n_name"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+            .cast("long").as("x"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("y"))
+      daily.groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+          sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_x2"))
+        .orderBy("n_name")
     }
   )
 }

@@ -52,4 +52,38 @@ class GraphStatsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(6L -> 1L, 1L -> 6L))
   }
+
+  test("clusteringComponents: triangle with a pendant node") {
+    val g = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)))
+    val got = GraphStats.clusteringComponents(g.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((3L, 1L)), 2L -> ((2L, 1L)),
+      3L -> ((2L, 1L)), 4L -> ((1L, 0L))))
+  }
+
+  test("clusteringComponents: two triangles sharing an edge") {
+    val g = sym(Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
+    val got = GraphStats.clusteringComponents(g.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((3L, 2L)), 2L -> ((3L, 2L)),
+      3L -> ((2L, 1L)), 4L -> ((2L, 1L))))
+  }
+
+  test("clusteringComponents matches brute force on random graphs") {
+    val rnd = new scala.util.Random(331)
+    for (trial <- 1 to 3) {
+      val pairs = Seq.fill(60)((rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+        .filter(p => p._1 != p._2)
+      val adj = sym(pairs).distinct.groupBy(_._1)
+        .map { case (n, es) => n -> es.map(_._2).toSet }
+      val expect = adj.map { case (n, nbrs) =>
+        val tri = nbrs.toSeq.combinations(2)
+          .count { case Seq(x, y) => adj(x)(y) }
+        n -> ((nbrs.size.toLong, tri.toLong))
+      }
+      val got = GraphStats.clusteringComponents(sym(pairs).toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got === expect, s"trial=$trial")
+    }
+  }
 }

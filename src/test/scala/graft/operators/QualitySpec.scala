@@ -66,4 +66,29 @@ class QualitySpec extends AnyFunSuite {
     assert(audit.columns.toSeq === Seq("check", "violations"))
     assert(asMap(audit) === Map("v >= 0" -> 1L, "k unique" -> 1L))
   }
+
+  test("fdViolations lists determinants with >= 2 distinct dependents") {
+    // part 1 -> suppliers {10, 11} (3 rows), part 2 -> {20} (2 rows,
+    // duplicated combo must NOT count as two dependents), part 3 -> {30}
+    val df = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 20L), (2L, 20L),
+      (3L, 30L)).toDF("pk", "sk")
+    val got = Quality.fdViolations(df, Seq("pk"), Seq("sk"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((2L, 3L))))
+  }
+
+  test("fdViolations: a holding FD yields an empty worklist") {
+    val df = Seq((1L, 10L), (1L, 10L), (2L, 20L)).toDF("pk", "sk")
+    assert(Quality.fdViolations(df, Seq("pk"), Seq("sk")).count() === 0L)
+  }
+
+  test("fdViolations supports composite lhs and rhs") {
+    // (a, b) -> (c, d): group (1, 1) has dependents {(5,5), (5,6)}
+    val df = Seq((1L, 1L, 5L, 5L), (1L, 1L, 5L, 6L), (1L, 2L, 7L, 7L),
+      (1L, 2L, 7L, 7L)).toDF("a", "b", "c", "d")
+    val got = Quality.fdViolations(df, Seq("a", "b"), Seq("c", "d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map((1L, 1L) -> ((2L, 2L))))
+  }
 }

@@ -157,4 +157,52 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == expected)
     assert(expected.nonEmpty)
   }
+
+  test("keywordExtract: rarity-weighted top terms, hand case") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple apple rare"), (2L, "apple banana"),
+      (3L, "apple")).toDF("doc_id", "text")
+    // df: apple=3, rare=1, banana=1; doc1 scores rare 1.0 > apple 2/3
+    val got = Retrieval.keywordExtract(docs, "doc_id", "text", topN = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      (1L, 1) -> (("rare", 1L, 1L)), (1L, 2) -> (("apple", 2L, 3L)),
+      (2L, 1) -> (("banana", 1L, 1L)), (2L, 2) -> (("apple", 1L, 3L)),
+      (3L, 1) -> (("apple", 1L, 3L))))
+  }
+
+  test("keywordExtract: equal scores break ties by term, empties dropped") {
+    import spark.implicits._
+    val docs = Seq((1L, "y  x")).toDF("doc_id", "text")
+    val got = Retrieval.keywordExtract(docs, "doc_id", "text", topN = 5)
+      .collect().map(r => r.getInt(4) -> r.getString(1)).toMap
+    assert(got === Map(1 -> "x", 2 -> "y"))
+  }
+
+  test("keywordExtract matches a driver-side reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (1L to 15L).map { id =>
+      id -> Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, xs) => (id, w, xs.length.toLong) }
+    }
+    val dfm = tf.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+    val expect = tf.groupBy(_._1).flatMap { case (id, ts) =>
+      ts.map { case (_, w, n) => (w, n, dfm(w)) }
+        .sortBy { case (w, n, df) => (-n.toDouble / df, w) }
+        .take(3).zipWithIndex
+        .map { case ((w, n, df), i) => (id, i + 1) -> ((w, n, df)) }
+    }
+    val got = Retrieval.keywordExtract(docs.toDF("doc_id", "text"),
+        "doc_id", "text", topN = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+  }
 }

@@ -80,4 +80,49 @@ class RobustSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
     assert(got === expect)
   }
+
+  test("winsorizedSums: hand case, 5% on 1..20") {
+    import spark.implicits._
+    val df = (1L to 20L).map(v => ("g", v, v)).toDF("g", "v", "id")
+    val r = Robust.winsorizedSums(df, "g", "v", "id", 1L, 20L).collect().head
+    // lo_rank = ceil(20/20) = 1 -> lo = 1; hi_rank = ceil(19*20/20) = 19
+    // -> hi = 19; sum_w = (1+..+19) + 19 = 209; one row clamped high
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) === ((20L, 1L, 19L, 209L, 0L, 1L)))
+  }
+
+  test("winsorizedSums: tiny groups clamp nothing") {
+    import spark.implicits._
+    val df = Seq(("g", 5L, 1L), ("g", 50L, 2L), ("g", 500L, 3L))
+      .toDF("g", "v", "id")
+    val r = Robust.winsorizedSums(df, "g", "v", "id", 1L, 20L).collect().head
+    // n=3: lo_rank = max(ceil(3/20), 1) = 1, hi_rank = ceil(57/20) = 3
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) === ((3L, 5L, 500L, 555L, 0L, 0L)))
+  }
+
+  test("winsorizedSums matches a driver-side reference on random groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x3AD)
+    val rows = for {
+      g <- Seq("a", "b", "c")
+      i <- 1 to (20 + rnd.nextInt(60))
+    } yield (g, rnd.nextInt(1000).toLong - 200L, i.toLong)
+    val (pn, pd) = (1L, 10L)
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      val sorted = rs.map(r => (r._2, r._3)).sortBy(identity).map(_._1)
+      val n = sorted.size
+      val loR = math.max((n * pn + pd - 1) / pd, 1L).toInt
+      val hiR = ((n * (pd - pn) + pd - 1) / pd).toInt
+      val (lo, hi) = (sorted(loR - 1), sorted(hiR - 1))
+      g -> ((n.toLong, lo, hi,
+        sorted.map(v => math.max(math.min(v, hi), lo)).sum,
+        sorted.count(_ < lo).toLong, sorted.count(_ > hi).toLong))
+    }
+    val got = Robust.winsorizedSums(rows.toDF("g", "v", "id"), "g", "v", "id",
+        pn, pd)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got === expect)
+  }
 }
