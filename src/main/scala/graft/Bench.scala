@@ -95,17 +95,33 @@ object Bench {
     // The driver records only the LAST ~2000 chars of this process's
     // output and JSON-parses what it finds there (BENCH_r0{1..4}.json all
     // have parsed:null because the full-name 9-decimal line was ~2500
-    // chars and lost its opening brace to the window). Short qNN keys +
-    // 3-decimal values keep the line under ~1100 chars, clear of the
-    // sbt [success] footer that follows it.
+    // chars and lost its opening brace to the window; at 159 queries even
+    // short-key 3-decimal entries overflow it again). The final JSON line
+    // therefore carries only the SLOWEST queries that fit a fixed char
+    // budget — with queries_shown/queries_total making the truncation
+    // explicit — so it stays tail-parseable at ANY future query count.
+    // The full per-query map goes on the `bench-full`-prefixed line just
+    // above (the prefix keeps it json.loads-unparseable, so the tail
+    // window can never see two candidate JSON lines).
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
     require(shortKeys.distinct.size == results.size,
       s"short bench keys collide: ${shortKeys.diff(shortKeys.distinct).distinct.mkString(",")}")
-    val qs = shortKeys.zip(results.map(_._2)).map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    val entries = shortKeys.zip(results.map(_._2))
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    val fullQs = entries.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(s"""bench-full {"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,"queries":$fullQs,"sf":"$sfDir"}""")
+    val mapBudget = 1200 // chars for the queries map; line ≈ budget + 120
+    val bySlowest = entries.sortBy { case (_, v) => -v }
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val shown = scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    bySlowest.foreach { e =>
+      if (used + e.length + 1 <= mapBudget) { shown += e; used += e.length + 1 }
+    }
+    val qs = shown.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,"queries":$qs,"queries_shown":${shown.size},"queries_total":${entries.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

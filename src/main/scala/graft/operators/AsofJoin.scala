@@ -52,4 +52,48 @@ object AsofJoin {
       .select(col("k").as(keyCol), col("left_id"),
         col("ts").as(leftTs), col("right_id"))
   }
+
+  /** Horizon-bounded LEFT OUTER as-of match — the attribution shape:
+    * every left row (conversion) paired with the latest right row
+    * (touchpoint) at-or-before it within `horizonMs`, or NULL when the
+    * latest preceding touchpoint is older than the horizon (a stale
+    * match is no match: since the carried row is the LATEST one, no
+    * earlier row can be inside the horizon either, so the post-filter
+    * is exact, not approximate). Same single-shuffle union-tag plan as
+    * [[asofMatch]] — one extra running window carries the matched right
+    * TIMESTAMP forward so the age is computable without a join back.
+    *
+    * Output: (keyCol, left_id, leftTs, right_id, age_ms) with right_id
+    * and age_ms NULL for unattributed left rows; age_ms is the
+    * difference of the two MILLISECOND floors (mirror `epoch_ms(l) -
+    * epoch_ms(r)` in oracles — floor-of-difference differs). */
+  def asofMatchBounded(left: DataFrame, right: DataFrame,
+                       keyCol: String, leftTs: String, rightTs: String,
+                       leftIdCol: String, rightIdCol: String,
+                       horizonMs: Long): DataFrame = {
+    require(horizonMs >= 0, "horizonMs must be >= 0")
+    val r = right
+      .groupBy(col(keyCol).as("k"), col(rightTs).as("ts"))
+      .agg(max(col(rightIdCol)).as("rid"))
+      .select(col("k"), col("ts"), lit(0).as("side"),
+        lit(null).cast("long").as("left_id"), col("rid"))
+    val l = left.select(col(keyCol).as("k"), col(leftTs).as("ts"),
+      lit(1).as("side"), col(leftIdCol).cast("long").as("left_id"),
+      lit(null).cast("long").as("rid"))
+    val w = Window.partitionBy("k").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // rid is non-null on every side-0 row, so both running `last`s pick
+    // the SAME (latest preceding right) row — id and ts stay paired
+    r.unionByName(l)
+      .withColumn("m_rid", last(col("rid"), ignoreNulls = true).over(w))
+      .withColumn("m_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("age",
+        unix_millis(col("ts")) - unix_millis(col("m_ts")))
+      .withColumn("fresh", col("m_rid").isNotNull && col("age") <= horizonMs)
+      .select(col("k").as(keyCol), col("left_id"), col("ts").as(leftTs),
+        when(col("fresh"), col("m_rid")).as("right_id"),
+        when(col("fresh"), col("age")).as("age_ms"))
+  }
 }

@@ -71,4 +71,35 @@ object GraphStats {
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** Degree-assortativity components over a SYMMETRIC edge list: ONE
+    * row (m, sum_jk, sum_j, sum_j2) where, over every directed edge,
+    * j/k are the endpoint degrees — Newman's assortativity
+    * r = (Σjk/m − (Σj/m)²) / (Σj²/m − (Σj/m)²) is fully determined by
+    * the four exact BIGINTs and left to the consumer (float ground
+    * rules; for a symmetric list the j- and k-marginals coincide, so
+    * one marginal suffices). Degree-mixing is the hub-to-hub vs
+    * hub-to-leaf wiring signal that picks sampling and partitioning
+    * strategies for the graph operators.
+    *
+    * Plan: one degree count, two joins of the node-sized degree table
+    * onto the edge list (broadcast — degrees are |V| rows), one global
+    * 1-row aggregation (map-side combined; no window, no cartesian).
+    * Long bounds: Σjk ≤ m·d_max² — past ~10⁹ edges with 10⁴-degree
+    * hubs shift the quadratic sums to DECIMAL(38,0). */
+  def assortativityComponents(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    e.join(broadcast(deg.select(col("node").as("src"), col("deg").as("jdeg"))),
+        "src")
+      .join(broadcast(deg.select(col("node").as("dst"), col("deg").as("kdeg"))),
+        "dst")
+      .agg(count(lit(1)).as("m"),
+        sum(col("jdeg") * col("kdeg")).as("sum_jk"),
+        sum(col("jdeg")).as("sum_j"),
+        sum(col("jdeg") * col("jdeg")).as("sum_j2"))
+  }
 }

@@ -757,6 +757,67 @@ object EventQueries {
               (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")),
           "user_id", "cents", "event_id", pNum = 1L, pDen = 20L)
         .orderBy("user_id")
+    },
+
+    // Rolling 7-day distinct actives (operators/Activity): per observed
+    // day, distinct users active in the trailing week plus the same-day
+    // distinct count — the DAU/WAU engagement statistic. The engine
+    // runs the forward-scatter formulation (each distinct (user, day)
+    // pair explodes to its 7 target days — bounded fan-out, two
+    // shuffles, NO window and NO day×day join); the oracle is a
+    // day-grid range join with windowed-distinct semantics restated
+    // directly. Day flooring is floor-of-floor over µs, so no
+    // truncation CTE is needed (ground-rule epoch_ms/time_bucket case).
+    QueryDef.sql("q154_rolling_active",
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id AS k,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM pairs)
+        |SELECT d.day, count(DISTINCT p.k) AS n_active_w,
+        |  count(DISTINCT CASE WHEN p.day = d.day THEN p.k END) AS n_today
+        |FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.operators.Activity.rollingActive(
+          Tables.events(s, d), "user_id", "ts", windowDays = 7)
+        .orderBy("day")
+    },
+
+    // Horizon-bounded last-touch attribution (AsofJoin.asofMatchBounded):
+    // every purchase paired with the user's latest click at most 1 hour
+    // before it, or NULL — the marketing-attribution / stale-quote
+    // guard the unbounded as-of (q78) cannot express. Engine: the
+    // union-tag running-window formulation (one shuffle, no join);
+    // oracle: DuckDB's native ASOF LEFT JOIN + horizon post-filter —
+    // exact because the as-of match is the LATEST preceding click (no
+    // earlier one can be fresher). Ages are differences of ms FLOORS on
+    // both sides; µs-truncating CTE per the raw-ts ground rule.
+    QueryDef.sql("q156_attribution",
+      """WITH e AS (
+        |  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id,
+        |    event_type FROM events),
+        |r AS (
+        |  SELECT user_id, ts, max(event_id) AS rid FROM e
+        |  WHERE event_type = 'click' GROUP BY user_id, ts),
+        |l AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'purchase')
+        |SELECT l.user_id, l.event_id AS conv_id, epoch_ms(l.ts) AS ts_ms,
+        |  CASE WHEN r.rid IS NOT NULL
+        |         AND epoch_ms(l.ts) - epoch_ms(r.ts) <= 3600000
+        |       THEN r.rid END AS click_id,
+        |  CASE WHEN r.rid IS NOT NULL
+        |         AND epoch_ms(l.ts) - epoch_ms(r.ts) <= 3600000
+        |       THEN epoch_ms(l.ts) - epoch_ms(r.ts) END AS age_ms
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY conv_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.operators.AsofJoin.asofMatchBounded(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          "user_id", "ts", "ts", "event_id", "event_id",
+          horizonMs = 3600000L)
+        .select(col("user_id"), col("left_id").as("conv_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("right_id").as("click_id"), col("age_ms"))
+        .orderBy("conv_id")
     }
   )
 }

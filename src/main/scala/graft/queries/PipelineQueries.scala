@@ -1949,6 +1949,28 @@ object PipelineQueries {
       graft.operators.Retrieval.keywordExtract(
           Tables.documents(s, d), "doc_id", "text", topN = 3)
         .orderBy("doc", "rn")
+    },
+
+    // Degree-assortativity components
+    // (GraphStats.assortativityComponents) over the shared q134 trade
+    // graph: ONE row of four exact BIGINTs (m, Σjk, Σj, Σj²) over
+    // directed edges — Newman's r is determined by them (float ground
+    // rules; symmetric list ⇒ one marginal suffices). Engine: degree
+    // count + two broadcast degree joins + one map-side-combined global
+    // agg; oracle restates the same moments from the tradeEdgesSql
+    // edge list. All-integer.
+    QueryDef.sql("q157_assortativity",
+      tradeEdgesSql +
+      """,
+        |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1)
+        |SELECT count(*) AS m,
+        |  CAST(sum(dj.deg * dk.deg) AS BIGINT) AS sum_jk,
+        |  CAST(sum(dj.deg) AS BIGINT) AS sum_j,
+        |  CAST(sum(dj.deg * dj.deg) AS BIGINT) AS sum_j2
+        |FROM edges e
+        |JOIN deg dj ON dj.node = e.src
+        |JOIN deg dk ON dk.node = e.dst""".stripMargin) { (s, d) =>
+      graft.operators.GraphStats.assortativityComponents(tradeEdges(s, d))
     }
   )
 

@@ -872,6 +872,130 @@ object RelationalQueries {
           sum(col("x") * col("y")).as("sum_xy"),
           sum(col("x") * col("x")).as("sum_x2"))
         .orderBy("n_name")
+    },
+
+    // Per-nation revenue-concentration (Gini) components over customers
+    // with ≥1 order: the exact triple (n, Σx, Σ i·x_i) with i = rank in
+    // the (cents, custkey) total order — G = 2Σi·x_i/(nΣx) − (n+1)/n is
+    // fully determined and left to the consumer (float ground rules).
+    // Per-customer cents agg, broadcast customer→nation chain, one
+    // nation-partitioned rank window, one agg. Σi·x_i is summed in
+    // DECIMAL(38,0): at sf100 a nation holds ~6×10⁵ customers ⇒
+    // Σi·x_i ≈ n²/2·avg ≈ 2.7×10¹⁹ > 2⁶³ — the per-row product i·x
+    // (≤ 6×10¹⁴) still fits a long on both engines before the cast.
+    QueryDef.sql("q155_gini_components",
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT n_name, cents, c_custkey
+        |  FROM pc JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey),
+        |r AS (
+        |  SELECT n_name, cents,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY cents, c_custkey) AS rn
+        |  FROM j)
+        |SELECT n_name, count(*) AS n_cust,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CAST(rn * cents AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    AS sum_rank_cents
+        |FROM r GROUP BY 1 ORDER BY n_name""".stripMargin) { (s, d) =>
+      val perCust = orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+      val cn = customer(s, d)
+        .join(nation(s, d), col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val ranked = perCust
+        .join(broadcast(cn), col("c_custkey") === col("o_custkey"))
+        .select(col("n_name"), col("cents"), col("c_custkey"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("n_name").orderBy("cents", "c_custkey"))
+          .cast("long"))
+      ranked.groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("cents")).as("sum_cents"),
+          sum((col("rn") * col("cents")).cast("decimal(38,0)"))
+            .as("sum_rank_cents"))
+        .orderBy("n_name")
+    },
+
+    // Key-space gap audit (operators/KeyGaps): missing-id ranges of the
+    // F-status order keys — the completeness check after a purge or a
+    // partial load. The engine runs the BLOCK-PARTITIONED two-level
+    // formulation (per-block lag windows + an O(#blocks) driver
+    // boundary scan — the PrefixSum pattern; never a global window);
+    // the oracle is the textbook global lag, so the decomposition must
+    // reproduce it gap-for-gap. All-integer.
+    QueryDef.sql("q158_key_gaps",
+      """WITH k AS (
+        |  SELECT DISTINCT o_orderkey AS k FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |l AS (SELECT k, lag(k) OVER (ORDER BY k) AS prev FROM k)
+        |SELECT prev + 1 AS gap_start, k - 1 AS gap_end,
+        |  k - prev - 1 AS gap_len
+        |FROM l WHERE k - prev > 1 ORDER BY gap_start""".stripMargin) { (s, d) =>
+      graft.operators.KeyGaps.gaps(
+          orders(s, d).filter(col("o_orderstatus") === "F"),
+          "o_orderkey", blockSize = 512)
+        .orderBy("gap_start")
+    },
+
+    // Pareto coverage (80/20 audit): per nation, how many top customers
+    // cover ≥80% of nation revenue — the concentration worklist behind
+    // skew-aware partitioning and key-account analysis. Both engines
+    // run the identical two-window pass (full-frame nation total +
+    // running sum over the (cents DESC, custkey) total order — ONE
+    // exchange, both windows hash n_name) and the 80% test is integer
+    // cross-multiplication 5·cum_before < 4·total: no floats anywhere.
+    // DuckDB windowed sum() is HUGEINT → cast BIGINT (ground rule).
+    QueryDef.sql("q159_pareto_coverage",
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT n_name, cents, c_custkey
+        |  FROM pc JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey),
+        |w AS (
+        |  SELECT n_name, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY n_name) AS BIGINT) AS total,
+        |    CAST(sum(cents) OVER (PARTITION BY n_name
+        |      ORDER BY cents DESC, c_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM j)
+        |SELECT n_name, count(*) AS n_cust, max(total) AS total_cents,
+        |  CAST(sum(CASE WHEN 5 * (cum - cents) < 4 * total THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS k80
+        |FROM w GROUP BY 1 ORDER BY n_name""".stripMargin) { (s, d) =>
+      val perCust = orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+      val cn = customer(s, d)
+        .join(nation(s, d), col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val byNation = Window.partitionBy("n_name")
+      val running = byNation.orderBy(col("cents").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      perCust
+        .join(broadcast(cn), col("c_custkey") === col("o_custkey"))
+        .select(col("n_name"), col("cents"), col("c_custkey"))
+        .withColumn("total", sum("cents").over(byNation))
+        .withColumn("cum", sum("cents").over(running))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          max(col("total")).as("total_cents"),
+          sum(when(lit(5) * (col("cum") - col("cents")) <
+            lit(4) * col("total"), 1L).otherwise(0L)).as("k80"))
+        .orderBy("n_name")
     }
   )
 }

@@ -38,6 +38,66 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out == Map(100L -> 202L, 101L -> 202L, 103L -> 204L))
   }
 
+  test("asofMatchBounded: left outer, stale matches nulled, ages exact") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts(10), 100L), // latest right at 8 → age 2s, inside 5s horizon
+      (1L, ts(20), 101L), // latest right at 8 → age 12s, stale → NULL
+      (1L, ts(8), 102L),  // equal ts → inclusive, age 0
+      (2L, ts(50), 103L), // no right for key 2 → NULL (left outer)
+      (3L, ts(7), 104L)   // right only later (t=9) → NULL
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts(5), 200L),
+      (1L, ts(8), 201L),
+      (1L, ts(8), 202L),  // duplicate (key, ts) → reduced to max id 202
+      (3L, ts(9), 203L)
+    ).toDF("user_id", "ts", "event_id")
+
+    val out = AsofJoin.asofMatchBounded(left, right, "user_id", "ts", "ts",
+        "event_id", "event_id", horizonMs = 5000L)
+      .collect()
+      .map(r => r.getLong(1) -> ((Option(r.get(3)), Option(r.get(4)))))
+      .toMap
+    assert(out == Map(
+      100L -> ((Some(202L), Some(2000L))),
+      101L -> ((None, None)),
+      102L -> ((Some(202L), Some(0L))),
+      103L -> ((None, None)),
+      104L -> ((None, None))))
+  }
+
+  test("asofMatchBounded with a huge horizon ≡ asofMatch on matched rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = Seq.fill(120)(
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(100).toLong), rnd.nextInt(10000).toLong + 100000L)
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq.fill(80)(
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(100).toLong), rnd.nextInt(10000).toLong)
+    ).toDF("user_id", "ts", "event_id")
+    val bounded = AsofJoin.asofMatchBounded(left, right, "user_id", "ts", "ts",
+        "event_id", "event_id", horizonMs = Long.MaxValue / 4)
+      .filter("right_id IS NOT NULL")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val inner = AsofJoin.asofMatch(left, right, "user_id", "ts", "ts",
+        "event_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(bounded == inner)
+  }
+
+  test("asofMatchBounded plan: no join operator, windows key-partitioned") {
+    import spark.implicits._
+    val left = Seq((1L, ts(1), 1L)).toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts(0), 2L)).toDF("user_id", "ts", "event_id")
+    val plan = AsofJoin.asofMatchBounded(left, right, "user_id", "ts", "ts",
+      "event_id", "event_id", 1000L).queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    assert(plan.collect { case j: Join => j }.isEmpty, "asof must not plan a join")
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("asofMatch plan: one key shuffle, window partitioned, no join operator") {
     import spark.implicits._
     val left = Seq((1L, ts(1), 1L)).toDF("user_id", "ts", "event_id")

@@ -69,6 +69,34 @@ class GraphStatsSpec extends AnyFunSuite {
       3L -> ((2L, 1L)), 4L -> ((2L, 1L))))
   }
 
+  test("assortativityComponents: star graph — disassortative components") {
+    // star hub 1 with 5 leaves: hub deg 5, leaves deg 1; 10 directed edges
+    val n = 5L
+    val g = sym((2L to 6L).map(i => (1L, i)))
+    val Array(r) = GraphStats.assortativityComponents(g.toDF("src", "dst")).collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2 * n, 2 * n * n, n * n + n, n * n * n + n)))
+  }
+
+  test("assortativityComponents matches brute force on random graphs") {
+    val rnd = new scala.util.Random(911)
+    for (trial <- 1 to 3) {
+      val pairs = Seq.fill(70)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter(p => p._1 != p._2)
+      val edges = sym(pairs).distinct
+      val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+      val expect = (
+        edges.size.toLong,
+        edges.map { case (a, b) => deg(a) * deg(b) }.sum,
+        edges.map { case (a, _) => deg(a) }.sum,
+        edges.map { case (a, _) => deg(a) * deg(a) }.sum)
+      val Array(r) = GraphStats.assortativityComponents(edges.toDF("src", "dst"))
+        .collect()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === expect,
+        s"trial=$trial")
+    }
+  }
+
   test("clusteringComponents matches brute force on random graphs") {
     val rnd = new scala.util.Random(331)
     for (trial <- 1 to 3) {
