@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -95,5 +95,57 @@ object AsofJoin {
       .select(col("k").as(keyCol), col("left_id"), col("ts").as(leftTs),
         when(col("fresh"), col("m_rid")).as("right_id"),
         when(col("fresh"), col("age")).as("age_ms"))
+  }
+
+  /** Nearest-event join — sensor/log alignment: every left row paired
+    * with the right row whose timestamp is CLOSEST in either direction
+    * (ties at equal distance → the earlier right row; left outer: keys
+    * with no right rows emit NULL). The as-of family's symmetric
+    * sibling: backward-only as-of is wrong when the truth may have been
+    * recorded just after the probe.
+    *
+    * Same single-shuffle union-tag plan, two running windows instead of
+    * one: the PRECEDING frame carries the latest right at-or-before
+    * (right rows sort before left at equal ts, so distance-0 matches
+    * land here), the FOLLOWING frame carries the earliest right
+    * strictly after; one comparison in exact MICROSECONDS picks the
+    * winner. No join operator, no candidate blowup, windows always
+    * key-partitioned. Right side pre-reduced to one row per (key, ts)
+    * keeping max id (the [[asofMatch]] determinism rule).
+    *
+    * Output: (keyCol, left_id, leftTs, right_id, delta_us) with
+    * delta_us = left µs − matched µs (negative when the match is
+    * after the probe), both NULL for keys without rights. */
+  def nearestMatch(left: DataFrame, right: DataFrame,
+                   keyCol: String, leftTs: String, rightTs: String,
+                   leftIdCol: String, rightIdCol: String): DataFrame = {
+    val r = right
+      .groupBy(col(keyCol).as("k"), col(rightTs).as("ts"))
+      .agg(max(col(rightIdCol)).as("rid"))
+      .select(col("k"), col("ts"), lit(0).as("side"),
+        lit(null).cast("long").as("left_id"), col("rid"))
+    val l = left.select(col(keyCol).as("k"), col(leftTs).as("ts"),
+      lit(1).as("side"), col(leftIdCol).cast("long").as("left_id"),
+      lit(null).cast("long").as("rid"))
+    val ord = Window.partitionBy("k").orderBy(col("ts"), col("side"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = ord.rowsBetween(0, Window.unboundedFollowing)
+    val us = (c: Column) => unix_micros(c)
+    val tagged = r.unionByName(l)
+      .withColumn("p_rid", last(col("rid"), ignoreNulls = true).over(wPrev))
+      .withColumn("p_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(wPrev))
+      .withColumn("n_rid", first(col("rid"), ignoreNulls = true).over(wNext))
+      .withColumn("n_ts",
+        first(when(col("side") === 0, col("ts")), ignoreNulls = true).over(wNext))
+      .filter(col("side") === 1)
+    val dPrev = us(col("ts")) - us(col("p_ts"))
+    val dNext = us(col("n_ts")) - us(col("ts"))
+    val usePrev = col("p_rid").isNotNull &&
+      (col("n_rid").isNull || dPrev <= dNext)
+    tagged.select(col("k").as(keyCol), col("left_id"), col("ts").as(leftTs),
+      when(usePrev, col("p_rid")).otherwise(col("n_rid")).as("right_id"),
+      when(usePrev, dPrev)
+        .otherwise(when(col("n_rid").isNotNull, -dNext)).as("delta_us"))
   }
 }

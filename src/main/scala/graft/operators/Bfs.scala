@@ -67,4 +67,48 @@ object Bfs {
         "(raise maxDepth above the source set's eccentricity)")
     dist
   }
+
+  /** Per-seed hop distances — the landmark/pivot table behind sampled
+    * closeness centrality: unlike [[distances]] (which unions the
+    * sources into ONE wavefront and reports the min over the set),
+    * every seed runs its own BFS, carried as a (node, seed, dist)
+    * state so all seeds advance in the SAME per-round join (one
+    * frontier ⋈ edges equi-join per round, not one per seed — the
+    * standard multi-source batching trick). State and frontier are
+    * keyed (node, seed); per-round cost is Σ over seeds of that seed's
+    * frontier neighborhood. Seeds must come hash-sampled by the caller
+    * — |state| is bounded by |seeds|·|reachable|, which is the
+    * operator's deliberate budget (landmark methods pick tens of
+    * seeds, never the node set).
+    *
+    * Returns (node, seed, dist); a seed unreachable from `node` simply
+    * contributes no row (the closeness consumer divides by the REACHED
+    * count, keeping disconnected components honest). */
+  def landmarkDistances(edges: DataFrame, seeds: DataFrame,
+                        maxDepth: Int = 40): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().localCheckpoint()
+    var dist = Iterate.materialize(
+      seeds.select(col("node").cast("long").as("node")).distinct()
+        .select(col("node"), col("node").as("seed"), lit(0L).as("dist")))
+    var frontier = dist.select("node", "seed")
+    var depth = 0L
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && depth < maxDepth) {
+      depth += 1
+      val next = Iterate.materialize(
+        frontier.join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node"), col("seed")).distinct()
+          .join(dist.select("node", "seed"), Seq("node", "seed"), "left_anti"))
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        dist = dist.unionByName(next.withColumn("dist", lit(depth)))
+        frontier = next
+      }
+    }
+    require(frontierSize == 0,
+      s"Bfs.landmarkDistances: frontier still non-empty after $maxDepth " +
+        "rounds (raise maxDepth above the seed set's eccentricity)")
+    dist
+  }
 }

@@ -45,4 +45,40 @@ object Funnel {
     stepTimes(events, keyCol, tsCol, typeCol, steps, horizonHours)
       .groupBy(keyCol)
       .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+
+  /** Two-step funnel with a NEGATIVE condition — "A then B within the
+    * horizon, with no C strictly between them": per key, t1 = earliest
+    * `stepA`, t2 = earliest `stepB` strictly after t1 within
+    * `horizonHours`, and n_blockers = how many `blocker` events fall in
+    * the OPEN interval (t1, t2). The exclusion is the part plain
+    * funnels can't express (MATCH_RECOGNIZE's `A C* B` negation,
+    * relationally): a clean conversion requires t2 non-null AND
+    * n_blockers = 0, and the count — not just a flag — feeds triage.
+    *
+    * Same single-exchange shape as [[stepTimes]]: three whole-partition
+    * window aggregates over ONE key partitioning (the blocker count is
+    * a windowed conditional sum referencing the per-key-constant t1/t2
+    * bounds), then the per-key reduction. A key with no t2 has a NULL
+    * upper bound, so the blocker condition is NULL → counted 0 (no
+    * blockers reported for stalled funnels; the t2 NULL already marks
+    * them). */
+  def perKeyWithExclusion(events: DataFrame, keyCol: String, tsCol: String,
+                          typeCol: String, stepA: String, stepB: String,
+                          blocker: String, horizonHours: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+    val horizon = expr(s"interval $horizonHours hours")
+    events
+      .withColumn("t1",
+        min(when(col(typeCol) === stepA, col(tsCol))).over(w))
+      .withColumn("t2",
+        min(when(col(typeCol) === stepB && col(tsCol) > col("t1") &&
+          col(tsCol) <= col("t1") + horizon, col(tsCol))).over(w))
+      .withColumn("_blk",
+        sum(when(col(typeCol) === blocker && col(tsCol) > col("t1") &&
+          col(tsCol) < col("t2"), 1L).otherwise(0L)).over(w))
+      .groupBy(keyCol)
+      .agg(min("t1").as("t1"), min("t2").as("t2"),
+        max("_blk").as("n_blockers"))
+      .filter(col("t1").isNotNull)
+  }
 }

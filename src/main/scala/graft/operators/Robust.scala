@@ -126,4 +126,33 @@ object Robust {
         sum(when(col("_v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
         sum(when(col("_v") > col("hi"), 1L).otherwise(0L)).as("n_hi"))
   }
+
+  /** Equi-depth histogram bounds per group: for j = 1..k, the value at
+    * rank ⌈j·n/k⌉ of the (value, id) total order — the upper edge of
+    * the j-th equal-population bucket (j = k is the group max). The
+    * discrete-rank construction makes every bound an actual data value
+    * (no interpolation, no floats) — the optimizer-statistics /
+    * drift-baseline shape summary.
+    *
+    * Plan: ONE rank+count window pass partitioned by the group key,
+    * then a (groups × k)-row boundary grid derived from the group
+    * counts joins back by BROADCAST on (grp, rank) — the ranked frame
+    * is scanned once and never re-shuffled. Duplicate ranks can't
+    * occur (row_number is a bijection), so the join emits exactly one
+    * row per (grp, j). */
+  def equiDepthBounds(df: DataFrame, grpCol: String, valCol: String,
+                      idCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "k: 1..1000")
+    val w = Window.partitionBy(grpCol).orderBy(col("_v"), col(idCol))
+    val ranked = df
+      .select(col(grpCol), col(valCol).cast("long").as("_v"), col(idCol))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+    val grid = df.groupBy(grpCol).agg(count(lit(1)).as("_n"))
+      .select(col(grpCol), col("_n"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .select(col(grpCol), col("j"),
+        expr(s"(j * _n + ${k - 1}) div $k").as("_rn"))
+    ranked.join(broadcast(grid), Seq(grpCol, "_rn"))
+      .select(col(grpCol), col("j"), col("_v").as("bound"))
+  }
 }

@@ -818,6 +818,117 @@ object EventQueries {
           unix_millis(col("ts")).as("ts_ms"),
           col("right_id").as("click_id"), col("age_ms"))
         .orderBy("conv_id")
+    },
+
+    // Sequence matching with a NEGATIVE condition
+    // (Funnel.perKeyWithExclusion): first click → first purchase within
+    // 24 h, counting 'error' events strictly between them — the
+    // MATCH_RECOGNIZE `A C* B` negation plain funnels can't express; a
+    // clean conversion is t2 non-null ∧ n_blockers = 0. Engine: three
+    // conditional window aggregates over ONE user partitioning (no
+    // joins); oracle: per-step aggregation joins + a correlated COUNT
+    // subquery — entirely different machinery. µs-truncating CTE per
+    // the raw-ts ground rule; stalled funnels report 0 blockers on
+    // both sides (NULL upper bound annihilates the condition).
+    QueryDef.sql("q166_sequence_exclusion",
+      """WITH e AS (
+        |  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id,
+        |    event_type FROM events),
+        |a AS (SELECT user_id, min(ts) AS t1 FROM e
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |b AS (
+        |  SELECT a.user_id, a.t1, min(e2.ts) AS t2
+        |  FROM a LEFT JOIN e e2 ON e2.user_id = a.user_id
+        |    AND e2.event_type = 'purchase'
+        |    AND e2.ts > a.t1 AND e2.ts <= a.t1 + INTERVAL 24 HOURS
+        |  GROUP BY 1, 2)
+        |SELECT b.user_id, epoch_ms(b.t1) AS t1_ms, epoch_ms(b.t2) AS t2_ms,
+        |  (SELECT count(*) FROM e c WHERE c.user_id = b.user_id
+        |     AND c.event_type = 'error'
+        |     AND c.ts > b.t1 AND c.ts < b.t2) AS n_blockers
+        |FROM b ORDER BY user_id""".stripMargin) { (s, d) =>
+      graft.operators.Funnel.perKeyWithExclusion(
+          Tables.events(s, d), "user_id", "ts", "event_type",
+          stepA = "click", stepB = "purchase", blocker = "error",
+          horizonHours = 24)
+        .select(col("user_id"), unix_millis(col("t1")).as("t1_ms"),
+          unix_millis(col("t2")).as("t2_ms"), col("n_blockers"))
+        .orderBy("user_id")
+    },
+
+    // Nearest-event join (AsofJoin.nearestMatch): every purchase paired
+    // with the temporally CLOSEST view of the same user in EITHER
+    // direction (tie → earlier view; no views → NULL) — the
+    // sensor/log-alignment op backward-only as-of gets wrong. Engine:
+    // union-tag + two running windows (preceding carries latest-before,
+    // following carries earliest-after) and one exact-µs comparison —
+    // no join operator; oracle: TWO native ASOF LEFT JOINs (>= and <)
+    // + the same µs CASE. µs-truncating CTE per the raw-ts ground rule.
+    QueryDef.sql("q167_nearest_join",
+      """WITH e AS (
+        |  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id,
+        |    event_type FROM events),
+        |r AS (SELECT user_id, ts, max(event_id) AS rid FROM e
+        |      WHERE event_type = 'view' GROUP BY 1, 2),
+        |l AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT l.user_id, l.event_id AS left_id, l.ts,
+        |    r.rid AS p_rid, r.ts AS p_ts
+        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |n AS (
+        |  SELECT l.event_id AS left_id2, r.rid AS n_rid, r.ts AS n_ts
+        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts < r.ts)
+        |SELECT p.user_id, p.left_id, epoch_ms(p.ts) AS ts_ms,
+        |  CASE WHEN p.p_rid IS NOT NULL AND (n.n_rid IS NULL OR
+        |         epoch_us(p.ts) - epoch_us(p.p_ts) <=
+        |         epoch_us(n.n_ts) - epoch_us(p.ts))
+        |       THEN p.p_rid ELSE n.n_rid END AS right_id,
+        |  CASE WHEN p.p_rid IS NOT NULL AND (n.n_rid IS NULL OR
+        |         epoch_us(p.ts) - epoch_us(p.p_ts) <=
+        |         epoch_us(n.n_ts) - epoch_us(p.ts))
+        |       THEN epoch_us(p.ts) - epoch_us(p.p_ts)
+        |       WHEN n.n_rid IS NOT NULL
+        |       THEN -(epoch_us(n.n_ts) - epoch_us(p.ts)) END AS delta_us
+        |FROM p JOIN n ON n.left_id2 = p.left_id
+        |ORDER BY left_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.operators.AsofJoin.nearestMatch(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"),
+          "user_id", "ts", "ts", "event_id", "event_id")
+        .select(col("user_id"), col("left_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("right_id"), col("delta_us"))
+        .orderBy("left_id")
+    },
+
+    // Batch twin of the STREAMING left-outer interval join
+    // (streaming/JoinStreams.clickViewJoinOuter): every click with its
+    // same-user views in the trailing 30 min, or NULL view columns —
+    // in streaming, exactly the semantics only a watermark makes
+    // possible (a click is provably unmatched only once the view-side
+    // watermark passes its window). JoinStreamsSpec proves the
+    // streamed result — including the null rows — equals this batch
+    // twin once the stream drains. µs-truncating CTE per the raw-ts
+    // ground rule.
+    QueryDef.sql("q168_outer_interval_join",
+      """WITH e AS (
+        |  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id,
+        |    event_type FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM e
+        |      WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id AS vuid, ts AS view_ts
+        |      FROM e WHERE event_type = 'view')
+        |SELECT c.user_id, c.click_id, v.view_id,
+        |  epoch_ms(c.click_ts) AS click_ts_ms,
+        |  epoch_ms(v.view_ts) AS view_ts_ms
+        |FROM c LEFT JOIN v ON v.vuid = c.user_id
+        |  AND v.view_ts <= c.click_ts
+        |  AND v.view_ts >= c.click_ts - INTERVAL 30 MINUTES
+        |ORDER BY click_id, view_id""".stripMargin) { (s, d) =>
+      graft.streaming.JoinStreams.clickViewJoinOuter(
+          Tables.events(s, d), lookbackMinutes = 30)
+        .orderBy("click_id", "view_id")
     }
   )
 }

@@ -1971,6 +1971,39 @@ object PipelineQueries {
         |JOIN deg dj ON dj.node = e.src
         |JOIN deg dk ON dk.node = e.dst""".stripMargin) { (s, d) =>
       graft.operators.GraphStats.assortativityComponents(tradeEdges(s, d))
+    },
+
+    // Sampled closeness components (Bfs.landmarkDistances): per-seed
+    // hop distances from hash-picked landmark customers over the
+    // shared q134 trade graph, aggregated to (node, n_seeds, sum_dist)
+    // — the exact BIGINT pair behind landmark-approximated closeness
+    // centrality (reached-count division keeps disconnected components
+    // honest). Engine: batched frontier BFS — ONE join per round moves
+    // every seed's wavefront, state keyed (node, seed); oracle: a
+    // recursive CTE carrying the seed dimension, min(dist) per pair —
+    // a different traversal that must agree pair-for-pair.
+    QueryDef.sql("q163_closeness",
+      "WITH RECURSIVE " + tradeEdgesSql.stripPrefix("WITH ") +
+      """,
+        |srcs AS (SELECT DISTINCT c_custkey*2 AS seed FROM customer
+        |         WHERE c_custkey % 173 = 0),
+        |bfs AS (
+        |  SELECT seed AS node, seed, 0 AS dist FROM srcs
+        |  UNION
+        |  SELECT e.dst, b.seed, b.dist + 1 FROM bfs b
+        |  JOIN edges e ON e.src = b.node
+        |  WHERE b.dist < 40),
+        |md AS (SELECT node, seed, min(dist) AS dist FROM bfs GROUP BY 1, 2)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_seeds,
+        |  CAST(sum(dist) AS BIGINT) AS sum_dist
+        |FROM md GROUP BY 1 ORDER BY node""".stripMargin) { (s, d) =>
+      val seeds = Tables.customer(s, d)
+        .filter(col("c_custkey") % 173 === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      graft.operators.Bfs.landmarkDistances(tradeEdges(s, d), seeds)
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_seeds"), sum("dist").as("sum_dist"))
+        .orderBy("node")
     }
   )
 

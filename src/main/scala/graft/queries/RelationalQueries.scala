@@ -996,6 +996,186 @@ object RelationalQueries {
           sum(when(lit(5) * (col("cum") - col("cents")) <
             lit(4) * col("total"), 1L).otherwise(0L)).as("k80"))
         .orderBy("n_name")
+    },
+
+    // Business-day lead times (functions/BusinessDays): order→ship lead
+    // time in Mon–Fri days per priority class — closed-form integer
+    // weekday index (no UDF, no calendar table, rides codegen), the
+    // identical //,%,least arithmetic restated in the oracle. The −3
+    // epoch-offset tail cancels in the index difference so neither side
+    // carries it. All-integer.
+    QueryDef.sql("q160_busday_leadtime",
+      """WITH x AS (
+        |  SELECT o_orderpriority AS grp,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS da,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS db
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |b AS (
+        |  SELECT grp,
+        |    (5 * ((db + 3) // 7) + least((db + 3) % 7, 5)) -
+        |    (5 * ((da + 3) // 7) + least((da + 3) % 7, 5)) AS busdays
+        |  FROM x)
+        |SELECT grp, count(*) AS n, CAST(sum(busdays) AS BIGINT) AS sum_bd,
+        |  CAST(min(busdays) AS BIGINT) AS min_bd,
+        |  CAST(max(busdays) AS BIGINT) AS max_bd
+        |FROM b GROUP BY 1 ORDER BY grp""".stripMargin) { (s, d) =>
+      import graft.functions.BusinessDays
+      orders(s, d)
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("grp"),
+          BusinessDays.busdaysBetween(to_date(col("o_orderdate")),
+            to_date(col("l_shipdate"))).as("busdays"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("busdays").as("sum_bd"),
+          min("busdays").as("min_bd"), max("busdays").as("max_bd"))
+        .orderBy("grp")
+    },
+
+    // Equi-depth histogram bounds (Robust.equiDepthBounds): decile
+    // edges of lineitem price cents per return flag — every bound an
+    // actual data value at rank ⌈j·n/10⌉ of the (cents, rid) total
+    // order (rid = orderkey·8+linenumber, the unique line id). One
+    // group-partitioned rank window + a broadcast (groups × 10)
+    // boundary-grid join; no interpolation, no floats.
+    QueryDef.sql("q161_equidepth",
+      """WITH e AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    l_orderkey * 8 + l_linenumber AS rid
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT grp, cents,
+        |    row_number() OVER (PARTITION BY grp ORDER BY cents, rid) AS rn
+        |  FROM e),
+        |c AS (SELECT grp, count(*) AS n FROM e GROUP BY 1),
+        |g AS (
+        |  SELECT c.grp, CAST(j AS INT) AS j, (j * n + 9) // 10 AS rn
+        |  FROM c, generate_series(1, 10) AS t(j))
+        |SELECT r.grp, g.j, r.cents AS bound
+        |FROM r JOIN g ON g.grp = r.grp AND g.rn = r.rn
+        |ORDER BY r.grp, j""".stripMargin) { (s, d) =>
+      graft.operators.Robust.equiDepthBounds(
+          lineitem(s, d).select(col("l_returnflag").as("grp"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"),
+            (col("l_orderkey") * 8 + col("l_linenumber")).as("rid")),
+          "grp", "cents", "rid", k = 10)
+        .orderBy("grp", "j")
+    },
+
+    // KMV distinct sketch (operators/Kmv): per return flag, the
+    // (k_used, kth_hash) pair of the 256 minimum masked-xorshift hash
+    // values over distinct partkeys, beside the exact distinct count —
+    // the mergeable, EXACTLY-reproducible distinct summary (the oracle
+    // rebuilds the identical sketch in SQL and hash-matches it, unlike
+    // HLL's engine-private ±2% band in q55). One distinct shuffle, one
+    // group-partitioned rank window over k·|groups| survivors.
+    QueryDef.sql("q162_kmv_sketch",
+      """WITH keys AS (
+        |  SELECT DISTINCT l_returnflag AS grp, l_partkey AS k FROM lineitem),
+        |h0 AS (SELECT grp, k, xor(k & 4294967295, 2654435769) AS x FROM keys),
+        |h1 AS (SELECT grp, k, xor(x, (x << 13) & 4294967295) AS x FROM h0),
+        |h2 AS (SELECT grp, k, xor(x, x >> 17) AS x FROM h1),
+        |h3 AS (SELECT grp, k, xor(xor(x, (x << 5) & 4294967295), 2246822507) AS x FROM h2),
+        |h4 AS (SELECT grp, k, xor(x, (x << 13) & 4294967295) AS x FROM h3),
+        |h5 AS (SELECT grp, k, xor(x, x >> 17) AS x FROM h4),
+        |h6 AS (SELECT grp, k, xor(x, (x << 5) & 4294967295) AS x FROM h5),
+        |r AS (
+        |  SELECT grp, x,
+        |    row_number() OVER (PARTITION BY grp ORDER BY x, k) AS rn
+        |  FROM h6),
+        |sk AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS k_used, max(x) AS kth_hash
+        |  FROM r WHERE rn <= 256 GROUP BY 1),
+        |tru AS (SELECT grp, count(*) AS n_true FROM keys GROUP BY 1)
+        |SELECT grp, k_used, kth_hash, n_true
+        |FROM sk JOIN tru USING (grp) ORDER BY grp""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d)
+      val sk = graft.operators.Kmv.sketch(
+        li.select(col("l_returnflag").as("grp"), col("l_partkey")),
+        "grp", "l_partkey", k = 256)
+      val tru = li.select(col("l_returnflag").as("grp"), col("l_partkey"))
+        .distinct()
+        .groupBy("grp").agg(count(lit(1)).as("n_true"))
+      sk.join(tru, "grp")
+        .select(col("grp"), col("k_used"), col("kth_hash"), col("n_true"))
+        .orderBy("grp")
+    },
+
+    // Month-over-month revenue per nation: monthly DECIMAL-exact cents
+    // beside the previous month's (lag window per nation over the month
+    // grid — months with zero orders are simply absent, so "previous"
+    // means previous OBSERVED month on both engines; the growth ratio
+    // is determined by the exact pair and left to the consumer). Two
+    // chained aggs + one nation-partitioned lag; dimension chain
+    // broadcasts. Month flooring is floor-of-floor over µs dates.
+    QueryDef.sql("q164_mom_revenue",
+      """WITH cn AS (
+        |  SELECT c_custkey, n_name
+        |  FROM customer JOIN nation ON n_nationkey = c_nationkey),
+        |m AS (
+        |  SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders JOIN cn ON c_custkey = o_custkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, month, cents,
+        |  lag(cents) OVER (PARTITION BY n_name ORDER BY month) AS prev_cents
+        |FROM m ORDER BY n_name, month""".stripMargin) { (s, d) =>
+      val cn = customer(s, d)
+        .join(nation(s, d), col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      orders(s, d)
+        .join(broadcast(cn), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("n_name"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+        .withColumn("prev_cents", lag(col("cents"), 1).over(
+          Window.partitionBy("n_name").orderBy("month")))
+        .orderBy("n_name", "month")
+    },
+
+    // Clamped-at-zero running balance (operators/Balance): per-part
+    // stock level over signed quantity flows (returns withdraw), where
+    // a withdrawal against empty stock is lost — the sequential-looking
+    // recurrence s = max(0, s + x) computed as the closed two-window
+    // form P − min(0, running-min P) (BalanceSpec proves the identity
+    // against the fold). Both windows share one part-keyed exchange;
+    // the oracle restates the identity, the SPEC carries the
+    // independent sequential evidence. All-integer; windowed sums are
+    // HUGEINT in DuckDB → cast (ground rule).
+    QueryDef.sql("q165_clamped_balance",
+      """WITH f AS (
+        |  SELECT l_partkey, l_shipdate,
+        |    l_orderkey * 8 + l_linenumber AS rid,
+        |    CAST(l_quantity AS BIGINT) *
+        |      (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END) AS flow
+        |  FROM lineitem WHERE l_partkey % 50 = 0),
+        |p1 AS (
+        |  SELECT l_partkey, l_shipdate, rid, flow,
+        |    CAST(sum(flow) OVER (PARTITION BY l_partkey
+        |      ORDER BY l_shipdate, rid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre
+        |  FROM f),
+        |p2 AS (
+        |  SELECT l_partkey, rid, flow, pre,
+        |    min(pre) OVER (PARTITION BY l_partkey ORDER BY l_shipdate, rid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+        |  FROM p1)
+        |SELECT l_partkey, rid, flow,
+        |  pre - least(CAST(0 AS BIGINT), mn) AS balance
+        |FROM p2 ORDER BY l_partkey, rid""".stripMargin) { (s, d) =>
+      graft.operators.Balance.clampedRunning(
+          lineitem(s, d).filter(col("l_partkey") % 50 === 0)
+            .select(col("l_partkey"), col("l_shipdate"),
+              (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"),
+              (col("l_quantity").cast("long") *
+                when(col("l_returnflag") === "R", -1L).otherwise(1L))
+                .as("flow")),
+          "l_partkey", Seq("l_shipdate", "rid"), "flow")
+        .select("l_partkey", "rid", "flow", "balance")
+        .orderBy("l_partkey", "rid")
     }
   )
 }

@@ -46,4 +46,37 @@ object JoinStreams {
         unix_millis(col("click_ts")).as("click_ts_ms"),
         unix_millis(col("view_ts")).as("view_ts_ms"))
   }
+
+  /** LEFT OUTER variant of [[clickViewJoin]]: every click emitted, with
+    * NULL view columns when no same-user view fell in the lookback.
+    * The semantics only a watermark makes possible in streaming: the
+    * engine cannot know a click is UNMATCHED until the right-side
+    * watermark has passed the end of its candidate interval, so
+    * null-padded rows are emitted late, on watermark advance — which is
+    * why the outer join REQUIRES the watermark + time-range condition
+    * (state eviction and null emission are the same deadline). In
+    * batch the identical code is a plain left join with a range
+    * residual; the q168 oracle gates that twin, and JoinStreamsSpec
+    * proves the streamed result set (including the null rows) matches
+    * the batch one once the stream drains. */
+  def clickViewJoinOuter(events: DataFrame, lookbackMinutes: Int,
+                         watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val views = events.filter(col("event_type") === "view")
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("view_uid"),
+        col("ts").as("view_ts"))
+    clicks.join(views,
+        col("user_id") === col("view_uid") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") -
+            expr(s"interval $lookbackMinutes minutes"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        unix_millis(col("click_ts")).as("click_ts_ms"),
+        unix_millis(col("view_ts")).as("view_ts_ms"))
+  }
 }

@@ -98,6 +98,65 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("nearestMatch: picks the closer side, earlier on ties, outer on no-rights") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts(10), 100L), // rights at 8 and 13: prev d=2 < next d=3 → 8
+      (1L, ts(12), 101L), // prev(8) d=4, next(13) d=1 → 13
+      (1L, ts(3), 102L),  // nothing before → next 8
+      (1L, ts(50), 103L), // nothing after → prev 13
+      (2L, ts(7), 104L),  // equidistant rights 5 and 9 → earlier (5)
+      (3L, ts(1), 105L)   // no rights for key → NULL
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts(8), 200L), (1L, ts(8), 201L), // tie-reduced to 201
+      (1L, ts(13), 202L),
+      (2L, ts(5), 203L), (2L, ts(9), 204L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = AsofJoin.nearestMatch(left, right, "user_id", "ts", "ts",
+        "event_id", "event_id")
+      .collect()
+      .map(r => r.getLong(1) -> ((Option(r.get(3)), Option(r.get(4)))))
+      .toMap
+    assert(out === Map(
+      100L -> ((Some(201L), Some(2000000L))),
+      101L -> ((Some(202L), Some(-1000000L))),
+      102L -> ((Some(201L), Some(-5000000L))),
+      103L -> ((Some(202L), Some(37000000L))),
+      104L -> ((Some(203L), Some(2000000L))),
+      105L -> ((None, None))))
+  }
+
+  test("nearestMatch ≡ driver brute force on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xF00D)
+    val left = Seq.fill(100)(
+      (rnd.nextInt(4).toLong, ts(rnd.nextInt(200).toLong), 1000L + rnd.nextInt(100000)))
+      .groupBy(_._3).map(_._2.head).toSeq // unique left ids
+    val right = Seq.fill(60)(
+      (rnd.nextInt(4).toLong, ts(rnd.nextInt(200).toLong), rnd.nextInt(1000).toLong))
+    // driver reference: reduce rights per (key, ts) to max id, then scan
+    val reduced = right.groupBy(r => (r._1, r._2.getTime))
+      .map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toSeq
+    val expect = left.map { case (k, lts, lid) =>
+      val cands = reduced.filter(_._1 == k)
+      if (cands.isEmpty) lid -> None
+      else {
+        val best = cands.minBy { case (_, t, rid) =>
+          (math.abs(t - lts.getTime), t, -rid) }
+        // tie between equal |d|: earlier right wins (smaller t)
+        lid -> Some((best._3, (lts.getTime - best._2) * 1000L))
+      }
+    }.toMap
+    val got = AsofJoin.nearestMatch(left.toDF("user_id", "ts", "event_id"),
+        right.toDF("user_id", "ts", "event_id"),
+        "user_id", "ts", "ts", "event_id", "event_id")
+      .collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(3)) None
+        else Some((r.getLong(3), r.getLong(4))))).toMap
+    assert(got === expect)
+  }
+
   test("asofMatch plan: one key shuffle, window partitioned, no join operator") {
     import spark.implicits._
     val left = Seq((1L, ts(1), 1L)).toDF("user_id", "ts", "event_id")

@@ -79,4 +79,33 @@ class BfsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("frontier still non-empty"))
   }
+
+  test("landmarkDistances: per-seed BFS on a path, disconnected seed isolated") {
+    import spark.implicits._
+    // path 0-1-2-3 plus isolated seed 9
+    val edges = undirected((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Bfs.landmarkDistances(edges, Seq(0L, 3L, 9L).toDF("node"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = Map(
+      (0L, 0L) -> 0L, (1L, 0L) -> 1L, (2L, 0L) -> 2L, (3L, 0L) -> 3L,
+      (3L, 3L) -> 0L, (2L, 3L) -> 1L, (1L, 3L) -> 2L, (0L, 3L) -> 3L,
+      (9L, 9L) -> 0L)
+    assert(got === expect)
+  }
+
+  test("landmarkDistances ≡ one distances() run per seed on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x1a2)
+    val pairs = Seq.fill(60)((rnd.nextInt(22).toLong, rnd.nextInt(22).toLong))
+      .filter(p => p._1 != p._2)
+    val edges = undirected(pairs: _*).toDF("src", "dst")
+    val seeds = Seq(0L, 5L, 13L)
+    val expect = seeds.flatMap { s =>
+      Bfs.distances(edges, Seq(s).toDF("node"))
+        .collect().map(r => (r.getLong(0), s) -> r.getLong(1))
+    }.toMap
+    val got = Bfs.landmarkDistances(edges, seeds.toDF("node"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+  }
 }

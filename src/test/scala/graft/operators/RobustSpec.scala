@@ -125,4 +125,40 @@ class RobustSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
     assert(got === expect)
   }
+
+  test("equiDepthBounds: quartiles of 1..8 land on actual values") {
+    import spark.implicits._
+    val df = (1L to 8L).map(v => ("g", v * 10, v)).toDF("g", "v", "id")
+    val got = Robust.equiDepthBounds(df, "g", "v", "id", k = 4)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    // ranks ceil(j*8/4) = 2,4,6,8
+    assert(got === Map(1 -> 20L, 2 -> 40L, 3 -> 60L, 4 -> 80L))
+  }
+
+  test("equiDepthBounds: group smaller than k repeats values, ends at max") {
+    import spark.implicits._
+    val df = Seq(("g", 5L, 1L), ("g", 9L, 2L)).toDF("g", "v", "id")
+    val got = Robust.equiDepthBounds(df, "g", "v", "id", k = 4)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    // n=2: ranks ceil(j*2/4) = 1,1,2,2
+    assert(got === Map(1 -> 5L, 2 -> 5L, 3 -> 9L, 4 -> 9L))
+  }
+
+  test("equiDepthBounds matches a driver-side reference on random groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xED)
+    val rows = for {
+      g <- Seq("a", "b")
+      i <- 1 to (5 + rnd.nextInt(95))
+    } yield (g, rnd.nextInt(500).toLong, i.toLong)
+    val k = 10
+    val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val sorted = rs.map(r => (r._2, r._3)).sortBy(identity).map(_._1)
+      val n = sorted.size.toLong
+      (1 to k).map(j => (g, j) -> sorted(((j * n + k - 1) / k - 1).toInt))
+    }
+    val got = Robust.equiDepthBounds(rows.toDF("g", "v", "id"), "g", "v", "id", k)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+  }
 }
