@@ -37,4 +37,29 @@ object Balance {
         col("_p") - least(lit(0L), min(col("_p")).over(w)))
       .drop("_p")
   }
+
+  /** Maximum drawdown of the running sum of `flowCol` per `keyCol`:
+    * dd_i = max_{j≤i} P_j − P_i and the result is max_i dd_i — the
+    * deepest fall from a running peak, the standard risk statistic
+    * over a signed P&L series. Same window economics as
+    * [[clampedRunning]]: running sum + running max share ONE
+    * (key, order) exchange and sort, then a plain groupBy collapses
+    * per key — nothing sequential, nothing global. All-integer.
+    *
+    * Output per key: `peak` (max prefix sum), `final` (last prefix
+    * sum), `max_drawdown`. An all-ascending series reports 0.
+    */
+  def maxDrawdown(df: DataFrame, keyCol: String, ordCols: Seq[String],
+                  flowCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(ordCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("_p", sum(col(flowCol).cast("long")).over(w))
+      .withColumn("_dd", max(col("_p")).over(w) - col("_p"))
+      .groupBy(keyCol)
+      .agg(max(col("_p")).as("peak"),
+        // final prefix sum == plain sum of flows (order-independent)
+        sum(col(flowCol).cast("long")).as("final"),
+        max(col("_dd")).as("max_drawdown"))
+  }
 }

@@ -155,4 +155,30 @@ object Robust {
     ranked.join(broadcast(grid), Seq(grpCol, "_rn"))
       .select(col(grpCol), col("j"), col("_v").as("bound"))
   }
+
+  /** Weighted lower median per group: the smallest value v such that
+    * 2·Σ_{x ≤ v} w(x) ≥ Σ w — the integer-weight analog of the lower
+    * median (weights = frequencies makes it the exact median of the
+    * expanded multiset). All-integer, so cross-engine exact where
+    * float percentile interpolation is not.
+    *
+    * Plan: one groupBy collapses rows to ≤|distinct values| per group,
+    * then ONE group-partitioned pass computes both the running and the
+    * total weight (two frames over the same sort — one exchange), and
+    * a min-filter picks the crossing value. No join-back, no global
+    * window. Output per group: `wmedian`, `total_w`. */
+  def weightedMedian(df: DataFrame, grpCol: String, valCol: String,
+                     wCol: String): DataFrame = {
+    val byVal = df.groupBy(col(grpCol), col(valCol).cast("long").as("_v"))
+      .agg(sum(col(wCol).cast("long")).as("_w"))
+    val run = Window.partitionBy(grpCol).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(grpCol)
+    byVal
+      .withColumn("_cum", sum(col("_w")).over(run))
+      .withColumn("_tot", sum(col("_w")).over(tot))
+      .filter(col("_cum") * 2 >= col("_tot"))
+      .groupBy(grpCol)
+      .agg(min(col("_v")).as("wmedian"), max(col("_tot")).as("total_w"))
+  }
 }

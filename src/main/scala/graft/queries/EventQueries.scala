@@ -929,6 +929,36 @@ object EventQueries {
       graft.streaming.JoinStreams.clickViewJoinOuter(
           Tables.events(s, d), lookbackMinutes = 30)
         .orderBy("click_id", "view_id")
+    },
+
+    // Daily activity streaks (operators/Streaks): per user, distinct
+    // active days collapse to maximal consecutive runs via the
+    // gaps-and-islands day−row_number constant — one user-partitioned
+    // window + two same-key groupBys, no self-join, no iteration.
+    // Day index is floor-of-floor over the µs timestamps (ground rule:
+    // date flooring needs no ns/µs truncation CTE). All-integer.
+    QueryDef.sql("q171_daily_streaks",
+      """WITH dd AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM dd),
+        |runs AS (
+        |  SELECT user_id, island, count(*) AS len, max(day) AS end_day
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+        |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS max_streak,
+        |  max(end_day) AS last_day
+        |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      graft.operators.Streaks.dailyStreaks(
+          Tables.events(s, d).select(col("user_id"),
+            datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("day")),
+          "user_id", "day")
+        .orderBy("user_id")
     }
   )
 }

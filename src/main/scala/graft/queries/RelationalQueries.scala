@@ -1176,6 +1176,186 @@ object RelationalQueries {
           "l_partkey", Seq("l_shipdate", "rid"), "flow")
         .select("l_partkey", "rid", "flow", "balance")
         .orderBy("l_partkey", "rid")
+    },
+
+    // Max drawdown (operators/Balance.maxDrawdown): per supplier, the
+    // deepest fall from a running peak of the signed net-revenue series
+    // (returns withdraw) — dd = runmax(P) − P, answer = max dd. Running
+    // sum + running max share ONE (suppkey, order) exchange+sort, then
+    // a groupBy collapses per key; `final` is restated as the plain
+    // order-independent flow sum. All-integer cents; DuckDB windowed
+    // sums are HUGEINT → cast (ground rule).
+    QueryDef.sql("q169_max_drawdown",
+      """WITH f AS (
+        |  SELECT l_suppkey, l_shipdate,
+        |    l_orderkey * 8 + l_linenumber AS rid,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END) AS flow
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT l_suppkey, l_shipdate, rid, flow,
+        |    CAST(sum(flow) OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, rid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre
+        |  FROM f),
+        |d AS (
+        |  SELECT l_suppkey, flow, pre,
+        |    max(pre) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, rid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - pre AS dd
+        |  FROM p)
+        |SELECT l_suppkey, max(pre) AS peak,
+        |  CAST(sum(flow) AS BIGINT) AS "final", max(dd) AS max_drawdown
+        |FROM d GROUP BY 1 ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+      graft.operators.Balance.maxDrawdown(
+          lineitem(s, d).select(col("l_suppkey"), col("l_shipdate"),
+            (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"),
+            ((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
+              when(col("l_returnflag") === "R", -1L).otherwise(1L)).as("flow")),
+          "l_suppkey", Seq("l_shipdate", "rid"), "flow")
+        .orderBy("l_suppkey")
+    },
+
+    // Kaplan–Meier life-table components (operators/Survival): order
+    // fulfilment durations (orderdate → last shipdate) per priority
+    // stratum, event = order reached final status 'F', others censored.
+    // Integer (d, c, at_risk) triples per observed duration — Ŝ(t) is a
+    // float product left to the consumer (avg-class ground rule). One
+    // subject groupBy, one stratum-partitioned DESC window; no global
+    // window, no join-back.
+    QueryDef.sql("q170_survival",
+      """WITH subj AS (
+        |  SELECT o_orderkey, o_orderpriority AS grp,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(max(l_shipdate) AS DATE)) AS BIGINT) AS dur,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY o_orderkey, o_orderpriority, o_orderdate, o_orderstatus),
+        |t AS (
+        |  SELECT grp, dur, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1, 2)
+        |SELECT grp, dur, d, c,
+        |  CAST(sum(d + c) OVER (PARTITION BY grp ORDER BY dur DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS at_risk
+        |FROM t ORDER BY grp, dur""".stripMargin) { (s, d) =>
+      val subj = orders(s, d)
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority").as("grp"),
+          col("o_orderdate"), col("o_orderstatus"))
+        .agg(max(col("l_shipdate")).as("ship_end"))
+        .select(col("grp"),
+          datediff(to_date(col("ship_end")), to_date(col("o_orderdate")))
+            .cast("long").as("dur"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("ev"))
+      graft.operators.Survival.kmComponents(subj, "grp", "dur", "ev")
+        .orderBy("grp", "dur")
+    },
+
+    // Benford first-significant-digit audit: distribution of the
+    // leading digit of order totals per priority class beside the class
+    // total — the classic fabricated-data screen, all-integer (digit
+    // extracted from the BIGINT cents rendering, which both engines
+    // print identically; ×100 scaling preserves the leading digit).
+    // Two aggs + a broadcast join on the 5-row class totals.
+    QueryDef.sql("q172_benford",
+      """WITH c AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |dg AS (
+        |  SELECT grp,
+        |    CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM c),
+        |n AS (SELECT grp, digit, count(*) AS n FROM dg GROUP BY 1, 2),
+        |t AS (SELECT grp, count(*) AS n_grp FROM dg GROUP BY 1)
+        |SELECT grp, digit, n, n_grp
+        |FROM n JOIN t USING (grp) ORDER BY grp, digit""".stripMargin) { (s, d) =>
+      val base = orders(s, d)
+        .select(col("o_orderpriority").as("grp"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .select(col("grp"),
+          substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+      val n = base.groupBy("grp", "digit").agg(count(lit(1)).as("n"))
+      val t = base.groupBy("grp").agg(count(lit(1)).as("n_grp"))
+      n.join(broadcast(t), "grp")
+        .select("grp", "digit", "n", "n_grp")
+        .orderBy("grp", "digit")
+    },
+
+    // RFM segmentation: per customer, quartile scores for recency
+    // (days to a fixed anchor — a literal, so no 1-row cross join),
+    // frequency and monetary cents, quartiled WITHIN the customer's
+    // nation (partitioned ntile windows — no global window; the three
+    // orderings share one nation-hash exchange). Ties broken by
+    // custkey → total order → deterministic ntile on both engines.
+    QueryDef.sql("q173_rfm",
+      """WITH base AS (
+        |  SELECT c_custkey, n_name,
+        |    date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |      DATE '1998-12-31') AS rec_days,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT c_custkey, n_name,
+        |  CAST(ntile(4) OVER (PARTITION BY n_name
+        |    ORDER BY rec_days, c_custkey) AS BIGINT) AS r_score,
+        |  CAST(ntile(4) OVER (PARTITION BY n_name
+        |    ORDER BY freq, c_custkey) AS BIGINT) AS f_score,
+        |  CAST(ntile(4) OVER (PARTITION BY n_name
+        |    ORDER BY cents, c_custkey) AS BIGINT) AS m_score
+        |FROM base ORDER BY n_name, c_custkey""".stripMargin) { (s, d) =>
+      val base = orders(s, d)
+        .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+        .groupBy("c_custkey", "n_name")
+        .agg(max(col("o_orderdate")).as("last_od"),
+          count(lit(1)).as("freq"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .as("cents"))
+        .select(col("c_custkey"), col("n_name"),
+          datediff(to_date(lit("1998-12-31")), to_date(col("last_od")))
+            .as("rec_days"),
+          col("freq"), col("cents"))
+      def q(ord: String) = ntile(4).over(
+        Window.partitionBy("n_name").orderBy(col(ord), col("c_custkey")))
+        .cast("long")
+      base.select(col("c_custkey"), col("n_name"),
+          q("rec_days").as("r_score"), q("freq").as("f_score"),
+          q("cents").as("m_score"))
+        .orderBy("n_name", "c_custkey")
+    },
+
+    // Weighted lower median (operators/Robust.weightedMedian): per
+    // return flag, the quantity-weighted median price-cents — smallest
+    // value whose doubled running weight reaches the total. All-integer
+    // (exact where float percentile interpolation is not); one value
+    // groupBy + one group-partitioned pass carrying both frames.
+    QueryDef.sql("q174_weighted_median",
+      """WITH v AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |g AS (SELECT grp, cents, CAST(sum(w) AS BIGINT) AS w FROM v GROUP BY 1, 2),
+        |c AS (
+        |  SELECT grp, cents, w,
+        |    CAST(sum(w) OVER (PARTITION BY grp ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS tot
+        |  FROM g)
+        |SELECT grp, min(cents) AS wmedian, max(tot) AS total_w
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1 ORDER BY grp""".stripMargin) { (s, d) =>
+      graft.operators.Robust.weightedMedian(
+          lineitem(s, d).select(col("l_returnflag").as("grp"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"),
+            col("l_quantity").cast("long").as("w")),
+          "grp", "cents", "w")
+        .orderBy("grp")
     }
   )
 }

@@ -52,4 +52,45 @@ class BalanceSpec extends AnyFunSuite {
     val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
   }
+
+  private def ddBrute(flows: Seq[Long]): (Long, Long, Long) = {
+    val prefix = flows.scanLeft(0L)(_ + _).drop(1)
+    val peaks = prefix.scanLeft(Long.MinValue)(math.max).drop(1)
+    (prefix.max, prefix.last, peaks.zip(prefix).map { case (p, v) => p - v }.max)
+  }
+
+  test("maxDrawdown: hand case — deepest fall from a running peak") {
+    import spark.implicits._
+    // prefix: 10, 4, 12, 3, 8 → peak 12, final 8, maxdd = 12-3 = 9
+    val rows = Seq(10L, -6L, 8L, -9L, 5L).zipWithIndex
+      .map { case (f, i) => ("a", i.toLong, f) }
+    val got = Balance.maxDrawdown(rows.toDF("k", "i", "flow"), "k", Seq("i"), "flow")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map("a" -> ((12L, 8L, 9L))))
+  }
+
+  test("maxDrawdown: all-ascending series reports zero drawdown") {
+    import spark.implicits._
+    val rows = Seq(1L, 2L, 3L).zipWithIndex.map { case (f, i) => ("a", i.toLong, f) }
+    val got = Balance.maxDrawdown(rows.toDF("k", "i", "flow"), "k", Seq("i"), "flow")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === Map("a" -> 0L))
+  }
+
+  test("maxDrawdown ≡ brute-force peak scan on random flows per key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xDD)
+    val rows = for {
+      k <- Seq("a", "b", "c", "d")
+      i <- 0 until (20 + rnd.nextInt(60))
+    } yield (k, i.toLong, rnd.nextInt(41).toLong - 20L)
+    val expect = rows.groupBy(_._1).map { case (k, rs) =>
+      k -> ddBrute(rs.sortBy(_._2).map(_._3))
+    }
+    val got = Balance.maxDrawdown(rows.toDF("k", "i", "flow"), "k", Seq("i"), "flow")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expect)
+  }
 }

@@ -161,4 +161,31 @@ class RobustSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(got === expect)
   }
+
+  test("weightedMedian ≡ lower median of the weight-expanded multiset") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x3D)
+    val rows = for {
+      g <- Seq("a", "b", "c")
+      _ <- 1 to (10 + rnd.nextInt(60))
+    } yield (g, rnd.nextInt(50).toLong, 1L + rnd.nextInt(9).toLong)
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      val expanded = rs.flatMap(r => Seq.fill(r._3.toInt)(r._2)).sorted
+      // lower median: element at index ceil(n/2) - 1
+      val med = expanded((expanded.size + 1) / 2 - 1)
+      g -> ((med, expanded.size.toLong))
+    }
+    val got = Robust.weightedMedian(rows.toDF("g", "v", "w"), "g", "v", "w")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+  }
+
+  test("weightedMedian: even split picks the lower of the two middles") {
+    import spark.implicits._
+    // multiset {1,1,9,9}: cum(1)=2, 2*2 >= 4 → wmedian 1
+    val got = Robust.weightedMedian(
+      Seq(("a", 1L, 2L), ("a", 9L, 2L)).toDF("g", "v", "w"), "g", "v", "w")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 1L))
+  }
 }
