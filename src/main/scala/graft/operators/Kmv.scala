@@ -49,6 +49,21 @@ object Kmv {
       .bitwiseXOR(lit(seed2)))
   }
 
+  /** JVM twin of [[hash32]] for [[KmvAgg]]'s per-row update path —
+    * KmvSpec asserts the two forms agree on random keys (all values
+    * stay in [0, 2³²), so Spark's arithmetic shiftright matches `>>`
+    * here). */
+  def hash32Jvm(key: Long, seed: Long = 2654435769L,
+                seed2: Long = 2246822507L): Long = {
+    val M32 = 4294967295L
+    def round(in: Long): Long = {
+      val x1 = in ^ ((in << 13) & M32)
+      val x2 = x1 ^ (x1 >> 17)
+      x2 ^ ((x2 << 5) & M32)
+    }
+    round(round((key & M32) ^ seed) ^ seed2)
+  }
+
   /** Per-group KMV summary of `keyCol`: (grp, k_used, kth_hash) where
     * k_used = min(k, |distinct keys|) and kth_hash is the k_used-th
     * smallest hash — the pair that determines the estimate

@@ -959,6 +959,40 @@ object EventQueries {
             datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("day")),
           "user_id", "day")
         .orderBy("user_id")
+    },
+
+    // Per-window KMV distinct sketch (operators/KmvAgg via
+    // streaming/SketchStreams.windowedKmv): distinct users per 5-min
+    // window as the mergeable (k_used, kth_hash) summary — the
+    // aggregate-buffer form of q162's plan-level sketch, which is what
+    // runs with BOUNDED state inside a streaming window (one ≤k-pair
+    // buffer per open window vs one state row per distinct key).
+    // Same masked-xorshift chain ⇒ the oracle rebuilds the identical
+    // sketch in SQL, hash-matched bit-for-bit. Batch frame of the
+    // streaming code (KmvAggSpec proves batch ≡ streaming ≡ Kmv.sketch).
+    QueryDef.sql("q176_window_kmv",
+      """WITH e AS (
+        |  SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_ms,
+        |    user_id
+        |  FROM events),
+        |keys AS (SELECT DISTINCT window_start_ms, user_id AS k FROM e),
+        |h0 AS (SELECT window_start_ms, k, xor(k & 4294967295, 2654435769) AS x FROM keys),
+        |h1 AS (SELECT window_start_ms, k, xor(x, (x << 13) & 4294967295) AS x FROM h0),
+        |h2 AS (SELECT window_start_ms, k, xor(x, x >> 17) AS x FROM h1),
+        |h3 AS (SELECT window_start_ms, k, xor(xor(x, (x << 5) & 4294967295), 2246822507) AS x FROM h2),
+        |h4 AS (SELECT window_start_ms, k, xor(x, (x << 13) & 4294967295) AS x FROM h3),
+        |h5 AS (SELECT window_start_ms, k, xor(x, x >> 17) AS x FROM h4),
+        |h6 AS (SELECT window_start_ms, k, xor(x, (x << 5) & 4294967295) AS x FROM h5),
+        |r AS (
+        |  SELECT window_start_ms, x,
+        |    row_number() OVER (PARTITION BY window_start_ms ORDER BY x, k) AS rn
+        |  FROM h6)
+        |SELECT window_start_ms, CAST(count(*) AS BIGINT) AS k_used, max(x) AS kth_hash
+        |FROM r WHERE rn <= 64 GROUP BY 1
+        |ORDER BY window_start_ms""".stripMargin) { (s, d) =>
+      graft.streaming.SketchStreams.windowedKmv(
+          Tables.events(s, d), "ts", "user_id", k = 64, windowDur = "5 minutes")
+        .orderBy("window_start_ms")
     }
   )
 }

@@ -1356,6 +1356,97 @@ object RelationalQueries {
             col("l_quantity").cast("long").as("w")),
           "grp", "cents", "w")
         .orderBy("grp")
+    },
+
+    // Largest-remainder (Hamilton) apportionment (operators/Apportion):
+    // 20 seats per region split across its nations proportionally to
+    // DECIMAL-exact revenue cents — floor shares by integer div, spare
+    // seats to the largest remainders, ties by nation name. Σ alloc =
+    // 20 per region EXACTLY (ApportionSpec). All windows ride ONE
+    // region-keyed exchange; dimension chain broadcasts.
+    QueryDef.sql("q175_apportionment",
+      """WITH w AS (
+        |  SELECT r_name, n_name,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS w
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT r_name, n_name, w,
+        |    CAST(sum(w) OVER (PARTITION BY r_name) AS BIGINT) AS tot,
+        |    20 * w AS num
+        |  FROM w),
+        |b AS (
+        |  SELECT r_name, n_name, w, num // tot AS base, num % tot AS rem
+        |  FROM t),
+        |r AS (
+        |  SELECT r_name, n_name, w, base,
+        |    row_number() OVER (PARTITION BY r_name ORDER BY rem DESC, n_name) AS rn,
+        |    CAST(sum(base) OVER (PARTITION BY r_name) AS BIGINT) AS fsum
+        |  FROM b)
+        |SELECT r_name, n_name, w, base,
+        |  base + (CASE WHEN rn <= 20 - fsum THEN 1 ELSE 0 END) AS alloc
+        |FROM r ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      val wdf = orders(s, d)
+        .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(region(s, d)), col("r_regionkey") === col("n_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("w"))
+      graft.operators.Apportion.largestRemainder(wdf, "r_name", "n_name", "w", 20)
+        .orderBy("r_name", "n_name")
+    },
+
+    // FIFO inventory aging (operators/Fifo): remaining on-shelf
+    // quantity per (part, receipt-year) after consuming returns
+    // oldest-first — rem_i = clamp(cumR_i − C, 0, qty_i), the
+    // sequential oldest-first matching as ONE part-keyed running
+    // window + a per-part consumption aggregate joined back (FifoSpec
+    // proves ≡ the sequential eater). All-integer.
+    QueryDef.sql("q177_fifo_aging",
+      """WITH rec AS (
+        |  SELECT l_partkey, l_shipdate,
+        |    l_orderkey * 8 + l_linenumber AS rid,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(year(l_shipdate) AS BIGINT) AS yr
+        |  FROM lineitem WHERE l_returnflag <> 'R' AND l_partkey % 25 = 0),
+        |con AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_returnflag = 'R' AND l_partkey % 25 = 0
+        |  GROUP BY 1),
+        |cum AS (
+        |  SELECT rec.l_partkey, yr, qty,
+        |    CAST(sum(qty) OVER (PARTITION BY rec.l_partkey
+        |      ORDER BY l_shipdate, rid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumq,
+        |    coalesce(c, 0) AS c
+        |  FROM rec LEFT JOIN con USING (l_partkey))
+        |SELECT l_partkey, yr,
+        |  CAST(sum(greatest(0, least(qty, cumq - c))) AS BIGINT) AS remaining,
+        |  CAST(sum(CASE WHEN cumq - c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  count(*) AS n_receipts
+        |FROM cum GROUP BY 1, 2 ORDER BY l_partkey, yr""".stripMargin) { (s, d) =>
+      val rec = lineitem(s, d)
+        .filter(col("l_returnflag") =!= "R" && col("l_partkey") % 25 === 0)
+        .select(col("l_partkey"), col("l_shipdate"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"),
+          col("l_quantity").cast("long").as("qty"),
+          year(col("l_shipdate")).cast("long").as("yr"))
+      val con = lineitem(s, d)
+        .filter(col("l_returnflag") === "R" && col("l_partkey") % 25 === 0)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+      graft.operators.Fifo.remainingByReceipt(rec, con,
+          "l_partkey", Seq("l_shipdate", "rid"), "qty")
+        .groupBy("l_partkey", "yr")
+        .agg(sum("remaining").as("remaining"),
+          sum(when(col("remaining") > 0, 1L).otherwise(0L)).as("n_open"),
+          count(lit(1)).as("n_receipts"))
+        .orderBy("l_partkey", "yr")
     }
   )
 }

@@ -47,4 +47,30 @@ object SketchStreams {
                          watermark: String = "10 minutes"): DataFrame =
     windowedSketch(events.withWatermark(tsCol, watermark),
       tsCol, tokenCol, k, windowDur)
+
+  /** Per-event-time-window KMV distinct sketch ([[graft.operators.KmvAgg]]):
+    * "how many distinct keys per window", with a summary that is
+    * EXACTLY reproducible (q176's oracle rebuilds it in SQL) and
+    * mergeable — so the streaming state is one ≤k-pair buffer per open
+    * window instead of one row per distinct key per window, and
+    * micro-batch slicing cannot change the answer (union-truncate is
+    * associative and order-independent; KmvAggSpec proves streaming ≡
+    * batch ≡ the [[graft.operators.Kmv.sketch]] plan form). Same code
+    * runs in batch, which is what q176 executes. */
+  def windowedKmv(events: DataFrame, tsCol: String, keyCol: String,
+                  k: Int, windowDur: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), windowDur).as("win"))
+      .agg(graft.operators.KmvAgg.kmv_sketch(col(keyCol).cast("long"), k)
+        .as("sk"))
+      .select(unix_millis(col("win.start")).as("window_start_ms"),
+        col("sk.k_used").as("k_used"), col("sk.kth_hash").as("kth_hash"))
+
+  /** Streaming entry for [[windowedKmv]]: watermark bounds the open-
+    * window set, hence the total state. */
+  def kmvStream(events: DataFrame, tsCol: String, keyCol: String,
+                k: Int, windowDur: String = "5 minutes",
+                watermark: String = "10 minutes"): DataFrame =
+    windowedKmv(events.withWatermark(tsCol, watermark),
+      tsCol, keyCol, k, windowDur)
 }
