@@ -1447,6 +1447,75 @@ object RelationalQueries {
           sum(when(col("remaining") > 0, 1L).otherwise(0L)).as("n_open"),
           count(lit(1)).as("n_receipts"))
         .orderBy("l_partkey", "yr")
+    },
+
+    // Histogram drift (operators/Drift.l1Adjacent): per nation, the L1
+    // distance between CALENDAR-adjacent months' order-price-band
+    // distributions — Σ_b |n_t(b) − n_{t−1}(b)|, absent buckets = 0.
+    // Not a lag window (that would pair each bucket with whenever it
+    // LAST appeared, mixing gaps); the counts frame full-outer-joins
+    // itself on (nation, bucket, p = prev_p + 1) — an equi-join on a
+    // computed key. All-integer drift components.
+    QueryDef.sql("q178_histogram_drift",
+      """WITH c AS (
+        |  SELECT n_name,
+        |    (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS p,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000 AS b
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey),
+        |n AS (SELECT n_name, p, b, count(*) AS n FROM c GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT coalesce(cur.n_name, prev.n_name) AS n_name,
+        |    coalesce(cur.p, prev.p + 1) AS p,
+        |    coalesce(cur.n, 0) AS cn, coalesce(prev.n, 0) AS pn
+        |  FROM n cur FULL OUTER JOIN n prev
+        |    ON cur.n_name = prev.n_name AND cur.b = prev.b
+        |    AND cur.p = prev.p + 1)
+        |SELECT n_name, p, CAST(sum(abs(cn - pn)) AS BIGINT) AS l1,
+        |  CAST(sum(cn) AS BIGINT) AS n_cur, CAST(sum(pn) AS BIGINT) AS n_prev
+        |FROM j GROUP BY 1, 2 ORDER BY n_name, p""".stripMargin) { (s, d) =>
+      val base = orders(s, d)
+        .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+        .select(col("n_name"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("p"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .withColumn("b", expr("cents div 5000000"))
+      graft.operators.Drift.l1Adjacent(base, "n_name", "p", "b")
+        .orderBy("n_name", "p")
+    },
+
+    // Mann–Whitney 2U (operators/RankStats): the rank-sum pair count
+    // #{a > b} + ½·ties between returned ('R') and normal ('N') line
+    // prices per line status, DOUBLED so midranks stay integer —
+    // cross-engine exact where a z/p-value float would flake. One
+    // stratum-partitioned rank window + a (stratum, value) equality
+    // count over the same exchange; no pairwise join.
+    QueryDef.sql("q179_mann_whitney",
+      """WITH v AS (
+        |  SELECT l_linestatus AS st, l_returnflag AS fl,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem
+        |  WHERE l_returnflag IN ('R', 'N') AND l_partkey % 10 = 0),
+        |r AS (
+        |  SELECT st, fl,
+        |    2 * rank() OVER (PARTITION BY st ORDER BY cents) +
+        |      count(*) OVER (PARTITION BY st, cents) - 1 AS r2
+        |  FROM v)
+        |SELECT st,
+        |  CAST(sum(CASE WHEN fl = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN fl = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN fl = 'R' THEN r2 ELSE 0 END)
+        |    - sum(CASE WHEN fl = 'R' THEN 1 ELSE 0 END)
+        |      * (sum(CASE WHEN fl = 'R' THEN 1 ELSE 0 END) + 1) AS BIGINT) AS two_u
+        |FROM r GROUP BY 1 ORDER BY st""".stripMargin) { (s, d) =>
+      graft.operators.RankStats.mannWhitney2U(
+          lineitem(s, d).filter(col("l_partkey") % 10 === 0)
+            .select(col("l_linestatus").as("st"), col("l_returnflag").as("fl"),
+              (col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long").as("cents")),
+          "st", "fl", "cents", flagA = "R", flagB = "N")
+        .orderBy("st")
     }
   )
 }

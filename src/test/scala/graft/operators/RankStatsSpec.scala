@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class RankStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def run(rows: Seq[(String, String, Long)]): Map[String, (Long, Long, Long)] = {
+    import spark.implicits._
+    RankStats.mannWhitney2U(rows.toDF("st", "fl", "v"), "st", "fl", "v", "A", "B")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+  }
+
+  /** 2U_A by the definition: 2·#{(a,b): a > b} + #{ties}. */
+  private def brute(as: Seq[Long], bs: Seq[Long]): Long =
+    as.map(a => 2L * bs.count(_ < a) + bs.count(_ == a)).sum
+
+  test("mannWhitney2U: hand case with ties across sides") {
+    // A = {3, 5}, B = {3, 4}: pairs — (3,3) tie, (3,4) less, (5,3) greater,
+    // (5,4) greater → 2U = 2*2 + 1 = 5
+    val got = run(Seq(("s", "A", 3L), ("s", "A", 5L), ("s", "B", 3L), ("s", "B", 4L)))
+    assert(got === Map("s" -> ((2L, 2L, 5L))))
+  }
+
+  test("mannWhitney2U: one-sided stratum (no A rows) gives 2U = 0") {
+    val got = run(Seq(("s", "B", 1L), ("s", "B", 2L)))
+    assert(got === Map("s" -> ((0L, 2L, 0L))))
+  }
+
+  test("mannWhitney2U: rows outside {A, B} are excluded") {
+    val got = run(Seq(("s", "A", 2L), ("s", "B", 1L), ("s", "C", 100L)))
+    assert(got === Map("s" -> ((1L, 1L, 2L))))
+  }
+
+  test("mannWhitney2U ≡ brute-force pair count on random strata") {
+    val rnd = new scala.util.Random(0x2B)
+    val rows = for {
+      st <- Seq("s1", "s2", "s3")
+      _ <- 1 to (30 + rnd.nextInt(70))
+    } yield (st, if (rnd.nextBoolean()) "A" else "B", rnd.nextInt(20).toLong)
+    val expect = rows.groupBy(_._1).map { case (st, rs) =>
+      val as = rs.filter(_._2 == "A").map(_._3)
+      val bs = rs.filter(_._2 == "B").map(_._3)
+      st -> ((as.size.toLong, bs.size.toLong, brute(as, bs)))
+    }
+    assert(run(rows) === expect)
+  }
+
+  test("mannWhitney2U: complementary property 2U_A + 2U_B = 2·n_a·n_b on tie-free data") {
+    val rnd = new scala.util.Random(0x2C)
+    val vals = rnd.shuffle((1 to 60).toList).map(_.toLong)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("s", if (i % 3 == 0) "A" else "B", v)
+    }
+    val (na, nb, twoUA) = run(rows)("s")
+    val swapped = rows.map { case (st, fl, v) => (st, if (fl == "A") "B" else "A", v) }
+    val (_, _, twoUB) = run(swapped)("s")
+    assert(twoUA + twoUB === 2L * na * nb)
+  }
+}
