@@ -4,10 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsofJoin, Bars, Bfs, BloomJoin, Bpe, ChangeCapture,
-  Cooccur, CountMin, Curation, Dedup, Funnel, Fuzzy, GraphStats, Hierarchy,
-  Intervals, IvfIndex, Kcore, Lpa, PageRank, PrefixSum, RangeJoin, Retrieval,
-  Scd, SetSimJoin, Skyline, SpanDedup, Sssp, TableSync, TopKAgg, Triangles,
-  ZOrder}
+  Cooccur, CountMin, Curation, Dedup, Drift, Fifo, Funnel, Fuzzy, GraphStats,
+  Hierarchy, Intervals, IvfIndex, Kcore, Lpa, PageRank, PrefixSum, RangeJoin,
+  RankStats, Retrieval, Scd, SetSimJoin, Skyline, SpanDedup, Sssp, Streaks,
+  TableSync, TopKAgg, Triangles, ZOrder}
 
 /** Scale-stress harness for the dedup/ANN families: measures how runtime
   * grows with corpus size, so the "candidate cost is Σ df²" / "probe
@@ -523,6 +523,53 @@ object BenchScale {
         // duplicated-span set stays per-copy-shaped
         val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
         SpanDedup.dupSpanStats(d, "doc_id", "text", k = 8).count()
+      },
+      "streaks" -> { k =>
+        // k× users with identical per-user day sets: the islands
+        // window + both groupBys are per-key work on one user-keyed
+        // exchange — the embarrassingly-parallel axis (q171's pipeline)
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        Streaks.dailyStreaks(
+          e.select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day")),
+          "user_id", "day").count()
+      },
+      "fifo" -> { k =>
+        // per-user receipt ledgers (clicks receive, purchases consume):
+        // running window + per-key consumption agg + equi-join back,
+        // all on the user key — per-key history is k-invariant
+        // (q177's pipeline shape)
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val rec = e.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("event_id"),
+            (col("event_id") % 20 + 1).as("qty"))
+        val con = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), (col("event_id") % 50 + 1).as("qty"))
+        Fifo.remainingByReceipt(rec, con, "user_id", Seq("event_id"), "qty")
+          .count()
+      },
+      "mannwhitney" -> { k =>
+        // FIXED strata (event types) whose pooled samples grow k×: the
+        // per-stratum rank sort is the k·log k axis — the intended
+        // worst case for a rank statistic (more strata would instead
+        // add parallelism; q179's pipeline)
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        RankStats.mannWhitney2U(
+          e.select(col("event_type").as("st"),
+            when(col("user_id") % 2 === 0, "A").otherwise("B").as("fl"),
+            (col("event_id") % 100000).as("v")),
+          "st", "fl", "v", "A", "B").count()
+      },
+      "drift" -> { k =>
+        // k× users, per-user (day, event-type) histograms unchanged:
+        // the counts agg and the (entity, bucket, p+1) self-join both
+        // grow k× with disjoint keys — never k² (q178's pipeline)
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        Drift.l1Adjacent(
+          e.select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("p"),
+            col("event_type").as("b")),
+          "user_id", "p", "b").count()
       },
     )
 
