@@ -50,4 +50,24 @@ object Incremental {
         col("sum_v").cast("double").as("sum_v"),
         col("min_v"), col("max_v"),
         (col("sum_v").cast("double") / col("cnt")).as("avg_v")): _*)
+
+  /** Incremental equi-JOIN view maintenance — the join counterpart of
+    * [[mergeStates]]: with a materialized view V = A ⋈ B and insert
+    * deltas ΔA, ΔB, the view's delta is
+    *
+    *   ΔV = A ⋈ ΔB  ∪  ΔA ⋈ B  ∪  ΔA ⋈ ΔB
+    *
+    * (the three new quadrants of (A∪ΔA)×(B∪ΔB); V ∪ ΔV ≡ a full
+    * rescan join EXACTLY, for multiset semantics — q180's oracle IS
+    * the rescan). At 100 TB the two terms touching a base table are
+    * delta-driven shuffles: Catalyst broadcasts the (small) delta side
+    * against the base scan, so maintenance cost is O(|Δ| + matched
+    * base rows), never a re-join of A with B. Deletes compose the
+    * same way with negative multiplicities (not exercised here).
+    */
+  def joinDelta(a: DataFrame, dA: DataFrame, b: DataFrame, dB: DataFrame,
+                keys: Seq[String]): DataFrame =
+    a.join(dB, keys)
+      .unionByName(dA.join(b, keys))
+      .unionByName(dA.join(dB, keys))
 }

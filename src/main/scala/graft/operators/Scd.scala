@@ -44,4 +44,42 @@ object Scd {
       .select(col(keyCol), col("value"), col("valid_from"), col("valid_to"),
         col("n_obs"))
   }
+
+  /** Point-in-time (PIT) enrichment of a fact table against an SCD2
+    * dimension: each fact row picks the dimension version whose
+    * [valid_from, valid_to) interval contains the fact timestamp —
+    * implemented NOT as an interval-containment join (whose inequality
+    * pair defeats equi-join planning) but as the as-of carry: union-tag
+    * facts and version starts, ONE key-partitioned running window
+    * carries the latest version value forward, facts read it
+    * (AsofJoin's single-shuffle plan — because SCD2 intervals partition
+    * time per key, "latest version started at-or-before ts" IS the
+    * containing interval). Facts before the first version drop (inner
+    * semantics). A fact AT a version boundary sees the NEW version
+    * (valid_from inclusive — the dim side sorts before the fact side).
+    *
+    * Precondition: `dims` has at most one row per (key, valid_from) —
+    * true for [[intervals]] output unless two same-key observations
+    * share one timestamp (zero such collisions in the driver data; a
+    * violation would make the carried value order-dependent).
+    *
+    * Output: (keyCol, fact_id, factTs, version).
+    */
+  def pitJoin(facts: DataFrame, dims: DataFrame, keyCol: String,
+              factTs: String, factIdCol: String,
+              validFrom: String, valCol: String): DataFrame = {
+    val d = dims.select(col(keyCol).as("k"), col(validFrom).as("ts"),
+      lit(0).as("side"), lit(null).cast("long").as("fact_id"),
+      col(valCol).cast("string").as("v"))
+    val f = facts.select(col(keyCol).as("k"), col(factTs).as("ts"),
+      lit(1).as("side"), col(factIdCol).cast("long").as("fact_id"),
+      lit(null).cast("string").as("v"))
+    val w = Window.partitionBy("k").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    d.unionByName(f)
+      .withColumn("version", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("version").isNotNull)
+      .select(col("k").as(keyCol), col("fact_id"),
+        col("ts").as(factTs), col("version"))
+  }
 }

@@ -993,6 +993,57 @@ object EventQueries {
       graft.streaming.SketchStreams.windowedKmv(
           Tables.events(s, d), "ts", "user_id", k = 64, windowDur = "5 minutes")
         .orderBy("window_start_ms")
+    },
+
+    // Point-in-time SCD2 enrichment (operators/Scd.pitJoin on
+    // Scd.intervals): each purchase picks the dimension version (the
+    // user's last non-purchase activity type) valid AT its timestamp —
+    // not an interval-containment inequality join but the as-of carry
+    // (union-tag + one key-partitioned running window), because SCD2
+    // intervals partition time per key. The oracle uses the OTHER
+    // machinery: rebuild intervals and join on explicit containment
+    // f.ts ∈ [valid_from, valid_to). µs-truncating CTE per the raw-ts
+    // ground rule.
+    QueryDef.sql("q181_pit_enrich",
+      """WITH e AS (
+        |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_id,
+        |    event_type FROM events),
+        |obs AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+        |fct AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'purchase'),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+        |  FROM obs),
+        |numbered AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM flagged),
+        |runs AS (
+        |  SELECT user_id, min(event_type) AS version, min(ts) AS valid_from
+        |  FROM numbered GROUP BY user_id, run),
+        |iv AS (
+        |  SELECT user_id, version, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        |  FROM runs)
+        |SELECT f.user_id, f.event_id AS fact_id, epoch_us(f.ts) AS ts_us,
+        |  r.version
+        |FROM fct f JOIN iv r ON r.user_id = f.user_id
+        |  AND f.ts >= r.valid_from
+        |  AND (r.valid_to IS NULL OR f.ts < r.valid_to)
+        |ORDER BY f.user_id, fact_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val dims = graft.operators.Scd.intervals(
+        ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        "user_id", "ts", "event_id", "event_type")
+      graft.operators.Scd.pitJoin(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          dims, "user_id", "ts", "event_id", "valid_from", "value")
+        .select(col("user_id"), col("fact_id"),
+          unix_micros(col("ts")).as("ts_us"), col("version"))
+        .orderBy("user_id", "fact_id")
     }
   )
 }

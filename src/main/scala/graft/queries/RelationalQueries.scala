@@ -1516,6 +1516,40 @@ object RelationalQueries {
                 .cast("long").as("cents")),
           "st", "fl", "cents", flagA = "R", flagB = "N")
         .orderBy("st")
+    },
+
+    // Incremental JOIN-view maintenance (operators/Incremental
+    // .joinDelta): ΔV = A⋈ΔB ∪ ΔA⋈B ∪ ΔA⋈ΔB — the three new quadrants
+    // of (A∪ΔA)×(B∪ΔB); V ∪ ΔV ≡ a full rescan join EXACTLY. The
+    // oracle IS the rescan (one plain join over the whole tables), so
+    // a wrong/missing quadrant hash-mismatches. The join counterpart
+    // of q100's aggregate-state merge; maintenance cost is
+    // delta-driven (broadcast Δ against the base scan), never A⋈B
+    // again.
+    QueryDef.sql("q180_join_view_delta",
+      """SELECT o_orderpriority AS grp, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY grp""".stripMargin) { (s, d) =>
+      val os = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      val ls = lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      val a  = os.filter(col("o_orderkey") % 10 =!= 0)
+      val dA = os.filter(col("o_orderkey") % 10 === 0)
+      val b  = ls.filter(col("l_quantity") =!= 1.0)
+      val dB = ls.filter(col("l_quantity") === 1.0)
+      val baseView = a.join(b, Seq("o_orderkey"))
+      val delta = graft.operators.Incremental.joinDelta(a, dA, b, dB,
+        Seq("o_orderkey"))
+      baseView.unionByName(delta)
+        .groupBy(col("o_orderpriority").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+            .as("cents"))
+        .orderBy("grp")
     }
   )
 }

@@ -40,4 +40,35 @@ class IncrementalSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(m == Set(("x", 1L, 1.0), ("y", 2L, 6.0), ("z", 1L, 8.0)))
   }
+
+  test("joinDelta: base view ∪ delta ≡ rescan join, as multisets, across splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x1D)
+    val left = (1 to 200).map(i => (rnd.nextInt(40).toLong, s"l$i"))
+      .toDF("k", "lv")
+    val right = (1 to 300).map(i => (rnd.nextInt(40).toLong, i.toLong))
+      .toDF("k", "rv")
+    def bag(df: org.apache.spark.sql.DataFrame): Map[(Long, String, Long), Int] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+    val rescan = bag(left.join(right, Seq("k")))
+    for (mod <- Seq(2, 5)) {
+      val a  = left.filter(xxhash64(col("lv")) % mod =!= 0)
+      val dA = left.filter(xxhash64(col("lv")) % mod === 0)
+      val b  = right.filter(xxhash64(col("rv")) % mod =!= 0)
+      val dB = right.filter(xxhash64(col("rv")) % mod === 0)
+      val maintained = bag(a.join(b, Seq("k")).unionByName(
+        Incremental.joinDelta(a, dA, b, dB, Seq("k"))))
+      assert(maintained === rescan, s"mod=$mod")
+    }
+  }
+
+  test("joinDelta: empty deltas contribute nothing") {
+    import spark.implicits._
+    val left = Seq((1L, "a")).toDF("k", "lv")
+    val right = Seq((1L, 9L)).toDF("k", "rv")
+    val empty = left.limit(0)
+    val emptyR = right.limit(0)
+    assert(Incremental.joinDelta(left, empty, right, emptyR, Seq("k")).count() === 0L)
+  }
 }
