@@ -80,4 +80,27 @@ object Cooccur {
       .crossJoin(broadcast(baskets))
       .select("a", "b", "sup_ab", "sup_a", "sup_b", "n_baskets")
   }
+
+  /** Frequent ORDERED item triples over generic (basket, item) rows —
+    * the size-3 step of the Apriori ladder above [[frequentPairs]]:
+    * per basket, every i1 < i2 < i3 combination, counted across
+    * baskets, thresholded at `minSupport`. Generation cost is
+    * Σ C(|basket|, 3) — bounded by the basket-size contract exactly
+    * like the pair generator (cap the item domain upstream, e.g. by
+    * top-df vocabulary or category bucketing, so a degenerate basket
+    * can't explode the combination count); both self-joins are
+    * basket-key equi-joins with the ordering as residual, never a
+    * cross product. */
+  def frequentTriples(items: DataFrame, basketCol: String, itemCol: String,
+                      minSupport: Long): DataFrame = {
+    val p = items.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    val a = p.select(col("bk"), col("it").as("i1"))
+    val b = p.select(col("bk").as("bk2"), col("it").as("i2"))
+    val c = p.select(col("bk").as("bk3"), col("it").as("i3"))
+    a.join(b, col("bk") === col("bk2") && col("i1") < col("i2"))
+      .join(c, col("bk") === col("bk3") && col("i2") < col("i3"))
+      .groupBy("i1", "i2", "i3").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
 }

@@ -102,4 +102,22 @@ object GraphStats {
         sum(col("jdeg")).as("sum_j"),
         sum(col("jdeg") * col("jdeg")).as("sum_j2"))
   }
+
+  /** Reciprocity components of a DIRECTED edge list: ONE row
+    * (m, m_mutual) — total distinct edges and those whose reverse
+    * edge also exists; the reciprocity coefficient r = m_mutual / m
+    * is a float left to the consumer. Computed in one pass: the edge
+    * list left-joins its own reversal (equi-join on both endpoints)
+    * and aggregates the match flag — no correlated probe per edge, no
+    * 1-row cross join. Self-loops are excluded (trivially mutual). */
+  def reciprocityComponents(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1L).as("_m"))
+    e.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("m"),
+        sum(coalesce(col("_m"), lit(0L))).as("m_mutual"))
+  }
 }

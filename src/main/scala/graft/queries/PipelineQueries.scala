@@ -2004,6 +2004,44 @@ object PipelineQueries {
         .groupBy("node")
         .agg(count(lit(1)).as("n_seeds"), sum("dist").as("sum_dist"))
         .orderBy("node")
+    },
+
+    // Reciprocity components (operators/GraphStats
+    // .reciprocityComponents): a DIRECTED customer↔supplier graph —
+    // supplier→customer edges for small-quantity sales, the reverse
+    // customer→supplier edge only where a return ('R') occurred — so
+    // mutuality is data-dependent, not structural. ONE row
+    // (m, m_mutual); r = m_mutual/m left to the consumer. Spark: edge
+    // list left-joins its own reversal + one agg (no per-edge probe);
+    // the oracle uses the OTHER machinery (correlated EXISTS).
+    QueryDef.sql("q183_reciprocity",
+      """WITH sale AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE l_quantity < 4),
+        |ret AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'),
+        |edges AS (
+        |  SELECT s*2+1 AS src, c*2 AS dst FROM sale
+        |  UNION
+        |  SELECT c*2 AS src, s*2+1 AS dst FROM ret)
+        |SELECT count(*) AS m,
+        |  CAST(sum(CASE WHEN EXISTS (
+        |    SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS m_mutual
+        |FROM edges e""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      val sale = base.filter(col("l_quantity") < 4)
+        .select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("o_custkey") * 2).as("dst")).distinct()
+      val ret = base.filter(col("l_returnflag") === "R")
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      graft.operators.GraphStats.reciprocityComponents(
+        sale.unionByName(ret))
     }
   )
 

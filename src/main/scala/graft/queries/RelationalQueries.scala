@@ -1550,6 +1550,29 @@ object RelationalQueries {
           sum((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
             .as("cents"))
         .orderBy("grp")
+    },
+
+    // Frequent item TRIPLES (operators/Cooccur.frequentTriples): the
+    // size-3 Apriori step above q96's pairs — per order basket, every
+    // category combination i1 < i2 < i3 (categories = partkey mod 50,
+    // the bounded item domain that keeps Σ C(|basket|,3) linear in
+    // baskets), counted and support-thresholded. Both self-joins are
+    // basket-key equi-joins with the ordering residual.
+    QueryDef.sql("q182_frequent_triples",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey % 50 AS it FROM lineitem),
+        |tri AS (
+        |  SELECT a.it AS i1, b.it AS i2, c.it AS i3
+        |  FROM li a JOIN li b ON b.bk = a.bk AND a.it < b.it
+        |            JOIN li c ON c.bk = a.bk AND b.it < c.it)
+        |SELECT i1, i2, i3, count(*) AS support
+        |FROM tri GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY support DESC, i1, i2, i3""".stripMargin) { (s, d) =>
+      graft.operators.Cooccur.frequentTriples(
+          lineitem(s, d).select(col("l_orderkey").as("bk"),
+            (col("l_partkey") % 50).as("it")),
+          "bk", "it", minSupport = 2L)
+        .orderBy(col("support").desc, col("i1"), col("i2"), col("i3"))
     }
   )
 }

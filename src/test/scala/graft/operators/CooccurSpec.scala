@@ -94,4 +94,38 @@ class CooccurSpec extends AnyFunSuite {
     assert(got == expected)
     assert(expected.nonEmpty)
   }
+
+  test("frequentTriples: hand case — duplicates collapse, order canonical") {
+    import spark.implicits._
+    val items = Seq((1L, 3L), (1L, 1L), (1L, 2L), (1L, 2L), // basket 1: {1,2,3}
+      (2L, 1L), (2L, 2L), (2L, 3L), (2L, 4L),               // basket 2: {1,2,3,4}
+      (3L, 1L), (3L, 2L))                                   // basket 3: pair only
+      .toDF("bk", "it")
+    val got = Cooccur.frequentTriples(items, "bk", "it", minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got === Map((1L, 2L, 3L) -> 2L)) // only triple in both baskets
+  }
+
+  test("frequentTriples ≡ driver-side combinations on random baskets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x33)
+    val rows = for {
+      bk <- 1L to 60L
+      _ <- 1 to (2 + rnd.nextInt(6))
+    } yield (bk, rnd.nextInt(9).toLong)
+    val expect = rows.groupBy(_._1).toSeq
+      .flatMap { case (_, rs) =>
+        rs.map(_._2).distinct.sorted.combinations(3).map {
+          case Seq(a, b, c) => (a, b, c)
+        }
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 3L)
+    val got = Cooccur.frequentTriples(rows.toDF("bk", "it"), "bk", "it", 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got === expect)
+    assert(expect.nonEmpty)
+  }
 }

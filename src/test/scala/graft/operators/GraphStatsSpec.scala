@@ -114,4 +114,28 @@ class GraphStatsSpec extends AnyFunSuite {
       assert(got === expect, s"trial=$trial")
     }
   }
+
+  test("reciprocityComponents: hand case — mutual pair, one-way edge, self-loop dropped") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 4L), (1L, 2L))
+      .toDF("src", "dst")
+    val got = GraphStats.reciprocityComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(got === ((3L, 2L))) // edges 1→2, 2→1, 1→3; mutual: both of the pair
+  }
+
+  test("reciprocityComponents ≡ brute force on random directed graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x6C)
+    for (trial <- 1 to 3) {
+      val pairs = Seq.fill(80)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val set = pairs.toSet
+      val expect = (pairs.size.toLong,
+        pairs.count(p => set((p._2, p._1))).toLong)
+      val got = GraphStats.reciprocityComponents(pairs.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).head
+      assert(got === expect, s"trial=$trial")
+    }
+  }
 }
