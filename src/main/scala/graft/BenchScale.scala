@@ -571,6 +571,33 @@ object BenchScale {
             col("event_type").as("b")),
           "user_id", "p", "b").count()
       },
+      "triples" -> { k =>
+        // baskets = (user, day) with a 5-item type domain: per-basket
+        // C(b,3) is constant, baskets grow k× — the triple generator's
+        // linear axis (a wider item domain would instead grow the
+        // combination count per basket; q182's pipeline)
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        Cooccur.frequentTriples(
+          e.select((col("user_id") * 1024L +
+              expr("unix_micros(ts) div 86400000000") % 1024).as("bk"),
+            col("event_type").as("it")),
+          "bk", "it", minSupport = 2L).count()
+      },
+      "pit" -> { k =>
+        // k× users with identical per-user version/fact streams: the
+        // union-tag as-of carry is one user-keyed window — per-key
+        // history constant, keys k× (q181's pipeline)
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val dims = Scd.intervals(
+          e.filter(col("event_type") =!= "purchase")
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type")),
+          "user_id", "ts", "event_id", "event_type")
+        Scd.pitJoin(
+          e.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          dims, "user_id", "ts", "event_id", "valid_from", "value").count()
+      },
     )
 
     // dev-only family filter (SPARK_GRAFT_SCALE_ONLY=bfs,components_star)
