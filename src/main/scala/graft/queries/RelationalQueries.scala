@@ -1573,6 +1573,77 @@ object RelationalQueries {
             (col("l_partkey") % 50).as("it")),
           "bk", "it", minSupport = 2L)
         .orderBy(col("support").desc, col("i1"), col("i2"), col("i3"))
+    },
+
+    // Exact Pearson-correlation components: per return flag, the six
+    // moments (n, Σx, Σy, Σx², Σy², Σxy) that DETERMINE r — carried as
+    // BIGINT / DECIMAL(38,0) so the aggregation is exact and
+    // order-independent where a corr() float fold is engine-private.
+    // The DECIMAL(38,0) second-moment trick extends the money-sum
+    // discipline: cents² ≈ 10¹⁴ per row would overflow a BIGINT sum at
+    // scale, but is exact in a 38-digit decimal accumulator (headroom
+    // to ~10²⁴ rows). One map-side-combined agg, no window, no join.
+    QueryDef.sql("q184_pearson_components",
+      """SELECT l_returnflag AS grp, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sy,
+        |  sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |    AS DECIMAL(38,0))) AS sxx,
+        |  sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS DECIMAL(38,0))) AS syy,
+        |  sum(CAST(CAST(l_quantity AS BIGINT)
+        |    * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS DECIMAL(38,0))) AS sxy
+        |FROM lineitem GROUP BY 1 ORDER BY grp""".stripMargin) { (s, d) =>
+      val x = col("l_quantity").cast("long")
+      val y = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+      lineitem(s, d)
+        .select(col("l_returnflag").as("grp"), x.as("x"), y.as("y"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+        .orderBy("grp")
+    },
+
+    // Market concentration (Herfindahl–Hirschman) components: per
+    // nation, the supplier revenue total and Σ(per-supplier cents)² —
+    // HHI = Σ share² = sq_sum / total² determined exactly by the pair;
+    // the share squares use the same DECIMAL(38,0) accumulator as
+    // q184. Two chained aggs on the same key + a broadcast dim chain.
+    QueryDef.sql("q185_hhi",
+      """WITH sup AS (
+        |  SELECT n_name, l_suppkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, count(*) AS n_suppliers,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  sum(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+        |    AS sq_cents
+        |FROM sup GROUP BY 1 ORDER BY n_name""".stripMargin) { (s, d) =>
+      val sup = lineitem(s, d)
+        .join(supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(nation(s, d)), col("n_nationkey") === col("s_nationkey"))
+        .groupBy("n_name", "l_suppkey")
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+      // decimal cast BEFORE the multiply: a per-supplier cents total is
+      // itself an aggregate, so its square can exceed BIGINT at scale
+      // (ANSI would throw); (19,0)×(19,0) → DECIMAL(38,0) on both engines
+      sup.groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("cents")).as("total_cents"),
+          sum(col("cents").cast("decimal(19,0)") *
+            col("cents").cast("decimal(19,0)")).as("sq_cents"))
+        .orderBy("n_name")
     }
   )
 }
