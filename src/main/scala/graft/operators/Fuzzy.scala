@@ -40,8 +40,13 @@ object Fuzzy {
     val r = right.withColumn("_rb", expr(s"length($rCol) div $w"))
     l.join(r, col("_lb") === col("_rb") &&
         abs(length(col(lCol)) - length(col(rCol))) <= maxDist)
-      .withColumn("dist", levenshtein(col(lCol), col(rCol)))
-      .filter(col("dist") <= maxDist)
+      // threshold form: banded O(maxDist·n) DP with early exit instead
+      // of the full O(n²) matrix per candidate — returns the exact
+      // distance when ≤ maxDist and -1 otherwise, so the filter and the
+      // emitted dist are unchanged for every surviving pair (q98's
+      // unblocked oracle still proves losslessness end-to-end)
+      .withColumn("dist", levenshtein(col(lCol), col(rCol), maxDist))
+      .filter(col("dist") =!= -1)
       .drop("_lb", "_rb")
   }
 }
