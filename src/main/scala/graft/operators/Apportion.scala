@@ -25,7 +25,13 @@ import org.apache.spark.sql.functions._
 object Apportion {
 
   /** Per (grpCol, idCol) member: `w` (the weight), `base` (floor
-    * share) and `alloc` (final seats). `wCol` must be positive. */
+    * share) and `alloc` (final seats). `wCol` must be POSITIVE — a
+    * group whose weights sum to zero fails fast with a division error
+    * rather than allocating arbitrarily. The seats·weight product is
+    * carried as DECIMAL(38,0), so huge weights (e.g. cents revenue at
+    * large scale factors) cannot hit the ANSI long-multiply overflow;
+    * `div`/`%` on decimals return the same integral values as the long
+    * forms. */
   def largestRemainder(df: DataFrame, grpCol: String, idCol: String,
                        wCol: String, seats: Int): DataFrame = {
     require(seats >= 1 && seats <= 1000000, "seats: 1..1000000")
@@ -33,10 +39,11 @@ object Apportion {
     val byRem = Window.partitionBy(grpCol)
       .orderBy(col("_rem").desc, col(idCol))
     df.select(col(grpCol), col(idCol), col(wCol).cast("long").as("w"))
-      .withColumn("_tot", sum(col("w")).over(byGrp))
-      .withColumn("_num", lit(seats.toLong) * col("w"))
+      .withColumn("_tot", sum(col("w").cast("decimal(28,0)")).over(byGrp))
+      .withColumn("_num", lit(seats).cast("decimal(8,0)") *
+        col("w").cast("decimal(28,0)"))
       .withColumn("base", expr("_num div _tot"))
-      .withColumn("_rem", col("_num") % col("_tot"))
+      .withColumn("_rem", (col("_num") % col("_tot")).cast("decimal(38,0)"))
       .withColumn("_rn", row_number().over(byRem))
       .withColumn("_fsum", sum(col("base")).over(byGrp))
       .withColumn("alloc",

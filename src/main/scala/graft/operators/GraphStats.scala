@@ -111,9 +111,14 @@ object GraphStats {
     * and aggregates the match flag — no correlated probe per edge, no
     * 1-row cross join. Self-loops are excluded (trivially mutual). */
   def reciprocityComponents(edges: DataFrame): DataFrame = {
+    // the normalized edge frame feeds BOTH sides of the self-join;
+    // persist so the upstream build + distinct shuffle run once, not
+    // once per consumer (the AQE ReuseExchange gap — CLAUDE.md ground
+    // rule; CacheManager dedupes by logical plan across repeat calls)
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
+      .persist()
     val rev = e.select(col("dst").as("src"), col("src").as("dst"),
       lit(1L).as("_m"))
     e.join(rev, Seq("src", "dst"), "left")

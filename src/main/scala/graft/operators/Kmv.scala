@@ -72,7 +72,12 @@ object Kmv {
   def sketch(df: DataFrame, grpCol: String, keyCol: String, k: Int,
              seed: Long = 2654435769L): DataFrame = {
     require(k >= 2 && k <= 65536, "k: 2..65536")
+    // NULL keys are excluded (COUNT DISTINCT convention) — also keeps
+    // this form bit-identical to KmvAgg, whose per-row update skips
+    // nulls, and avoids the engines' opposite NULL sort order (Spark
+    // nulls-first vs DuckDB nulls-last) ever reaching the rank window
     val keys = df.select(col(grpCol), col(keyCol).cast("long").as("_k"))
+      .filter(col("_k").isNotNull)
       .distinct()
       .withColumn("_h", hash32(col("_k"), seed))
     val w = Window.partitionBy(grpCol).orderBy(col("_h"), col("_k"))

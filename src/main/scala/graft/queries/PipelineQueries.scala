@@ -2032,16 +2032,22 @@ object PipelineQueries {
         |    SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS m_mutual
         |FROM edges e""".stripMargin) { (s, d) =>
-      val base = Tables.orders(s, d)
+      // ONE orders⋈lineitem pass carries both edge conditions as flags
+      // (a sale branch + a ret branch would each re-execute the join —
+      // the AQE shared-stage gap); the per-(c,s) flag table then fans
+      // out to the two directed edge sets cheaply
+      val pair = Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-      val sale = base.filter(col("l_quantity") < 4)
-        .select((col("l_suppkey") * 2 + 1).as("src"),
-          (col("o_custkey") * 2).as("dst")).distinct()
-      val ret = base.filter(col("l_returnflag") === "R")
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst")).distinct()
-      graft.operators.GraphStats.reciprocityComponents(
-        sale.unionByName(ret))
+        .filter(col("l_quantity") < 4 || col("l_returnflag") === "R")
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .agg(max(when(col("l_quantity") < 4, 1L).otherwise(0L)).as("sale"),
+          max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("ret"))
+        .persist() // two filter consumers below — join+agg runs once
+      val edges = pair.filter(col("sale") === 1L)
+        .select((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst"))
+        .unionByName(pair.filter(col("ret") === 1L)
+          .select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst")))
+      graft.operators.GraphStats.reciprocityComponents(edges)
     }
   )
 

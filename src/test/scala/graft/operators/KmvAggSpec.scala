@@ -47,6 +47,20 @@ class KmvAggSpec extends AnyFunSuite {
     assert(viaAgg === viaPlan)
   }
 
+  test("null keys are excluded by BOTH forms (COUNT DISTINCT convention)") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", None), ("a", Some(2L)))
+      .toDF("g", "k")
+    val viaAgg = df.groupBy("g").agg(KmvAgg.kmv_sketch(col("k"), 8).as("sk"))
+      .select(col("sk.k_used"), col("sk.kth_hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val viaPlan = Kmv.sketch(df, "g", "k", 8)
+      .select(col("k_used"), col("kth_hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(viaAgg === viaPlan)
+    assert(viaAgg._1 === 2L) // the null key is not a distinct value
+  }
+
   test("kmv_sketch is exact below k: k_used = true distinct count") {
     import spark.implicits._
     val df = (1 to 40).flatMap(i => Seq(("a", i.toLong), ("a", i.toLong)))
