@@ -43,4 +43,40 @@ object EnrichStreams {
       .select(unix_millis(col("window.start")).as("window_start_ms"),
         col("n_name"), col("n_events"), col("sum_value"))
   }
+
+  /** STREAMING point-in-time SCD2 enrichment: each fact in the stream
+    * picks the STATIC dimension version whose [valid_from, valid_to)
+    * interval contains its timestamp.
+    *
+    * The batch form ([[graft.operators.Scd.pitJoin]]) uses the as-of
+    * carry — a running window — which streaming cannot execute
+    * (non-time windows are unsupported on streams). But with a STATIC
+    * dimension the containment join IS the right streaming plan:
+    * stream–static joins are STATELESS (nothing buffered; each
+    * micro-batch probes the broadcast dimension snapshot), and because
+    * SCD2 intervals partition time per key, each fact matches at most
+    * one version — so the inequality pair costs one interval test per
+    * (fact, key-version) candidate under a broadcast hash join on the
+    * key, never a range-join blow-up (versions per key are few by the
+    * SCD2 construction). EnrichStreamsSpec proves streamed output ≡
+    * [[graft.operators.Scd.pitJoin]] on the same data and that no
+    * state store is materialized.
+    *
+    * `dims` must carry (keyCol, value, valid_from, valid_to) —
+    * [[graft.operators.Scd.intervals]] output. Facts before the first
+    * version drop (inner semantics); a fact AT a boundary sees the new
+    * version (valid_from inclusive, valid_to exclusive).
+    */
+  def pitEnrichStream(facts: DataFrame, dims: DataFrame, keyCol: String,
+                      factTs: String, factIdCol: String): DataFrame = {
+    val d = dims.select(col(keyCol).as("_k"), col("value"),
+      col("valid_from"), col("valid_to"))
+    facts
+      .join(broadcast(d),
+        col(keyCol) === col("_k") &&
+          col(factTs) >= col("valid_from") &&
+          (col("valid_to").isNull || col(factTs) < col("valid_to")))
+      .select(col(keyCol), col(factIdCol).cast("long").as("fact_id"),
+        col(factTs), col("value").cast("string").as("version"))
+  }
 }

@@ -57,4 +57,37 @@ class EnrichStreamsSpec extends AnyFunSuite {
       assert(p.stateOperators.head.operatorName == "stateStoreSave")
     } finally q.stop()
   }
+
+  test("streaming PIT enrichment ≡ batch Scd.pitJoin, with ZERO state operators") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.tables.Tables.events(spark, sf)
+    val dims = graft.operators.Scd.intervals(
+      ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      "user_id", "ts", "event_id", "event_type")
+    val factsBatch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val factDir = Files.createTempDirectory("graft-pit-facts").toString
+    factsBatch.coalesce(1).write.mode("overwrite").parquet(factDir)
+
+    def key(df: DataFrame) = df
+      .select(col("user_id"), col("fact_id"), col("version"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val viaBatchCarry = key(graft.operators.Scd.pitJoin(
+      factsBatch, dims, "user_id", "ts", "event_id", "valid_from", "value"))
+
+    val stream = spark.readStream
+      .schema(factsBatch.schema).parquet(factDir)
+    val q = EnrichStreams.pitEnrichStream(stream, dims, "user_id", "ts", "event_id")
+      .writeStream.format("memory").queryName("pit_stream")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      q.processAllAvailable()
+      val p = q.lastProgress
+      assert(p.stateOperators.isEmpty, "PIT stream must be stateless")
+      key(spark.table("pit_stream"))
+    } finally q.stop()
+    assert(streamed.nonEmpty)
+    assert(streamed === viaBatchCarry)
+  }
 }
