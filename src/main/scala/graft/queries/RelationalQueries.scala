@@ -1644,6 +1644,68 @@ object RelationalQueries {
           sum(col("cents").cast("decimal(19,0)") *
             col("cents").cast("decimal(19,0)")).as("sq_cents"))
         .orderBy("n_name")
+    },
+
+    // Top-N + OTHER rollup — the standard reporting shape "top 3
+    // customers per nation by revenue, everyone else as one OTHER
+    // row": nation-partitioned revenue rank (ties by custkey), then a
+    // re-aggregation over the CASE label. One exchange carries both
+    // the window and the final group-by; DECIMAL-exact cents.
+    QueryDef.sql("q186_topn_other",
+      """WITH cust AS (
+        |  SELECT n_name, c_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT n_name, c_custkey, cents,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY cents DESC, c_custkey) AS rn
+        |  FROM cust)
+        |SELECT n_name,
+        |  CASE WHEN rn <= 3 THEN CAST(c_custkey AS VARCHAR) ELSE 'OTHER' END AS who,
+        |  CAST(sum(cents) AS BIGINT) AS cents, count(*) AS n_members
+        |FROM r GROUP BY 1, 2 ORDER BY n_name, cents DESC, who""".stripMargin) { (s, d) =>
+      val cust = orders(s, d)
+        .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+        .groupBy("n_name", "c_custkey")
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+      cust
+        .withColumn("rn", row_number().over(Window.partitionBy("n_name")
+          .orderBy(col("cents").desc, col("c_custkey"))))
+        .groupBy(col("n_name"),
+          when(col("rn") <= 3, col("c_custkey").cast("string"))
+            .otherwise("OTHER").as("who"))
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n_members"))
+        .orderBy(col("n_name"), col("cents").desc, col("who"))
+    },
+
+    // Power-of-2 (log2) histogram — the magnitude-band profile used
+    // for latency/size distributions, with the band computed as
+    // length(bin(x)) = ⌊log2 x⌋ + 1: INTEGER-exact on both engines
+    // (both render unpadded binary), where float log2 would misplace
+    // values within an ulp of a power-of-2 boundary (the round()
+    // ground-rule class). One map-side-combined agg.
+    QueryDef.sql("q187_log2_histogram",
+      """WITH c AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT grp, CAST(length(bin(cents)) AS BIGINT) AS log2_band,
+        |  count(*) AS n, min(cents) AS min_c, max(cents) AS max_c
+        |FROM c GROUP BY 1, 2 ORDER BY grp, log2_band""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .select(col("o_orderpriority").as("grp"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy(col("grp"), length(bin(col("cents"))).cast("long").as("log2_band"))
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("min_c"),
+          max(col("cents")).as("max_c"))
+        .orderBy("grp", "log2_band")
     }
   )
 }
