@@ -2048,6 +2048,42 @@ object PipelineQueries {
         .unionByName(pair.filter(col("ret") === 1L)
           .select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst")))
       graft.operators.GraphStats.reciprocityComponents(edges)
+    },
+
+    // Sparse tf-vector cosine components (operators/SparseSim): doc
+    // pairs by integer dot of their BIGRAM term-frequency vectors via
+    // a df-capped posting join (candidate cost Σ df², the q69
+    // contract; dot counts capped-vocab terms — a documented lower
+    // bound), plus both FULL-vocabulary squared norms; cosine and any
+    // "≥ p/q" threshold are determined exactly by the three integers.
+    // Bigram terms, not unigrams: this corpus's word vocabulary is
+    // ~31 common words (every unigram df ≫ cap → empty index).
+    QueryDef.sql("q189_sparse_cosine",
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        |  FROM documents),
+        |big AS (
+        |  SELECT id, arr[i] || ' ' || arr[i + 1] AS term
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) p),
+        |tf AS (SELECT id, term, count(*) AS tf FROM big GROUP BY 1, 2),
+        |norms AS (SELECT id, CAST(sum(tf * tf) AS BIGINT) AS norm2
+        |          FROM tf GROUP BY 1),
+        |rare AS (SELECT term FROM tf GROUP BY term HAVING count(*) <= 16),
+        |r AS (SELECT tf.id, tf.term, tf.tf FROM tf JOIN rare USING (term)),
+        |dots AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM r a JOIN r b ON a.term = b.term AND a.id < b.id
+        |  GROUP BY 1, 2 HAVING CAST(sum(a.tf * b.tf) AS BIGINT) >= 2)
+        |SELECT id_a, id_b, dot, na.norm2 AS norm2_a, nb.norm2 AS norm2_b
+        |FROM dots
+        |JOIN norms na ON na.id = id_a
+        |JOIN norms nb ON nb.id = id_b
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      graft.operators.SparseSim.cosineComponents(
+          Tables.documents(s, d), "doc_id", "text", maxDf = 16L, minDot = 2L)
+        .orderBy("id_a", "id_b")
     }
   )
 

@@ -1706,6 +1706,49 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), min(col("cents")).as("min_c"),
           max(col("cents")).as("max_c"))
         .orderBy("grp", "log2_band")
+    },
+
+    // Q–Q decile comparison: the two return classes' price
+    // distributions side by side at matching discrete-rank deciles
+    // (Robust.equiDepthBounds for both groups in ONE pass, then a
+    // 10-row self-join on the decile index) — the integer-exact
+    // distribution-shift visual, complementing q179's rank-sum test
+    // statistic and q178's bucket-count drift.
+    QueryDef.sql("q188_qq_deciles",
+      """WITH e AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    l_orderkey * 8 + l_linenumber AS rid
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |r AS (
+        |  SELECT grp, cents,
+        |    row_number() OVER (PARTITION BY grp ORDER BY cents, rid) AS rn
+        |  FROM e),
+        |c AS (SELECT grp, count(*) AS n FROM e GROUP BY 1),
+        |g AS (
+        |  SELECT c.grp, CAST(j AS INT) AS j, (j * n + 9) // 10 AS rn
+        |  FROM c, generate_series(1, 10) AS t(j)),
+        |b AS (
+        |  SELECT r.grp, g.j, r.cents AS bound
+        |  FROM r JOIN g ON g.grp = r.grp AND g.rn = r.rn)
+        |SELECT a.j, a.bound AS bound_r, o.bound AS bound_n
+        |FROM b a JOIN b o ON a.j = o.j AND a.grp = 'R' AND o.grp = 'N'
+        |ORDER BY a.j""".stripMargin) { (s, d) =>
+      val bounds = graft.operators.Robust.equiDepthBounds(
+        lineitem(s, d).filter(col("l_returnflag").isin("R", "N"))
+          .select(col("l_returnflag").as("grp"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"),
+            (col("l_orderkey") * 8 + col("l_linenumber")).as("rid")),
+        "grp", "cents", "rid", k = 10)
+        .persist() // 20-row frame, two filter consumers — rank pass runs once
+      bounds.filter(col("grp") === "R")
+        .select(col("j"), col("bound").as("bound_r"))
+        .join(bounds.filter(col("grp") === "N")
+          .select(col("j").as("j2"), col("bound").as("bound_n")),
+          col("j") === col("j2"))
+        .select("j", "bound_r", "bound_n")
+        .orderBy("j")
     }
   )
 }
