@@ -1044,6 +1044,41 @@ object EventQueries {
         .select(col("user_id"), col("fact_id"),
           unix_micros(col("ts")).as("ts_us"), col("version"))
         .orderBy("user_id", "fact_id")
+    },
+
+    // Dwell-time magnitude profile: per event type, the distribution
+    // of time-to-next-event (per user) in power-of-2 µs bands — ONE
+    // user-partitioned lead window, then q187's integer-exact
+    // length(bin(x)) banding (no float log2 at band boundaries).
+    // Raw-ts ordering → µs-truncating CTE per the ground rule.
+    QueryDef.sql("q190_dwell_histogram",
+      """WITH e AS (
+        |  SELECT user_id, event_type, make_timestamp(epoch_us(ts)) AS ts,
+        |    event_id FROM events),
+        |nx AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t_us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_us
+        |  FROM e),
+        |d AS (
+        |  SELECT event_type, next_us - t_us AS dwell_us
+        |  FROM nx WHERE next_us IS NOT NULL)
+        |SELECT event_type, CAST(length(bin(dwell_us)) AS BIGINT) AS band,
+        |  count(*) AS n, min(dwell_us) AS min_us, max(dwell_us) AS max_us
+        |FROM d GROUP BY 1, 2 ORDER BY event_type, band""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("t_us", unix_micros(col("ts")))
+        .withColumn("next_us", lead(col("t_us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .select(col("event_type"), (col("next_us") - col("t_us")).as("dwell_us"))
+        .groupBy(col("event_type"),
+          length(bin(col("dwell_us"))).cast("long").as("band"))
+        .agg(count(lit(1)).as("n"), min("dwell_us").as("min_us"),
+          max("dwell_us").as("max_us"))
+        .orderBy("event_type", "band")
     }
   )
 }

@@ -1749,6 +1749,40 @@ object RelationalQueries {
           col("j") === col("j2"))
         .select("j", "bound_r", "bound_n")
         .orderBy("j")
+    },
+
+    // Order fill-rate audit — the reconciliation classic "did every
+    // line ship on time": per order, lines shipped within 30 days of
+    // order date vs total lines → FULL / PARTIAL / NONE classes,
+    // counted per priority. One join + two chained aggs, all-integer
+    // CASE arithmetic; the class label is determined by exact counts.
+    QueryDef.sql("q191_fill_rate",
+      """WITH l AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_fast
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT o_orderpriority AS grp,
+        |  CASE WHEN n_fast = n_lines THEN 'FULL'
+        |       WHEN n_fast = 0 THEN 'NONE' ELSE 'PARTIAL' END AS fill,
+        |  count(*) AS n_orders, CAST(sum(n_lines) AS BIGINT) AS n_lines
+        |FROM l GROUP BY 1, 2 ORDER BY grp, fill""".stripMargin) { (s, d) =>
+      val perOrder = orders(s, d)
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(datediff(to_date(col("l_shipdate")),
+            to_date(col("o_orderdate"))) <= 30, 1L).otherwise(0L)).as("n_fast"))
+      perOrder
+        .groupBy(col("o_orderpriority").as("grp"),
+          when(col("n_fast") === col("n_lines"), "FULL")
+            .when(col("n_fast") === 0L, "NONE")
+            .otherwise("PARTIAL").as("fill"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("n_lines")).as("n_lines"))
+        .orderBy("grp", "fill")
     }
   )
 }
