@@ -2084,6 +2084,90 @@ object PipelineQueries {
       graft.operators.SparseSim.cosineComponents(
           Tables.documents(s, d), "doc_id", "text", maxDf = 16L, minDot = 2L)
         .orderBy("id_a", "id_b")
+    },
+
+    // Component-SIZE histogram over q112's shared star-contraction
+    // component map (Aux.shareBuilt — the map builds once per JVM and
+    // q112/q119/q192 all read it): how many components of each size —
+    // the dedup-cluster shape report. Two tiny chained aggs on top of
+    // the shared frame; the oracle re-derives components with the
+    // recursive-CTE machinery and histograms them independently.
+    QueryDef.sql("q192_component_sizes",
+      """WITH RECURSIVE pair AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE l_quantity < 2 AND l_discount < 0.03),
+        |edges AS (SELECT c*2 AS src, s*2+1 AS dst FROM pair
+        |  UNION ALL SELECT s*2+1 AS src, c*2 AS dst FROM pair),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach AS (
+        |  SELECT node, node AS label FROM nodes
+        |  UNION
+        |  SELECT r.node, e.dst AS label FROM reach r JOIN edges e ON e.src = r.label),
+        |comp AS (SELECT node, min(label) AS comp FROM reach GROUP BY node),
+        |sz AS (SELECT comp, count(*) AS size FROM comp GROUP BY 1)
+        |SELECT size, count(*) AS n_components
+        |FROM sz GROUP BY 1 ORDER BY size""".stripMargin) { (s, d) =>
+      tradeComponents(s, d)
+        .groupBy("comp").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_components"))
+        .orderBy("size")
+    },
+
+    // Capacity-breach streaks: per nation, consecutive-day runs of
+    // daily revenue ABOVE the nation's own mean — above-mean test by
+    // integer cross-multiplication (cents·n_days > total, no float
+    // mean), runs via Streaks' gaps-and-islands. The daily frame is
+    // persisted (it feeds both the totals agg and the breach filter —
+    // the AQE shared-stage rule).
+    QueryDef.sql("q193_breach_streaks",
+      """WITH cn AS (
+        |  SELECT c_custkey, n_name
+        |  FROM customer JOIN nation ON n_nationkey = c_nationkey),
+        |daily AS (
+        |  SELECT n_name,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders JOIN cn ON c_custkey = o_custkey
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(cents) AS BIGINT) AS total
+        |  FROM daily GROUP BY 1),
+        |br AS (
+        |  SELECT d.n_name, CAST(day AS BIGINT) AS day
+        |  FROM daily d JOIN tot t ON t.n_name = d.n_name
+        |  WHERE d.cents * t.nd > t.total),
+        |i AS (
+        |  SELECT n_name, day,
+        |    day - row_number() OVER (PARTITION BY n_name ORDER BY day) AS island
+        |  FROM br),
+        |runs AS (
+        |  SELECT n_name, island, count(*) AS len, max(day) AS end_day
+        |  FROM i GROUP BY 1, 2)
+        |SELECT n_name, CAST(sum(len) AS BIGINT) AS n_days, count(*) AS n_streaks,
+        |  CAST(max(len) AS BIGINT) AS max_streak, max(end_day) AS last_day
+        |FROM runs GROUP BY 1 ORDER BY n_name""".stripMargin) { (s, d) =>
+      val cn = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val daily = Tables.orders(s, d)
+        .join(broadcast(cn), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("n_name"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+            .as("day"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+        .persist() // feeds totals AND the breach filter
+      val tot = daily.groupBy("n_name")
+        .agg(count(lit(1)).as("nd"), sum("cents").as("total"))
+      val breach = daily.join(broadcast(tot), "n_name")
+        .filter(col("cents") * col("nd") > col("total"))
+        .select(col("n_name"), col("day"))
+      graft.operators.Streaks.dailyStreaks(breach, "n_name", "day")
+        .orderBy("n_name")
     }
   )
 
