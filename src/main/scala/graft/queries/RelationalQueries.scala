@@ -1783,6 +1783,99 @@ object RelationalQueries {
             .otherwise("PARTIAL").as("fill"))
         .agg(count(lit(1)).as("n_orders"), sum(col("n_lines")).as("n_lines"))
         .orderBy("grp", "fill")
+    },
+
+    // Median of medians (Robust.groupMedian twice): per region, the
+    // discrete lower median of its nations' customer-revenue medians —
+    // the two-level robust location summary that a single global
+    // median can't give (and floats can't hash). Both levels are the
+    // same rank-window operator; level-2's input is 25 rows.
+    QueryDef.sql("q194_median_of_medians",
+      """WITH cust AS (
+        |  SELECT r_name, n_name, c_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  GROUP BY 1, 2, 3),
+        |l1 AS (
+        |  SELECT r_name, n_name, cents AS med
+        |  FROM (SELECT r_name, n_name, cents,
+        |          row_number() OVER (PARTITION BY n_name
+        |            ORDER BY cents, c_custkey) AS rn,
+        |          count(*) OVER (PARTITION BY n_name) AS n
+        |        FROM cust) x
+        |  WHERE rn = (n + 1) // 2),
+        |l2 AS (
+        |  SELECT r_name, med,
+        |    row_number() OVER (PARTITION BY r_name ORDER BY med, n_name) AS rn,
+        |    count(*) OVER (PARTITION BY r_name) AS n
+        |  FROM l1)
+        |SELECT r_name, CAST(n AS BIGINT) AS n_nations, med AS med_of_med
+        |FROM l2 WHERE rn = (n + 1) // 2 ORDER BY r_name""".stripMargin) { (s, d) =>
+      val cust = orders(s, d)
+        .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(region(s, d)), col("r_regionkey") === col("n_regionkey"))
+        .groupBy("r_name", "n_name", "c_custkey")
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+      // level 1 keyed by a composite so the region survives the operator
+      val l1 = graft.operators.Robust.groupMedian(
+          cust.withColumn("_g", concat_ws("|", col("r_name"), col("n_name"))),
+          "_g", "cents", "c_custkey")
+        .select(split(col("_g"), "\\|").getItem(0).as("r_name"),
+          split(col("_g"), "\\|").getItem(1).as("n_name"), col("med"))
+      graft.operators.Robust.groupMedian(l1, "r_name", "med", "n_name")
+        .select(col("r_name"), col("n").as("n_nations"),
+          col("med").as("med_of_med"))
+        .orderBy("r_name")
+    },
+
+    // Ties at the cut — the rank() vs row_number() semantic the naive
+    // top-k silently drops: per nation, the 5th-place revenue boundary
+    // and how many customers RANK within 5 (ties can push it past 5).
+    // Both windows (rank, row_number) ride one nation exchange; the
+    // ranked frame is persisted (boundary + count consumers).
+    QueryDef.sql("q195_topk_ties",
+      """WITH cust AS (
+        |  SELECT n_name, c_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT n_name, cents,
+        |    rank() OVER (PARTITION BY n_name ORDER BY cents DESC) AS rk,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY cents DESC, c_custkey) AS rn
+        |  FROM cust),
+        |b AS (SELECT n_name, cents AS boundary FROM r WHERE rn = 5)
+        |SELECT r.n_name, b.boundary,
+        |  CAST(sum(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rank_leq_k
+        |FROM r JOIN b ON b.n_name = r.n_name
+        |GROUP BY 1, 2 ORDER BY r.n_name""".stripMargin) { (s, d) =>
+      val byRev = Window.partitionBy("n_name").orderBy(col("cents").desc)
+      val byRevId = Window.partitionBy("n_name")
+        .orderBy(col("cents").desc, col("c_custkey"))
+      val r = orders(s, d)
+        .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+        .groupBy("n_name", "c_custkey")
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+        .withColumn("rk", rank().over(byRev))
+        .withColumn("rn", row_number().over(byRevId))
+        .persist() // boundary + count consumers share the ranked pass
+      val b = r.filter(col("rn") === 5)
+        .select(col("n_name"), col("cents").as("boundary"))
+      r.join(broadcast(b), "n_name")
+        .groupBy("n_name", "boundary")
+        .agg(sum(when(col("rk") <= 5, 1L).otherwise(0L)).as("n_rank_leq_k"))
+        .orderBy("n_name")
     }
   )
 }
