@@ -1079,6 +1079,40 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), min("dwell_us").as("min_us"),
           max("dwell_us").as("max_us"))
         .orderBy("event_type", "band")
+    },
+
+    // Cumulative-distinct growth curve: per event type and day, new
+    // users (first-seen that day) and the running total of distinct
+    // users so far — computed the scalable way: min-day per (type,
+    // user) collapses the stream FIRST (one agg), then a per-type
+    // running sum over day counts; never an expanding-distinct window
+    // over raw events, and the running window is type-partitioned (no
+    // global window). All-integer; day = floor-of-floor.
+    QueryDef.sql("q196_growth_curve",
+      """WITH fs AS (
+        |  SELECT event_type, user_id,
+        |    min(CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT)) AS day
+        |  FROM events GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT event_type, day, count(*) AS new_users
+        |  FROM fs GROUP BY 1, 2)
+        |SELECT event_type, day, new_users,
+        |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM nd ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long")).as("day"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy("event_type", "day")
     }
   )
 }

@@ -1876,6 +1876,42 @@ object RelationalQueries {
         .groupBy("n_name", "boundary")
         .agg(sum(when(col("rk") <= 5, 1L).otherwise(0L)).as("n_rank_leq_k"))
         .orderBy("n_name")
+    },
+
+    // Churn accounting: per supplier and calendar-adjacent month pair,
+    // how many suppliers were RETAINED / CHURNED / NEW — the set
+    // algebra of activity across months, as one full-outer self-join
+    // of the distinct (supplier, month) frame on (supplier, m = m'+1)
+    // (the q178 calendar-adjacency machinery applied to membership
+    // instead of bucket counts). All-integer.
+    QueryDef.sql("q197_churn_accounting",
+      """WITH act AS (
+        |  SELECT DISTINCT l_suppkey AS s,
+        |    (year(l_shipdate) * 12 + month(l_shipdate) - 1) AS m
+        |  FROM lineitem),
+        |j AS (
+        |  SELECT coalesce(cur.m, prev.m + 1) AS m,
+        |    CASE WHEN cur.s IS NOT NULL AND prev.s IS NOT NULL THEN 'RETAINED'
+        |         WHEN cur.s IS NOT NULL THEN 'NEW' ELSE 'CHURNED' END AS status
+        |  FROM act cur FULL OUTER JOIN act prev
+        |    ON cur.s = prev.s AND cur.m = prev.m + 1)
+        |SELECT m, status, count(*) AS n
+        |FROM j GROUP BY 1, 2 ORDER BY m, status""".stripMargin) { (s, d) =>
+      val act = lineitem(s, d)
+        .select(col("l_suppkey").as("s"),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+            .cast("long").as("m")) // DuckDB year() is BIGINT — match it
+        .distinct()
+        .persist() // both sides of the adjacency self-join
+      val cur = act.select(col("s"), col("m"))
+      val prev = act.select(col("s").as("ps"), (col("m") + 1).as("pm"))
+      cur.join(prev, col("s") === col("ps") && col("m") === col("pm"),
+          "full_outer")
+        .select(coalesce(col("m"), col("pm")).as("m"),
+          when(col("s").isNotNull && col("ps").isNotNull, "RETAINED")
+            .when(col("s").isNotNull, "NEW").otherwise("CHURNED").as("status"))
+        .groupBy("m", "status").agg(count(lit(1)).as("n"))
+        .orderBy("m", "status")
     }
   )
 }

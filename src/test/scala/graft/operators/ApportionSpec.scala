@@ -58,6 +58,16 @@ class ApportionSpec extends AnyFunSuite {
     assert(got.map { case (k, v) => k -> v._2 } === expect)
   }
 
+  test("largestRemainder: seats·weight beyond Long range survives (decimal carry)") {
+    // 9e15-scale weights × 1,000,000 seats ≈ 9e21 ≫ Long.Max — the long
+    // form would throw ARITHMETIC_OVERFLOW under ANSI; the decimal carry
+    // must still apportion exactly (ratios 2:1:1 → 500k/250k/250k)
+    val w = 9_000_000_000_000_000L
+    val got = run(Seq(("a", "x", 2 * w), ("a", "y", w), ("a", "z", w)), 1000000)
+    assert(got.map { case (k, v) => k -> v._2 } ===
+      Map(("a", "x") -> 500000L, ("a", "y") -> 250000L, ("a", "z") -> 250000L))
+  }
+
   test("largestRemainder: remainder ties break by member id") {
     // equal weights, 5 seats over 4 members: floors 1 each, 1 spare →
     // all remainders equal → lexicographically first id gets it
