@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.operators.{AsofJoin, Bars, Bfs, BloomJoin, Bpe, ChangeCapture,
   Cooccur, CountMin, Curation, Dedup, Drift, Fifo, Funnel, Fuzzy, GraphStats,
   Hierarchy, Intervals, IvfIndex, Kcore, Lpa, PageRank, PrefixSum, RangeJoin,
-  RankStats, Retrieval, Scd, SetSimJoin, Skyline, SpanDedup, Sssp, Streaks,
-  TableSync, TopKAgg, Triangles, ZOrder}
+  QDigestAgg, RankStats, Retrieval, Scd, SetSimJoin, Skyline, SpanDedup, Sssp,
+  Streaks, TableSync, TopKAgg, Triangles, ZOrder}
 
 /** Scale-stress harness for the dedup/ANN families: measures how runtime
   * grows with corpus size, so the "candidate cost is Σ df²" / "probe
@@ -597,6 +597,26 @@ object BenchScale {
           e.filter(col("event_type") === "purchase")
             .select(col("user_id"), col("ts"), col("event_id")),
           dims, "user_id", "ts", "event_id", "valid_from", "value").count()
+      },
+      "qdigest" -> { k =>
+        // k× rows into per-type q-digest buffers: map-side partial
+        // aggregation carries ≤3·64 nodes per buffer, the shuffle's
+        // key space stays |event_type| — linear scan, constant state
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        e.groupBy("event_type")
+          .agg(QDigestAgg.qdigest((col("event_id") % 256).cast("long"),
+            k = 64, levels = 8, probesPerMille = Seq(500, 950)).as("sk"))
+          .count()
+      },
+      "countmin_agg" -> { k =>
+        // the aggregate-buffer CMS twin of the countmin family: one
+        // d·w grid per event_type buffer, cell-wise merge — shuffle
+        // payload constant while the scan grows k×
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        e.groupBy("event_type")
+          .agg(graft.operators.CountMinAgg.countmin(col("user_id"), w = 256,
+            probes = Seq(1L, 2L, 3L, 5L)).as("sk"))
+          .count()
       },
     )
 

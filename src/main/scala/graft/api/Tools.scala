@@ -7,7 +7,7 @@ import graft.federate.{Federation, Mediation, QuotaPlanner}
 import graft.filter.OptimadeCompiler
 import graft.functions.{DomainFunctions, Formulas, SpaceGroups}
 import graft.query.Parametric
-import graft.result.{CifWriter, FetchResult, Manifest}
+import graft.result.{CifWriter, FetchResult, Manifest, MofSaver}
 import graft.sql.SqlGuard
 
 /** The reference's seven tool entry points, composed end-to-end: query →
@@ -177,11 +177,41 @@ object Tools {
       finish(q.run(mofs), outputDir, s"mofs database=$database name=$name")
     } catch { case e: Exception => failure(e.getMessage) }
 
-  /** SQL pass-through tool (guard + LIMIT injection, §3.1). */
+  /** SQL pass-through tool (guard + LIMIT injection, §3.1).
+    *
+    * When `baseDataDir` is given, files are saved via the reference's
+    * COPY path (S6 copy variant, [[graft.result.MofSaver]] —
+    * mofdbsql_database/Mofdb_Server/utils.py:135-265): `cif_path` rows
+    * copy the original CIF + pretty sibling JSON out of the corpus,
+    * path-less rows fall back to query-result JSON with the reference's
+    * warning text. Without it, the reconstruct/JSON writer is used as
+    * before. */
   def fetchMofsSql(spark: SparkSession, sql: String, nResults: Int = 10,
-                   outputDir: Option[String] = None): ToolOutput =
-    try finish(SqlGuard.fetchSql(spark, sql, nResults), outputDir, sql)
-    catch {
+                   outputDir: Option[String] = None,
+                   baseDataDir: Option[String] = None,
+                   outputFormats: Seq[String] = Seq("cif", "json")): ToolOutput =
+    try {
+      val df = SqlGuard.fetchSql(spark, sql, nResults)
+      (outputDir, baseDataDir) match {
+        case (Some(d), Some(base)) =>
+          val truncated = df.limit(FetchResult.MaxReturnedStructs)
+          val rows = truncated.collect().toSeq
+          val cleaned = rows.map { r =>
+            r.schema.fieldNames.map(f => f -> r.getAs[Any](f)).toMap
+          }
+          val p = Paths.get(d)
+          Files.createDirectories(p)
+          val saved = MofSaver.saveMofs(rows, d, base, outputFormats)
+          Manifest.write(p, sql, Seq.empty, Seq.empty, saved.files,
+            saved.warnings.map(("mofdbsql", _)))
+          ToolOutput(
+            FetchResult(d, rows.length.toLong, cleaned, 0,
+              if (saved.warnings.isEmpty) "success"
+              else s"success with ${saved.warnings.size} warning(s)"),
+            Seq.empty, saved.files)
+        case _ => finish(df, outputDir, sql)
+      }
+    } catch {
       case e: SqlGuard.GuardError => failure(s"SQL security check failed: ${e.message}")
       case e: Exception => failure(e.getMessage)
     }

@@ -39,6 +39,18 @@ object CountMin {
 
   private val M32 = 4294967295L
 
+  /** JVM twin of [[bucket]] — same masked-xorshift chain evaluated
+    * driver/executor-side for [[CountMinAgg]]'s aggregation buffer.
+    * CountMinSpec asserts the two forms agree bit-for-bit, which is what
+    * keeps the aggregate's sketch rebuildable by a SQL oracle (q199). */
+  def bucketJvm(key: Long, s: Long, w: Int): Int = {
+    val x0 = (key & M32) ^ s
+    val x1 = x0 ^ ((x0 << 13) & M32)
+    val x2 = x1 ^ (x1 >>> 17)
+    val x3 = x2 ^ ((x2 << 5) & M32)
+    (x3 & (w - 1).toLong).toInt
+  }
+
   /** Bucket of a non-negative long key for seed row `s`, width `w`
     * (power of two). */
   def bucket(key: Column, s: Long, w: Int): Column = {

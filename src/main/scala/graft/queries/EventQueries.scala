@@ -975,7 +975,8 @@ object EventQueries {
         |  SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_ms,
         |    user_id
         |  FROM events),
-        |keys AS (SELECT DISTINCT window_start_ms, user_id AS k FROM e),
+        |keys AS (SELECT DISTINCT window_start_ms, user_id AS k FROM e
+        |         WHERE user_id IS NOT NULL),
         |h0 AS (SELECT window_start_ms, k, xor(k & 4294967295, 2654435769) AS x FROM keys),
         |h1 AS (SELECT window_start_ms, k, xor(x, (x << 13) & 4294967295) AS x FROM h0),
         |h2 AS (SELECT window_start_ms, k, xor(x, x >> 17) AS x FROM h1),
@@ -1113,6 +1114,57 @@ object EventQueries {
         .agg(count(lit(1)).as("new_users"))
         .withColumn("cum_users", sum(col("new_users")).over(w))
         .orderBy("event_type", "day")
+    },
+
+    // Per-window CountMin point estimates (operators/CountMinAgg via
+    // streaming/SketchStreams.windowedCountMin): for four watched
+    // users, the CMS frequency estimate per 5-min window — the
+    // aggregate-buffer form of q109's plan-level sketch, which is what
+    // runs with BOUNDED state inside a streaming window (one d·w-long
+    // grid per open window vs one state row per distinct key). Merge is
+    // cell-wise sum — NO truncation, so any partitioning/micro-batch
+    // slicing yields identical cells. Same masked-xorshift chain as
+    // q109 ⇒ the oracle rebuilds the per-window grid in SQL and
+    // hash-matches estimates exactly. Batch frame of the streaming code
+    // (CountMinAggSpec proves batch ≡ streaming ≡ CountMin.sketch).
+    QueryDef.sql("q199_window_countmin",
+      """WITH seeds(r, s) AS (VALUES (0, 2654435769), (1, 2246822507),
+        |                            (2, 3266489917), (3, 668265263)),
+        |e AS (
+        |  SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS w,
+        |    user_id AS k
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h0 AS (SELECT w, r, xor(k & 4294967295, s) AS x FROM e CROSS JOIN seeds),
+        |h1 AS (SELECT w, r, xor(x, (x << 13) & 4294967295) AS x FROM h0),
+        |h2 AS (SELECT w, r, xor(x, x >> 17) AS x FROM h1),
+        |h3 AS (SELECT w, r, xor(x, (x << 5) & 4294967295) AS x FROM h2),
+        |sketch AS (SELECT w, r, x & 255 AS bucket, count(*) AS cnt
+        |           FROM h3 GROUP BY 1, 2, 3),
+        |n AS (SELECT w, count(*) AS n FROM e GROUP BY 1),
+        |probes(p, k) AS (VALUES (0, 1), (1, 2), (2, 3), (3, 5)),
+        |p0 AS (SELECT p, r, xor(k & 4294967295, s) AS x FROM probes CROSS JOIN seeds),
+        |p1 AS (SELECT p, r, xor(x, (x << 13) & 4294967295) AS x FROM p0),
+        |p2 AS (SELECT p, r, xor(x, x >> 17) AS x FROM p1),
+        |p3 AS (SELECT p, r, xor(x, (x << 5) & 4294967295) AS x FROM p2),
+        |pb AS (SELECT p, r, x & 255 AS bucket FROM p3),
+        |est AS (
+        |  SELECT n.w, pb.p, min(coalesce(s.cnt, 0)) AS est
+        |  FROM n CROSS JOIN pb
+        |  LEFT JOIN sketch s ON s.w = n.w AND s.r = pb.r AND s.bucket = pb.bucket
+        |  GROUP BY 1, 2)
+        |SELECT est.w AS window_start_ms, n.n AS n,
+        |  CAST(est.p AS BIGINT) AS p, est.est AS est
+        |FROM est JOIN n ON n.w = est.w
+        |ORDER BY window_start_ms, p""".stripMargin) { (s, d) =>
+      graft.streaming.SketchStreams.windowedCountMin(
+          Tables.events(s, d).filter(col("user_id").isNotNull),
+          "ts", "user_id", w = 256, probes = Seq(1L, 2L, 3L, 5L),
+          windowDur = "5 minutes")
+        .select(col("window_start_ms"), col("n"),
+          posexplode(col("est")).as(Seq("p", "est")))
+        .select(col("window_start_ms"), col("n"), col("p").cast("long").as("p"),
+          col("est"))
+        .orderBy("window_start_ms", "p")
     }
   )
 }

@@ -85,6 +85,94 @@ object FederationQueries {
         .filter(col("n_regionkey") >= 2)
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
+    },
+
+    // T4 + A7 oracle-backed: fanOut's per-source ordered limit
+    // (max_results_per_provider) followed by the stats() observation the
+    // quota planner consumes. Five segment "providers", a global filter
+    // that leaves SOME segments under the limit — so the oracle's
+    // per-provider count is genuinely least(matching, limit), proving
+    // both the T4 cap and the A7 counting. stats() collects
+    // driver-side by design (a few rows per source); the query surfaces
+    // that Seq relationally for the hash gate.
+    QueryDef.sql("q200_federation_stats",
+      """WITH f AS (
+        |  SELECT c_mktsegment AS provider, c_custkey
+        |  FROM customer WHERE c_acctbal < -800),
+        |r AS (
+        |  SELECT provider,
+        |    row_number() OVER (PARTITION BY provider ORDER BY c_custkey) AS rn
+        |  FROM f)
+        |SELECT provider, CAST(count(*) AS BIGINT) AS n
+        |FROM r WHERE rn <= 15 GROUP BY 1 ORDER BY provider""".stripMargin) { (s, d) =>
+      val sources = segments.map(seg => Source(seg, "customer", () =>
+        Tables.customer(s, d).filter(col("c_mktsegment") === seg)))
+      val fo = graft.federate.Federation.fanOut(s, sources,
+        filter = Some(col("c_acctbal") < -800),
+        perSourceLimit = Some(15), orderCol = Some("c_custkey"))
+      val st = graft.federate.Federation.stats(fo.data)
+      import s.implicits._
+      st.flatMap { case (p, us) => us.map { case (_, n) => (p, n.toLong) } }
+        .toDF("provider", "n")
+        .orderBy("provider")
+    },
+
+    // D2 oracle-backed: Mediation.orderedDistinct — the reference's
+    // list(dict.fromkeys(...)) first-occurrence distinct
+    // (Optimade_Server/server.py:164) — applied to the priority labels
+    // of the first 100 orders by key. Driver-side by contract (the
+    // reference runs it on ≤30-element lists); the input is a
+    // deterministic ordered top-k (TakeOrderedAndProject), never a
+    // full-table collect. The oracle re-derives first-occurrence order
+    // via min(position) per value.
+    QueryDef.sql("q201_ordered_distinct",
+      """WITH s AS (
+        |  SELECT o_orderpriority AS v,
+        |    row_number() OVER (ORDER BY o_orderkey) AS pos
+        |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100)),
+        |f AS (SELECT v, min(pos) AS first_pos FROM s GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY first_pos) AS BIGINT) AS rank, v
+        |FROM f ORDER BY rank""".stripMargin) { (s, d) =>
+      val seq = Tables.orders(s, d)
+        .orderBy("o_orderkey").limit(100)
+        .select("o_orderpriority")
+        .collect().map(_.getString(0)).toSeq
+      val distinct = graft.federate.Mediation.orderedDistinct(seq)
+      import s.implicits._
+      distinct.zipWithIndex.map { case (v, i) => (i + 1L, v) }
+        .toDF("rank", "v")
+        .orderBy("rank")
+    },
+
+    // S7 oracle-backed: the JSON structure sink's BYTES. The engine
+    // writes one JSON file per nation row (CifWriter.writeStructures
+    // asCif=false — the reference's per-structure save), reads each
+    // file back, and returns its sha256; the oracle constructs the
+    // byte-identical JSON text in SQL and hashes it. A content gate on
+    // the writer surface itself, not just on the rows that fed it.
+    QueryDef.sql("q202_json_sink_checksum",
+      """SELECT n_nationkey AS id,
+        |  sha256('{"id": ' || n_nationkey || ', "name": "' || n_name ||
+        |         '", "region": ' || n_regionkey || '}') AS sha
+        |FROM nation ORDER BY id""".stripMargin) { (s, d) =>
+      val rows = Tables.nation(s, d)
+        .select(col("n_nationkey").as("id"), col("n_name").as("name"),
+          col("n_regionkey").as("region"))
+        .orderBy("id")
+      val dir = java.nio.file.Files.createTempDirectory("q202_sink").toString
+      val (files, warns) = graft.result.CifWriter.writeStructures(
+        rows, dir, idCol = "id", asCif = false)
+      require(warns.isEmpty, s"sink warnings: $warns")
+      import s.implicits._
+      files.map { f =>
+        val p = java.nio.file.Paths.get(f)
+        val id = p.getFileName.toString.stripSuffix(".json").toInt
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(java.nio.file.Files.readAllBytes(p))
+          .map("%02x".format(_)).mkString
+        (id, sha)
+      }.toDF("id", "sha")
+        .orderBy("id")
     }
   )
 }

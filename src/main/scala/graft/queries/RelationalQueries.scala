@@ -900,7 +900,7 @@ object RelationalQueries {
         |  FROM j)
         |SELECT n_name, count(*) AS n_cust,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
-        |  CAST(sum(CAST(rn * cents AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |  CAST(sum(CAST(rn * cents AS DECIMAL(38,0))) AS VARCHAR)
         |    AS sum_rank_cents
         |FROM r GROUP BY 1 ORDER BY n_name""".stripMargin) { (s, d) =>
       val perCust = orders(s, d)
@@ -916,11 +916,14 @@ object RelationalQueries {
         .withColumn("rn", row_number().over(
           Window.partitionBy("n_name").orderBy("cents", "c_custkey"))
           .cast("long"))
+      // decimal(38,0) stays internal; the OUTPUT is its digit string —
+      // external harnesses coerce decimal columns asymmetrically (the
+      // r06 q155/q184/q185 class), strings hash bit-identically.
       ranked.groupBy("n_name")
         .agg(count(lit(1)).as("n_cust"),
           sum(col("cents")).as("sum_cents"),
           sum((col("rn") * col("cents")).cast("decimal(38,0)"))
-            .as("sum_rank_cents"))
+            .cast("string").as("sum_rank_cents"))
         .orderBy("n_name")
     },
 
@@ -1428,7 +1431,8 @@ object RelationalQueries {
         |  FROM rec LEFT JOIN con USING (l_partkey))
         |SELECT l_partkey, yr,
         |  CAST(sum(greatest(0, least(qty, cumq - c))) AS BIGINT) AS remaining,
-        |  CAST(sum(CASE WHEN cumq - c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(sum(CASE WHEN least(qty, cumq - c) > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_open,
         |  count(*) AS n_receipts
         |FROM cum GROUP BY 1, 2 ORDER BY l_partkey, yr""".stripMargin) { (s, d) =>
       val rec = lineitem(s, d)
@@ -1588,14 +1592,14 @@ object RelationalQueries {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
         |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
         |    AS BIGINT) AS sy,
-        |  sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
-        |    AS DECIMAL(38,0))) AS sxx,
-        |  sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  CAST(sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |    AS DECIMAL(38,0))) AS VARCHAR) AS sxx,
+        |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
         |    * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |    AS DECIMAL(38,0))) AS syy,
-        |  sum(CAST(CAST(l_quantity AS BIGINT)
+        |    AS DECIMAL(38,0))) AS VARCHAR) AS syy,
+        |  CAST(sum(CAST(CAST(l_quantity AS BIGINT)
         |    * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |    AS DECIMAL(38,0))) AS sxy
+        |    AS DECIMAL(38,0))) AS VARCHAR) AS sxy
         |FROM lineitem GROUP BY 1 ORDER BY grp""".stripMargin) { (s, d) =>
       val x = col("l_quantity").cast("long")
       val y = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
@@ -1604,9 +1608,13 @@ object RelationalQueries {
         .groupBy("grp")
         .agg(count(lit(1)).as("n"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
-          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+          // wide accumulators OUTPUT as digit strings (driver-safe; see q155)
+          sum((col("x") * col("x")).cast("decimal(38,0)"))
+            .cast("string").as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)"))
+            .cast("string").as("syy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)"))
+            .cast("string").as("sxy"))
         .orderBy("grp")
     },
 
@@ -1626,8 +1634,8 @@ object RelationalQueries {
         |  GROUP BY 1, 2)
         |SELECT n_name, count(*) AS n_suppliers,
         |  CAST(sum(cents) AS BIGINT) AS total_cents,
-        |  sum(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
-        |    AS sq_cents
+        |  CAST(sum(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+        |    AS VARCHAR) AS sq_cents
         |FROM sup GROUP BY 1 ORDER BY n_name""".stripMargin) { (s, d) =>
       val sup = lineitem(s, d)
         .join(supplier(s, d), col("s_suppkey") === col("l_suppkey"))
@@ -1641,8 +1649,10 @@ object RelationalQueries {
       sup.groupBy("n_name")
         .agg(count(lit(1)).as("n_suppliers"),
           sum(col("cents")).as("total_cents"),
+          // decimal accumulator OUTPUT as digit string (driver-safe; see q155)
           sum(col("cents").cast("decimal(19,0)") *
-            col("cents").cast("decimal(19,0)")).as("sq_cents"))
+            col("cents").cast("decimal(19,0)"))
+            .cast("string").as("sq_cents"))
         .orderBy("n_name")
     },
 
@@ -1912,6 +1922,46 @@ object RelationalQueries {
             .when(col("s").isNotNull, "NEW").otherwise("CHURNED").as("status"))
         .groupBy("m", "status").agg(count(lit(1)).as("n"))
         .orderBy("m", "status")
+    },
+
+    // Mergeable quantile sketch (operators/QDigestAgg): per return
+    // flag, the p25/p50/p75/p95 of l_quantity from ONE q-digest
+    // aggregation buffer — the summary that merges across partitions /
+    // micro-batches / days without re-reading data (the missing member
+    // of the KMV/CountMin/Misra–Gries/top-k family). Exact regime
+    // here: l_quantity has ≤50 distinct values < 3k nodes, so the
+    // buffer is the exact histogram, merge is map-sum
+    // (order-independent), and the oracle recomputes the identical
+    // integer ranks — rank p‰ = (n·p + 999) div 1000, no float ceil.
+    QueryDef.sql("q198_quantile_sketch",
+      """WITH vals AS (
+        |  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM vals GROUP BY 1),
+        |cum AS (
+        |  SELECT grp, v,
+        |    CAST(sum(c) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM vals)
+        |SELECT cum.grp AS grp, n,
+        |  CAST(min(CASE WHEN cum >= (n * 250 + 999) // 1000 THEN v END) AS BIGINT) AS q25,
+        |  CAST(min(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN v END) AS BIGINT) AS q50,
+        |  CAST(min(CASE WHEN cum >= (n * 750 + 999) // 1000 THEN v END) AS BIGINT) AS q75,
+        |  CAST(min(CASE WHEN cum >= (n * 950 + 999) // 1000 THEN v END) AS BIGINT) AS q95
+        |FROM cum JOIN tot ON tot.grp = cum.grp
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag").as("grp"))
+        .agg(graft.operators.QDigestAgg.qdigest(
+          col("l_quantity").cast("long"), k = 64, levels = 8,
+          probesPerMille = Seq(250, 500, 750, 950)).as("sk"))
+        .select(col("grp"), col("sk.n").as("n"),
+          element_at(col("sk.qs"), 1).as("q25"),
+          element_at(col("sk.qs"), 2).as("q50"),
+          element_at(col("sk.qs"), 3).as("q75"),
+          element_at(col("sk.qs"), 4).as("q95"))
+        .orderBy("grp")
     }
   )
 }

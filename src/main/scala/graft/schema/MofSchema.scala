@@ -93,7 +93,14 @@ object MofSchema {
     val (isotherms, isothermData, isoSpeciesRaw) = shredCurves(nested, "isotherms")
     val (heats, heatData, heatSpeciesRaw) = shredCurves(nested, "heats")
 
-    // adsorbates dim: dense ids in name order (deterministic)
+    // adsorbates dim: dense ids in name order (deterministic).
+    // DELIBERATE global window, bounded by the domain: the input is the
+    // DISTINCT adsorbate-species vocabulary (gas names — dozens of rows at
+    // ANY corpus scale; reference mofdb carries ~10 species), aggregated
+    // BEFORE the window, so the single partition holds the dim, never the
+    // fact rows. Ingestion-only; audited by PlanAuditSpec ("MofSchema.shred
+    // ingestion plans"). Fact-scale orderings elsewhere use partitioned
+    // windows or the PrefixSum block decomposition.
     import org.apache.spark.sql.expressions.Window
     val adsorbates = isoSpeciesRaw.select("adsorbate_name")
       .union(heatSpeciesRaw.select("adsorbate_name"))

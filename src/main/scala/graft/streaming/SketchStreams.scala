@@ -73,4 +73,56 @@ object SketchStreams {
                 watermark: String = "10 minutes"): DataFrame =
     windowedKmv(events.withWatermark(tsCol, watermark),
       tsCol, keyCol, k, windowDur)
+
+  /** Per-event-time-window CountMin point estimates
+    * ([[graft.operators.CountMinAgg]]): "how often did each watched key
+    * occur per window" with one d·w-counter buffer per open window —
+    * the streaming twin of q109's batch sketch. Cell-wise-sum merge is
+    * exactly order-independent (no truncation), so micro-batch slicing
+    * can never change a cell (CountMinAggSpec proves batch ≡ streaming
+    * ≡ the plan-level [[graft.operators.CountMin.sketch]]); q199 gates
+    * the batch frame against a DuckDB oracle that rebuilds the grid. */
+  def windowedCountMin(events: DataFrame, tsCol: String, keyCol: String,
+                       w: Int, probes: Seq[Long], windowDur: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), windowDur).as("win"))
+      .agg(graft.operators.CountMinAgg.countmin(col(keyCol).cast("long"), w, probes)
+        .as("sk"))
+      .select(unix_millis(col("win.start")).as("window_start_ms"),
+        col("sk.n").as("n"), col("sk.est").as("est"))
+
+  /** Streaming entry for [[windowedCountMin]]: watermark bounds the
+    * open-window set, hence the total state (d·w longs per window). */
+  def countMinStream(events: DataFrame, tsCol: String, keyCol: String,
+                     w: Int, probes: Seq[Long],
+                     windowDur: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    windowedCountMin(events.withWatermark(tsCol, watermark),
+      tsCol, keyCol, w, probes, windowDur)
+
+  /** Per-event-time-window quantile sketch
+    * ([[graft.operators.QDigestAgg]]): per-mille latency/value quantiles
+    * per window from one ≤3k-node q-digest buffer per open window. In
+    * the exact regime (≤3k distinct values per window) the digest is the
+    * exact histogram and merge is map-sum — order-independent — so
+    * micro-batch slicing cannot change the answer (QDigestAggSpec);
+    * q198 gates the batch frame against a DuckDB oracle computing the
+    * identical integer ranks. */
+  def windowedQuantiles(events: DataFrame, tsCol: String, valueCol: String,
+                        k: Int, levels: Int, probesPerMille: Seq[Int],
+                        windowDur: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), windowDur).as("win"))
+      .agg(graft.operators.QDigestAgg.qdigest(col(valueCol).cast("long"),
+        k, levels, probesPerMille).as("sk"))
+      .select(unix_millis(col("win.start")).as("window_start_ms"),
+        col("sk.n").as("n"), col("sk.qs").as("qs"))
+
+  /** Streaming entry for [[windowedQuantiles]]. */
+  def quantileStream(events: DataFrame, tsCol: String, valueCol: String,
+                     k: Int, levels: Int, probesPerMille: Seq[Int],
+                     windowDur: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    windowedQuantiles(events.withWatermark(tsCol, watermark),
+      tsCol, valueCol, k, levels, probesPerMille, windowDur)
 }

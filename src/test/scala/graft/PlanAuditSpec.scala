@@ -115,6 +115,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"funnel re-shuffled on user_id $userExchanges times")
   }
 
+  test("MofSchema.shred ingestion plans: the one global window is dim-bounded") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct,
+      Window => LWindow}
+    val tables = graft.schema.MofSchema.shred(
+      graft.schema.MofFixtures.nested(spark))
+    tables.foreach { case (name, df) =>
+      val plan = df.queryExecution.optimizedPlan
+      val globals = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      globals.foreach { w =>
+        // the adsorbates dense-id window — legal ONLY because its input is
+        // the distinct species vocabulary: a Distinct/Aggregate must sit
+        // below the window so the single partition holds dim rows, never
+        // the fact table (MofSchema.scala adsorbates comment)
+        val boundedBelow = w.child.collectFirst {
+          case _: Distinct => true
+          case a: Aggregate if a.aggregateExpressions.length <= 2 => true
+        }.isDefined
+        assert(boundedBelow,
+          s"$name: global window not fed by a distinct dim:\n${w.treeString.take(1500)}")
+      }
+    }
+  }
+
   test("q87 bloom semi join: the might_contain probe filters BELOW the join") {
     val p = planOf("q87_bloom_semi_join")
     val probeAt = p.indexOf("might_contain")

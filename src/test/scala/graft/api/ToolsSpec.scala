@@ -102,6 +102,48 @@ class ToolsSpec extends AnyFunSuite {
     assert(bad.result.message.contains("SQL security check failed"))
   }
 
+  test("fetch_mofs_sql copy variant (S6): cif_path copy, db-mapped path, JSON fallback") {
+    import spark.implicits._
+    // fixture corpus laid out like the reference's base_data_dir
+    val base = Files.createTempDirectory("mof-corpus")
+    Files.createDirectories(base.resolve("store"))
+    Files.createDirectories(base.resolve("core2014"))
+    Files.writeString(base.resolve("store/HKUST-1.cif"), "data_HKUST-1\n_cell_length_a 26.3\n")
+    Files.writeString(base.resolve("store/HKUST-1.json"), """{"name":"HKUST-1","lcd":6.6}""")
+    Files.writeString(base.resolve("core2014/ABAVIJ.cif"), "data_ABAVIJ\n_cell_length_a 11.1\n")
+    val mofs = Seq(
+      // explicit cif_path → both files copied
+      ("m1", "HKUST-1", "CSD", "store/HKUST-1.cif"),
+      // no cif_path, mapped database + name → constructed core2014/ path
+      ("m2", "ABAVIJ", "CoREMOF 2014", null),
+      // nothing usable → query-result JSON + requested-CIF warning
+      ("m3", "idx-less", "UnknownDB", null))
+      .toDF("mofid", "name", "database", "cif_path")
+    mofs.createOrReplaceTempView("mofs_copy")
+    val dir = Files.createTempDirectory("mof-out").toString
+    val out = Tools.fetchMofsSql(spark,
+      "SELECT mofid, name, database, cif_path FROM mofs_copy ORDER BY mofid",
+      nResults = 10, outputDir = Some(dir), baseDataDir = Some(base.toString))
+    assert(out.result.code == 0 && out.result.nFound == 3)
+    val names = out.files.map(f => Paths.get(f).getFileName.toString).toSet
+    assert(names.contains("CSD_HKUST-1_0.cif"))
+    assert(names.contains("CSD_HKUST-1_0.json"))
+    assert(names.contains("CoREMOF_2014_ABAVIJ_1.cif"))
+    assert(names.contains("UnknownDB_idx-less_2.json"))
+    // copied bytes are the originals, json pretty-printed but value-identical
+    assert(Files.readString(Paths.get(dir, "CSD_HKUST-1_0.cif"))
+      .contains("_cell_length_a 26.3"))
+    assert(Files.readString(Paths.get(dir, "CSD_HKUST-1_0.json"))
+      .replaceAll("\\s", "") == """{"name":"HKUST-1","lcd":6.6}""")
+    assert(Files.readString(Paths.get(dir, "CoREMOF_2014_ABAVIJ_1.cif"))
+      .contains("data_ABAVIJ"))
+    // reference warning texts: missing sibling json for m2, no-cif for m3
+    assert(out.result.message.contains("warning"))
+    val manifest = Files.readString(Paths.get(dir, "summary.json"))
+    assert(manifest.contains("Source file not found"))
+    assert(manifest.contains("User requested CIF format but no cif_path found"))
+  }
+
   test("pricing parity (F15)") {
     assert(Tools.price("fetch_structures_with_filter", 10) == Right((0.176, 18L)))
     assert(Tools.price("unknown_tool", 1).isLeft)

@@ -97,6 +97,23 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("no query OUTPUT schema contains DecimalType (driver hash-safety)") {
+    // External harnesses coerce decimal columns asymmetrically (r06:
+    // q155/q184/q185 were the suite's only hash-red rows and exactly its
+    // only DECIMAL-output queries). DECIMAL stays legal INTERNALLY (the
+    // exact-accumulator discipline); the output surface must be
+    // BIGINT/DOUBLE/VARCHAR — wide accumulators exit as digit strings.
+    val offenders = optimized.collect {
+      case (name, plan) if plan.schema.exists(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) =>
+        name -> plan.schema.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+          .map(_.name).mkString(",")
+    }
+    assert(offenders.isEmpty,
+      s"DECIMAL-typed output columns: ${offenders.toSeq.sorted.mkString("; ")}")
+  }
+
   test("every broadcast-eligible dimension join is actually broadcast (q07)") {
     val plan = graft.SparkEntry.queries("q07_join_chain5")(spark, Sf)
       .queryExecution.executedPlan.toString
