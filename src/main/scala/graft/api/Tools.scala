@@ -138,7 +138,7 @@ object Tools {
                              outputDir: Option[String] = None): ToolOutput =
     try {
       val q = Parametric.openlamQuery(formula, minEnergy, maxEnergy,
-        minSubmissionTime, maxSubmissionTime, nResults)
+        minSubmissionTime, maxSubmissionTime, nResults = nResults)
       finish(q.run(crystals), outputDir,
         s"openlam formula=$formula energy=[$minEnergy,$maxEnergy] " +
           s"time=[$minSubmissionTime,$maxSubmissionTime]")

@@ -115,7 +115,10 @@ object CountMinAgg {
 
   private def ensureRegistered(spark: SparkSession, w: Int,
                                probes: Seq[Long]): String = {
-    val name = s"countmin_${w}_${(probes.hashCode & Int.MaxValue).toHexString}"
+    // lossless probe encoding (QDigestAgg pattern): hashCode could collide
+    // between two distinct probe lists in one session and silently reuse
+    // the first registration, returning estimates for the wrong keys
+    val name = s"countmin_${w}_${probes.mkString("_").replace("-", "m")}"
     val perSession = registered.synchronized {
       registered.computeIfAbsent(spark,
         _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())

@@ -159,20 +159,136 @@ object FederationQueries {
         .select(col("n_nationkey").as("id"), col("n_name").as("name"),
           col("n_regionkey").as("region"))
         .orderBy("id")
-      val dir = java.nio.file.Files.createTempDirectory("q202_sink").toString
-      val (files, warns) = graft.result.CifWriter.writeStructures(
-        rows, dir, idCol = "id", asCif = false)
-      require(warns.isEmpty, s"sink warnings: $warns")
+      val dirPath = java.nio.file.Files.createTempDirectory("q202_sink")
+      val hashed =
+        try {
+          val (files, warns) = graft.result.CifWriter.writeStructures(
+            rows, dirPath.toString, idCol = "id", asCif = false)
+          require(warns.isEmpty, s"sink warnings: $warns")
+          files.map { f =>
+            val p = java.nio.file.Paths.get(f)
+            val id = p.getFileName.toString.stripSuffix(".json").toInt
+            val sha = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(java.nio.file.Files.readAllBytes(p))
+              .map("%02x".format(_)).mkString
+            (id, sha)
+          }
+        } finally {
+          // hash-then-delete: the gate is on the written BYTES, already
+          // captured above — leaving 25 files per execution (verify + 5
+          // bench passes) was a slow tmp leak (ADVICE r7)
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       import s.implicits._
-      files.map { f =>
-        val p = java.nio.file.Paths.get(f)
-        val id = p.getFileName.toString.stripSuffix(".json").toInt
-        val sha = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(java.nio.file.Files.readAllBytes(p))
-          .map("%02x".format(_)).mkString
-        (id, sha)
-      }.toDF("id", "sha")
+      hashed.toDF("id", "sha")
         .orderBy("id")
+    },
+
+    // Q1 water-fill under the oracle gate, CAPACITY-BOUND: five nation
+    // "providers" where one (region 0 restricted to n_nationkey <= 5) has
+    // only 2 matching rows, so nResults=20 exercises the planner's step-3
+    // re-routing: equal split (4,4,4,4,4) → cap at (2,4,4,4,4) → leftover
+    // 2 water-filled in precedence order → (2,5,5,4,4). The oracle joins
+    // that plan as LITERALS, generated by executing the reference
+    // algorithm (QuotaPlannerSpec "q206 literal plan" pins
+    // distributeQuotaFair to exactly these numbers, so the literals can't
+    // drift from the code). Capacities are sf-invariant (nation is the
+    // same 25-row dimension at every sf).
+    QueryDef.sql("q206_federation_waterfill",
+      """WITH src AS (
+        |  SELECT 'scarce' AS provider, n_nationkey, n_name FROM nation
+        |    WHERE n_regionkey = 0 AND n_nationkey <= 5
+        |  UNION ALL SELECT 'r1', n_nationkey, n_name FROM nation WHERE n_regionkey = 1
+        |  UNION ALL SELECT 'r2', n_nationkey, n_name FROM nation WHERE n_regionkey = 2
+        |  UNION ALL SELECT 'r3', n_nationkey, n_name FROM nation WHERE n_regionkey = 3
+        |  UNION ALL SELECT 'r4', n_nationkey, n_name FROM nation WHERE n_regionkey = 4),
+        |q AS (SELECT * FROM (VALUES ('scarce', 2), ('r1', 5), ('r2', 5),
+        |                            ('r3', 4), ('r4', 4)) AS t(provider, quota)),
+        |r AS (SELECT src.*, row_number() OVER (
+        |        PARTITION BY provider ORDER BY n_nationkey) AS rn FROM src)
+        |SELECT r.provider, n_nationkey, n_name
+        |FROM r JOIN q ON r.provider = q.provider
+        |WHERE rn <= quota
+        |ORDER BY r.provider, n_nationkey""".stripMargin) { (s, d) =>
+      val sources =
+        Source("scarce", "nation", () => Tables.nation(s, d)
+          .filter(col("n_regionkey") === 0 && col("n_nationkey") <= 5)) +:
+        (1 to 4).map(r => Source(s"r$r", "nation", () =>
+          Tables.nation(s, d).filter(col("n_regionkey") === r)))
+      val fr = federatedQuery(s, sources, filter = None, nResults = 20,
+        idCol = "n_nationkey", orderCol = "n_nationkey", maxReturned = 30)
+      fr.data.select("provider", "n_nationkey", "n_name")
+        .orderBy("provider", "n_nationkey")
+    },
+
+    // S6 oracle-backed: the MofSaver COPY writer's BYTES (the round-7
+    // q202 technique applied to the last writer path). A fixture corpus
+    // of CIF + compact-JSON siblings is built from nation rows, MofSaver
+    // resolves each row's constructed core2014/<name>.cif path, copies
+    // the CIF verbatim and re-serializes the JSON pretty (the reference's
+    // json.load/json.dump(indent=2) round-trip, utils.py:153-207); the
+    // query returns sha256 of every WRITTEN file and the oracle
+    // reconstructs the byte-identical texts (incl. the 2-space pretty
+    // layout) in SQL and hashes them. Fixture + output dirs are temp and
+    // deleted after hashing (no per-run leak).
+    QueryDef.sql("q207_mof_saver_checksum",
+      """WITH n AS (
+        |  SELECT n_nationkey AS k, n_name AS nm,
+        |    replace(n_name, ' ', '_') AS safe_nm,
+        |    row_number() OVER (ORDER BY n_nationkey) - 1 AS i
+        |  FROM nation),
+        |cif AS (
+        |  SELECT 'CoREMOF_2014_' || safe_nm || '_' || i || '.cif' AS fname,
+        |    sha256('data_' || nm || chr(10) ||
+        |           '_cell_length_a ' || k || chr(10)) AS sha
+        |  FROM n),
+        |js AS (
+        |  SELECT 'CoREMOF_2014_' || safe_nm || '_' || i || '.json' AS fname,
+        |    sha256('{' || chr(10) || '  "name": "' || nm || '",' || chr(10) ||
+        |           '  "id": ' || k || chr(10) || '}') AS sha
+        |  FROM n)
+        |SELECT fname, sha FROM (SELECT * FROM cif UNION ALL SELECT * FROM js) u
+        |ORDER BY fname""".stripMargin) { (s, d) =>
+      val rows = Tables.nation(s, d)
+        .select(col("n_nationkey").as("k"),
+          lit("CoREMOF 2014").as("database"), col("n_name").as("name"))
+        .orderBy("k").collect().toSeq
+      val fixture = java.nio.file.Files.createTempDirectory("q207_corpus")
+      val outDir = java.nio.file.Files.createTempDirectory("q207_out")
+      val hashed =
+        try {
+          val sub = fixture.resolve("core2014")
+          java.nio.file.Files.createDirectories(sub)
+          rows.foreach { r =>
+            val k = r.getAs[Any]("k"); val nm = r.getAs[String]("name")
+            java.nio.file.Files.writeString(sub.resolve(s"$nm.cif"),
+              s"data_$nm\n_cell_length_a $k\n")
+            java.nio.file.Files.writeString(sub.resolve(s"$nm.json"),
+              s"""{"name":"$nm","id":$k}""")
+          }
+          val saved = graft.result.MofSaver.saveMofs(
+            rows, outDir.toString, fixture.toString)
+          require(saved.warnings.isEmpty, s"saver warnings: ${saved.warnings}")
+          saved.files.map { f =>
+            val p = java.nio.file.Paths.get(f)
+            val sha = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(java.nio.file.Files.readAllBytes(p))
+              .map("%02x".format(_)).mkString
+            (p.getFileName.toString, sha)
+          }
+        } finally {
+          import scala.jdk.CollectionConverters._
+          Seq(outDir, fixture).foreach { root =>
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
+      import s.implicits._
+      hashed.toDF("fname", "sha").orderBy("fname")
     }
   )
 }

@@ -45,6 +45,88 @@ object SqlSurfaceQueries {
         limit = Some(100))
         .run(Tables.orders(s, d))
         .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    // S3 oracle-backed: the fetch_bohrium_crystals path itself
+    // (Parametric.bohriumQuery — Bohriumpublic_Server/server.py:61-72)
+    // over a crystals view of `part`: P5 fuzzy keyword (match_mode=0
+    // substring), P3 range auto-completion BOTH ways (["","30"] →
+    // [defaultMin, 30]; ["-50"] → [-50, defaultMax]), and the tool's
+    // implicit formation-energy ascending sort. The energy column is a
+    // mirrored-arithmetic double, distinct per row (1e-9·partkey tiebreak)
+    // so the sort+limit is deterministic cross-engine.
+    QueryDef.sql("q203_bohrium_parametric",
+      """WITH v AS (
+        |  SELECT p_partkey AS id, p_type AS formula, p_size AS atom_count,
+        |    ((CAST(p_partkey % 200 AS DOUBLE) - 100.0) +
+        |     CAST(p_partkey AS DOUBLE) * 1e-9) AS predicted_formation_energy
+        |  FROM part)
+        |SELECT id, formula, atom_count, predicted_formation_energy FROM v
+        |WHERE formula LIKE '%AR%'
+        |  AND atom_count >= 0.0 AND atom_count <= 30.0
+        |  AND predicted_formation_energy >= -50.0
+        |  AND predicted_formation_energy <= 100.0
+        |ORDER BY predicted_formation_energy LIMIT 25""".stripMargin) { (s, d) =>
+      val v = Tables.part(s, d).select(
+        col("p_partkey").as("id"),
+        col("p_type").as("formula"),
+        col("p_size").as("atom_count"),
+        (((col("p_partkey") % 200).cast("double") - lit(100.0)) +
+          col("p_partkey").cast("double") * lit(1e-9))
+          .as("predicted_formation_energy"))
+      Parametric.bohriumQuery(
+        formula = Some("AR"), matchMode = 0,
+        atomCountRange = Seq("", "30"),
+        formationEnergyRange = Seq("-50"),
+        nResults = 25)
+        .run(v)
+        .select("id", "formula", "atom_count", "predicted_formation_energy")
+    },
+
+    // S5 oracle-backed: one openlam keyset page — the reference's
+    // query_by_offset shape (openlam db.py:44-104: conjunctive filters +
+    // startId cursor + id order + limit) over an id/formula/energy/
+    // submission_time view of orders. Gates the cursor predicate, the
+    // normalized-formula equality (P4), the energy range (P2) and the
+    // ISO time window (P10) in one page fetch.
+    QueryDef.sql("q204_openlam_keyset_page",
+      """SELECT o_orderkey AS id, o_orderpriority AS formula,
+        |  o_totalprice AS energy
+        |FROM orders
+        |WHERE o_orderpriority = '2-HIGH'
+        |  AND o_totalprice >= 50000.0 AND o_totalprice <= 200000.0
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1998-06-30 00:00:00'
+        |  AND o_orderkey > 5000
+        |ORDER BY id LIMIT 40""".stripMargin) { (s, d) =>
+      val v = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"),
+        col("o_orderpriority").as("formula"),
+        col("o_totalprice").as("energy"),
+        col("o_orderdate").as("submission_time"))
+      Parametric.openlamQuery(
+        formula = Some("2-HIGH"),
+        minEnergy = Some(50000), maxEnergy = Some(200000),
+        minSubmissionTime = Some("1996-01-01 00:00:00"),
+        maxSubmissionTime = Some("1998-06-30 00:00:00"),
+        startId = Some(5000L),
+        nResults = 40)
+        .run(v)
+        .select("id", "formula", "energy")
+    },
+
+    // S5 oracle-backed: Mediation.pageAll keyset tiling — pages 1+2 of
+    // size 700 union to EXACTLY the first 1400 rows by key (the oracle is
+    // the unpaged top-1400), proving the cursor advance is lossless and
+    // gap-free. Each page plans as TakeOrderedAndProject with the cursor
+    // predicate pushed to the scan (no global window).
+    QueryDef.sql("q205_keyset_tiling",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 1400""".stripMargin) { (s, d) =>
+      val pages = graft.federate.Mediation.pageAll(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+        "o_orderkey", limit = 700)
+      pages.take(2).reduce(_.unionByName(_)).orderBy("o_orderkey")
     }
   )
 }

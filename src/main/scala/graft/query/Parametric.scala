@@ -48,6 +48,12 @@ object Parametric {
     def toColumn: Column = col(column).isNotNull
   }
 
+  /** S5: keyset cursor — strictly after `key`, the reference's `startId`
+    * page predicate (openlam db.py:44-58 `params["startId"] = offset`). */
+  final case class After(column: String, key: Long) extends Pred {
+    def toColumn: Column = col(column) > key
+  }
+
   private def and(parts: Option[Column]*): Column =
     parts.flatten.reduceOption(_ && _).getOrElse(lit(true))
 
@@ -88,17 +94,26 @@ object Parametric {
   }
 
   /** fetch_openlam_structures-shaped query (Openlam_Server/server.py:60-69):
-    * formula equality (normalized), energy range, submission-time window. */
+    * formula equality (normalized), energy range, submission-time window.
+    * The reference serves results as keyset pages ordered by id
+    * (openlam db.py:44-104: `startId` in, `nextStartId` out) — so one call
+    * here IS one `query_by_offset` page: rows with id strictly after
+    * `startId`, in id order, limited. Plans as TakeOrderedAndProject with
+    * the cursor predicate pushed to the scan. */
   def openlamQuery(formula: Option[String] = None,
                    minEnergy: Option[Double] = None, maxEnergy: Option[Double] = None,
                    minSubmissionTime: Option[String] = None,
                    maxSubmissionTime: Option[String] = None,
+                   startId: Option[Long] = None,
+                   idCol: String = "id",
                    nResults: Int = 10): Query =
     Query(
       preds =
         formula.map(f => Equals("formula", graft.functions.Formulas.normalizeFormula(f))).toSeq ++
+        startId.map(After(idCol, _)).toSeq ++
         Seq(NumRange("energy", minEnergy, maxEnergy),
             TimeRange("submission_time", minSubmissionTime, maxSubmissionTime)),
+      sort = Seq(SortSpec(idCol)),
       limit = Some(nResults))
 
   /** fetch_bohrium_crystals-shaped query (Bohriumpublic_Server/server.py:61-72,

@@ -74,9 +74,18 @@ object MofSaver {
                formats: Seq[String] = Seq("cif", "json")): Saved = {
     val out = Paths.get(outputDir)
     Files.createDirectories(out)
-    val base = Paths.get(baseDataDir)
+    val base = Paths.get(baseDataDir).toAbsolutePath.normalize()
     val files = Seq.newBuilder[String]
     val warnings = Seq.newBuilder[String]
+
+    // cif_path comes from query-result DATA — resolve it inside the corpus
+    // only (a row carrying '../..' must not read outside baseDataDir; the
+    // escape degrades to the reference's "Source file not found" warning)
+    def resolveContained(rel: String, ident: String): Option[Path] = {
+      val p = base.resolve(rel).normalize()
+      if (p.startsWith(base)) Some(p)
+      else { warnings += s"Source file not found: $rel for $ident"; None }
+    }
 
     def copyPair(fullCif: Path, stem: String, ident: String): Unit =
       formats.foreach {
@@ -97,7 +106,7 @@ object MofSaver {
       val stem = safeBasename(s"${prov}_${ident}_$i")
       strField(row, "cif_path") match {
         case Some(rel) =>
-          copyPair(base.resolve(rel), stem, ident)
+          resolveContained(rel, ident).foreach(copyPair(_, stem, ident))
         case None =>
           val database = strField(row, "database").getOrElse("")
           val name = strField(row, "name").getOrElse("")
@@ -108,7 +117,8 @@ object MofSaver {
               }
             else None
           constructed match {
-            case Some(rel) => copyPair(base.resolve(rel), stem, ident)
+            case Some(rel) =>
+              resolveContained(rel, ident).foreach(copyPair(_, stem, ident))
             case None =>
               // no path construction possible → query-result JSON
               // (+ the reference's requested-CIF warning, utils.py:251-255)

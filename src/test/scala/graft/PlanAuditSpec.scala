@@ -117,7 +117,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("MofSchema.shred ingestion plans: the one global window is dim-bounded") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct,
-      Window => LWindow}
+      Filter => LFilter, LogicalPlan, Project => LProject, Window => LWindow}
     val tables = graft.schema.MofSchema.shred(
       graft.schema.MofFixtures.nested(spark))
     tables.foreach { case (name, df) =>
@@ -125,13 +125,23 @@ class PlanAuditSpec extends AnyFunSuite {
       val globals = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
       globals.foreach { w =>
         // the adsorbates dense-id window — legal ONLY because its input is
-        // the distinct species vocabulary: a Distinct/Aggregate must sit
-        // below the window so the single partition holds dim rows, never
-        // the fact table (MofSchema.scala adsorbates comment)
-        val boundedBelow = w.child.collectFirst {
+        // the distinct species vocabulary: the Distinct/Aggregate must be
+        // the window's ACTUAL input (through row-preserving-or-reducing
+        // Project/Filter only), so the single partition holds dim rows,
+        // never the fact table (MofSchema.scala adsorbates comment). A
+        // whole-subtree collectFirst would be satisfied by any small
+        // aggregate anywhere deeper in the lineage.
+        @annotation.tailrec
+        def inputOf(p: LogicalPlan): LogicalPlan = p match {
+          case pr: LProject => inputOf(pr.child)
+          case f: LFilter   => inputOf(f.child)
+          case other        => other
+        }
+        val boundedBelow = inputOf(w.child) match {
           case _: Distinct => true
           case a: Aggregate if a.aggregateExpressions.length <= 2 => true
-        }.isDefined
+          case _ => false
+        }
         assert(boundedBelow,
           s"$name: global window not fed by a distinct dim:\n${w.treeString.take(1500)}")
       }

@@ -23,6 +23,19 @@ class QuotaPlannerSpec extends AnyFunSuite {
       Map("a" -> Map("u1" -> 2), "b" -> Map("u2" -> 23), "c" -> Map("u3" -> 5)))
   }
 
+  test("q206 literal plan: scarce(2)+4×5 at n=20 water-fills to (2,5,5,4,4)") {
+    // pins the LITERAL quota table embedded in q206_federation_waterfill's
+    // oracle SQL (FederationQueries) to the executed algorithm — if the
+    // planner's step-3 routing ever changes, this fails before the oracle
+    assert(plan(Seq(
+      "scarce" -> Seq("nation" -> 2), "r1" -> Seq("nation" -> 5),
+      "r2" -> Seq("nation" -> 5), "r3" -> Seq("nation" -> 5),
+      "r4" -> Seq("nation" -> 5)), 20) ==
+      Map("scarce" -> Map("nation" -> 2), "r1" -> Map("nation" -> 5),
+        "r2" -> Map("nation" -> 5), "r3" -> Map("nation" -> 4),
+        "r4" -> Map("nation" -> 4)))
+  }
+
   test("golden: zero-capacity clause excluded; total capped by capacity") {
     assert(plan(Seq("a" -> Seq("u1" -> 0), "b" -> Seq("u2" -> 7)), 10) ==
       Map("a" -> Map("u1" -> 0), "b" -> Map("u2" -> 7)))
