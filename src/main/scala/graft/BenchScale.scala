@@ -618,6 +618,41 @@ object BenchScale {
             probes = Seq(1L, 2L, 3L, 5L)).as("sk"))
           .count()
       },
+      // ---- Zipf-skew twins of the sketch aggregates: the uniform-key
+      // families above don't stress the bounded-buffer claim where it
+      // matters (hot keys). zipfKey is a DETERMINISTIC Zipf(~2) draw —
+      // 1048576 div (uniform hash in [1, 2^20]) puts half the mass on
+      // key 1, a quarter on key 2, … — so one key dominates every
+      // buffer. The claim under test: buffers stay bounded (MG/CMS by
+      // construction, q-digest by compression) and runtime stays linear
+      // in the SCAN regardless of key concentration.
+      "qdigest_zipf" -> { k =>
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        e.withColumn("zv", expr(
+            "CAST(1048576 DIV (pmod(xxhash64(event_id), 1048576) + 1) AS LONG) % 256"))
+          .groupBy("event_type")
+          .agg(QDigestAgg.qdigest(col("zv"),
+            k = 64, levels = 8, probesPerMille = Seq(500, 950)).as("sk"))
+          .count()
+      },
+      "countmin_agg_zipf" -> { k =>
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        e.withColumn("zk", expr(
+            "CAST(1048576 DIV (pmod(xxhash64(event_id), 1048576) + 1) AS LONG)"))
+          .groupBy("event_type")
+          .agg(graft.operators.CountMinAgg.countmin(col("zk"), w = 256,
+            probes = Seq(1L, 2L, 3L, 5L)).as("sk"))
+          .count()
+      },
+      "topk_zipf" -> { k =>
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        e.withColumn("zk", expr(
+            "CAST(1048576 DIV (pmod(xxhash64(event_id), 1048576) + 1) AS LONG)"))
+          .groupBy("event_type")
+          .agg(graft.operators.MisraGriesAgg.misra_gries(
+            col("zk").cast("string"), k = 8).as("mg"))
+          .count()
+      },
     )
 
     // dev-only family filter (SPARK_GRAFT_SCALE_ONLY=bfs,components_star)

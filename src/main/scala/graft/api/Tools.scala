@@ -35,7 +35,8 @@ object Tools {
                      stats: QuotaPlanner.Stats = Seq.empty,
                      plan: QuotaPlanner.Plan = Seq.empty,
                      failures: Seq[(String, String)] = Seq.empty,
-                     writeCif: Boolean = false): ToolOutput = {
+                     writeCif: Boolean = false,
+                     nResults: Int = FetchResult.MaxReturnedStructs): ToolOutput = {
     val truncated = df.limit(FetchResult.MaxReturnedStructs)
     val rows = truncated.collect()
     val cleaned = rows.map { r =>
@@ -45,10 +46,13 @@ object Tools {
       case Some(d) =>
         val p = Paths.get(d)
         Files.createDirectories(p)
-        val (fs, _) =
+        val (fs, ws) =
           if (writeCif) CifWriter.writeStructures(truncated, d)
           else CifWriter.writeStructures(truncated, d, asCif = false)
-        Manifest.write(p, filterDesc, stats, plan, fs, failures)
+        Manifest.write(p, filterDesc, stats, plan, fs, failures,
+          format = if (writeCif) "cif" else "json",
+          nResults = nResults, warnings = ws,
+          nFound = Some(rows.length.toLong))
         (d, fs)
       case None => ("", Seq.empty[String])
     }
@@ -74,7 +78,7 @@ object Tools {
       val fr = Federation.federatedQuery(
         spark, sources, Some(pred), nResults, idCol, idCol)
       finish(Mediation.dropAttrs(fr.data), outputDir, canonical,
-        fr.stats, fr.plan, fr.failures, writeCif = asCif)
+        fr.stats, fr.plan, fr.failures, writeCif = asCif, nResults = nResults)
     } catch { case e: Exception => failure(e.getMessage) }
 
   /** Space-group tool: canonical space_group_number predicate (mediated
@@ -100,7 +104,7 @@ object Tools {
         finish(fr.data, outputDir,
           s"spg=$spgNumber (${SpaceGroups.fromNumber(spgNumber).getOrElse("?")})" +
             baseFilter.fold("")(f => s" AND ($f)"),
-          fr.stats, fr.plan, fr.failures)
+          fr.stats, fr.plan, fr.failures, nResults = nResults)
       }
     } catch { case e: Exception => failure(e.getMessage) }
 
@@ -124,7 +128,7 @@ object Tools {
       finish(fr.data, outputDir,
         SpaceGroups.rangeClause("band_gap", minBg, maxBg) +
           baseFilter.fold("")(f => s" AND ($f)"),
-        fr.stats, fr.plan, fr.failures)
+        fr.stats, fr.plan, fr.failures, nResults = nResults)
     } catch { case e: Exception => failure(e.getMessage) }
 
   /** OpenLAM parametric tool over a crystals table. */
@@ -141,7 +145,8 @@ object Tools {
         minSubmissionTime, maxSubmissionTime, nResults = nResults)
       finish(q.run(crystals), outputDir,
         s"openlam formula=$formula energy=[$minEnergy,$maxEnergy] " +
-          s"time=[$minSubmissionTime,$maxSubmissionTime]")
+          s"time=[$minSubmissionTime,$maxSubmissionTime]",
+        nResults = nResults)
     } catch { case e: Exception => failure(e.getMessage) }
 
   /** Bohrium parametric tool over a bohrium_crystals table. */
@@ -158,7 +163,8 @@ object Tools {
       val q = Parametric.bohriumQuery(formula, matchMode, spacegroupNumber,
         atomCountRange, formationEnergyRange, bandGapRange, nResults)
       finish(q.run(crystals), outputDir,
-        s"bohrium formula=$formula spg=$spacegroupNumber")
+        s"bohrium formula=$formula spg=$spacegroupNumber",
+        nResults = nResults)
     } catch { case e: Exception => failure(e.getMessage) }
 
   /** MOFdb parametric tool over a mofs table. */
@@ -174,7 +180,8 @@ object Tools {
     try {
       val q = Parametric.mofQuery(mofid, mofkey, name, database,
         vf, lcd, pld, saM2g, nResults = nResults)
-      finish(q.run(mofs), outputDir, s"mofs database=$database name=$name")
+      finish(q.run(mofs), outputDir, s"mofs database=$database name=$name",
+        nResults = nResults)
     } catch { case e: Exception => failure(e.getMessage) }
 
   /** SQL pass-through tool (guard + LIMIT injection, §3.1).

@@ -31,6 +31,16 @@ import org.apache.spark.sql.functions._
   */
 object Bfs {
 
+  /** How often the visited set's lazy union lineage is compacted with a
+    * [[Iterate.materialize]]: the union adds one plan level per round —
+    * fine for tens of rounds, but a high-diameter walk (road networks:
+    * thousands of rounds) would grow an unbounded plan. Every N rounds
+    * the accumulated state is checkpointed, so plan depth is bounded by
+    * N regardless of graph diameter, at the cost of one row-codec pass
+    * over the visited set per N rounds (BfsSpec proves a depth-200
+    * chain at maxDepth=250 finishes with bounded plan depth). */
+  val CheckpointEvery = 20
+
   /** Hop distances from `sources` ("node" column) over directed
     * `edges` ("src", "dst") — feed both directions for an undirected
     * graph. Returns (node, dist); dist = 0 for sources, minimal hop
@@ -56,9 +66,11 @@ object Bfs {
       frontierSize = next.count()
       if (frontierSize > 0) {
         // the visited set stays a LAZY union of the already-materialized
-        // frontiers — no recompute risk, no extra job per round, and
-        // plan depth grows only linearly in rounds (bounded by maxDepth)
+        // frontiers — no recompute risk, no extra job per round —
+        // compacted every [[CheckpointEvery]] rounds so plan depth is
+        // bounded even past maxDepth=40 (high-diameter graphs)
         dist = dist.unionByName(next.withColumn("dist", lit(depth)))
+        if (depth % CheckpointEvery == 0) dist = Iterate.materialize(dist)
         frontier = next
       }
     }
@@ -103,6 +115,7 @@ object Bfs {
       frontierSize = next.count()
       if (frontierSize > 0) {
         dist = dist.unionByName(next.withColumn("dist", lit(depth)))
+        if (depth % CheckpointEvery == 0) dist = Iterate.materialize(dist)
         frontier = next
       }
     }

@@ -140,6 +140,68 @@ class FederationSpec extends AnyFunSuite {
       st, QuotaPlanner.distributeQuotaFair(st, 1), files, Seq.empty)
     val json = Files.readString(mf)
     assert(json.contains("\"filter\"") && json.contains("\"plan\"") &&
-           json.contains("\"n_planned\": 1"))
+           json.contains("\"mode\": \"raw_filter\""))
+  }
+
+  test("S8 manifest golden: byte-identical to the reference's summary.json") {
+    // expected bytes generated by EXECUTING the reference writer shape
+    // (Optimade_Server/server.py:175-188): the manifest dict built with
+    // the reference's own distribute_quota_fair output for these stats,
+    // serialized with json.dumps(manifest, indent=2) — same technique as
+    // the QuotaPlanner goldens. Any divergence in key set, key order,
+    // escaping, indentation or separators fails here.
+    val golden =
+      """{
+        |  "mode": "raw_filter",
+        |  "filter": "elements HAS \"Na\" AND nelements<5",
+        |  "providers_requested": [
+        |    "alexandria",
+        |    "odbx"
+        |  ],
+        |  "providers_seen": [
+        |    "alexandria"
+        |  ],
+        |  "files": [
+        |    "out/alexandria_1.cif",
+        |    "out/alexandria_2.cif"
+        |  ],
+        |  "warnings": [
+        |    "Source file not found: x.cif for a_3",
+        |    "odbx@https://optimade.odbx.science: timeout"
+        |  ],
+        |  "format": "cif",
+        |  "n_results": 10,
+        |  "stats": {
+        |    "alexandria": {
+        |      "https://alexandria.icams.rub.de/pbe": 7
+        |    },
+        |    "odbx": {
+        |      "https://optimade.odbx.science": 0
+        |    }
+        |  },
+        |  "plan": {
+        |    "alexandria": {
+        |      "https://alexandria.icams.rub.de/pbe": 7
+        |    },
+        |    "odbx": {
+        |      "https://optimade.odbx.science": 0
+        |    }
+        |  },
+        |  "n_found": 7
+        |}""".stripMargin
+    val st: QuotaPlanner.Stats = Seq(
+      "alexandria" -> Seq("https://alexandria.icams.rub.de/pbe" -> 7),
+      "odbx" -> Seq("https://optimade.odbx.science" -> 0))
+    val dir = Files.createTempDirectory("graft-manifest")
+    val mf = graft.result.Manifest.write(
+      dir, """elements HAS "Na" AND nelements<5""",
+      st, QuotaPlanner.distributeQuotaFair(st, 10),
+      files = Seq("out/alexandria_1.cif", "out/alexandria_2.cif"),
+      failures = Seq("odbx@https://optimade.odbx.science" -> "timeout"),
+      nResults = 10,
+      providersSeen = Some(Seq("alexandria")),
+      warnings = Seq("Source file not found: x.cif for a_3"),
+      nFound = Some(7L))
+    assert(Files.readString(mf) == golden)
   }
 }

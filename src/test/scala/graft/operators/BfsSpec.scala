@@ -108,4 +108,22 @@ class BfsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got === expect)
   }
+
+  test("depth-200 chain at maxDepth=250: bounded plan depth via periodic compaction") {
+    import spark.implicits._
+    // a path graph 0→1→…→200 forces 200 frontier rounds — the
+    // high-diameter (road-network) regime the CheckpointEvery compaction
+    // exists for. Without it the visited set would be a 200-level Union.
+    val edges = (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    val dist = Bfs.distances(edges, Seq(0L).toDF("node"), maxDepth = 250)
+    val unions = dist.queryExecution.logical.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    // ≤ CheckpointEvery rounds since the last compaction contribute a
+    // Union level each; everything older is a checkpointed leaf
+    assert(unions.size <= Bfs.CheckpointEvery,
+      s"plan carries ${unions.size} unions — compaction not bounding depth")
+    val got = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 200L).map(i => i -> i).toMap)
+  }
 }
