@@ -644,6 +644,21 @@ object BenchScale {
             probes = Seq(1L, 2L, 3L, 5L)).as("sk"))
           .count()
       },
+      "repetition" -> { k =>
+        // per-doc gram counting: salted copies have disjoint grams, so
+        // the (doc, gram) shuffle key space grows k× with the scan —
+        // linear, like bpe_pairs
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        graft.operators.Repetition.docRepetition(d, "doc_id", "text").count()
+      },
+      "boilerplate" -> { k =>
+        // gram→doc-frequency agg + broadcast semi join back; threshold
+        // scales with nDocs so the boilerplate set stays corpus-fraction
+        // sized
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        graft.operators.Repetition.boilerplateCoverage(
+          d, "doc_id", "text", n = 3, denom = 20).count()
+      },
       "topk_zipf" -> { k =>
         val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
         e.withColumn("zk", expr(

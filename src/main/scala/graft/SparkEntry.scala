@@ -14,7 +14,7 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ FunctionQueries.defs ++ OptimadeQueries.defs ++
       SqlSurfaceQueries.defs ++ FederationQueries.defs ++ PipelineQueries.defs ++
-      EventQueries.defs ++ MofScenarioQueries.defs
+      EventQueries.defs ++ MofScenarioQueries.defs ++ CorpusQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

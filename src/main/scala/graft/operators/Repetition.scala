@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Within-document repetition signals and corpus-level boilerplate
+  * coverage — the classic pretraining-corpus quality rules (the
+  * "repetitious text" filters of Gopher/MassiveText and the CCNet-style
+  * shared-paragraph removal), recast on the word stream the `documents`
+  * table carries (its text is a single line, so the unit is the token
+  * n-gram rather than the paragraph).
+  *
+  * Everything is integer-exact by design (counts, not ratios): the
+  * oracle-gated outputs are BIGINT numerators + denominators and the
+  * consumer picks its own thresholds, so no cross-engine float
+  * discipline is needed (CLAUDE.md round() ground rule).
+  *
+  * Scale design: one explode per n-gram order, then groupBy
+  * (doc_id, gram) — partial aggregation combines map-side inside each
+  * doc's partition slice, and the shuffle carries distinct (doc, gram)
+  * pairs, ≤ the token count. No self-joins, no windows over the corpus;
+  * the boilerplate set (grams above the doc-frequency threshold) is tiny
+  * by construction and broadcast back as a semi-join filter.
+  */
+object Repetition {
+
+  /** (id, gram) — one row per n-gram START position (multiplicity
+    * preserved), so downstream counts are position counts. The token
+    * array is bound to an attribute before the transform (interpreted
+    * HOFs re-evaluate captured non-attribute expressions per element —
+    * see Dedup.minhashSigOf), and the generator is bound to a column
+    * before explode (a generator cannot nest inside an expression). */
+  def grams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .withColumn("grams", expr(
+        s"""CASE WHEN size(toks) >= $n
+           |  THEN transform(sequence(0, size(toks) - $n),
+           |                 i -> array_join(slice(toks, i + 1, $n), ' '))
+           |  ELSE slice(toks, 1, 0) END""".stripMargin))
+      .select(col("id"), explode(col("grams")).as("gram"))
+
+  /** Per-doc repetition stats: token count, the most frequent 2-gram's
+    * occurrence count (`top2_cnt` — Gopher's "top n-gram fraction"
+    * numerator), and the number of 5-gram start positions whose gram
+    * occurs ≥2 times inside the doc (`dup5_pos` — the "duplicated
+    * n-gram fraction" numerator). Docs shorter than the gram order get
+    * zeros. */
+  def docRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("tok_cnt"))
+    val top2 = grams(docs, idCol, textCol, 2)
+      .groupBy(col("id").as("doc_id"), col("gram")).count()
+      .groupBy("doc_id").agg(max("count").as("top2_cnt"))
+    val dup5 = grams(docs, idCol, textCol, 5)
+      .groupBy(col("id").as("doc_id"), col("gram")).count()
+      .filter(col("count") >= 2)
+      .groupBy("doc_id").agg(sum("count").as("dup5_pos"))
+    base.join(top2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tok_cnt"),
+        coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
+        coalesce(col("dup5_pos"), lit(0L)).as("dup5_pos"))
+  }
+
+  /** Corpus boilerplate coverage: an n-gram is "boilerplate" when it
+    * appears in at least ⌈nDocs / denom⌉ DISTINCT docs (denom=20 → 5%
+    * of the corpus); each doc reports how many of its n-gram positions
+    * fall inside boilerplate grams (`bp_hits`) next to its token count.
+    * The threshold is integer ceil — no float corpus-fraction math.
+    *
+    * Two aggregates: gram → distinct-doc frequency (the only corpus-wide
+    * shuffle, keyed by gram), then the small above-threshold set
+    * semi-joins back into the per-doc position stream (broadcast — its
+    * size is bounded by vocab^n / threshold, independent of corpus
+    * rows). */
+  def boilerplateCoverage(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, denom: Int = 20): DataFrame = {
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val threshold = (nDocs + denom - 1) / denom
+    val g = grams(docs, idCol, textCol, n)
+    val boiler = g.select("id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= threshold)
+      .select("gram")
+    val cov = g.join(broadcast(boiler), Seq("gram"), "left_semi")
+      .groupBy(col("id").as("doc_id")).agg(count(lit(1)).as("bp_hits"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("tok_cnt"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tok_cnt"),
+        coalesce(col("bp_hits"), lit(0L)).as("bp_hits"))
+  }
+}

@@ -27,7 +27,8 @@ class SparkEntrySpec extends AnyFunSuite {
       queries.RelationalQueries.defs, queries.FunctionQueries.defs,
       queries.OptimadeQueries.defs, queries.SqlSurfaceQueries.defs,
       queries.FederationQueries.defs, queries.PipelineQueries.defs,
-      queries.EventQueries.defs, queries.MofScenarioQueries.defs).flatten
+      queries.EventQueries.defs, queries.MofScenarioQueries.defs,
+      queries.CorpusQueries.defs).flatten
     assert(defs.map(_.name).distinct.size == defs.size,
       s"duplicate query names: ${defs.map(_.name).diff(defs.map(_.name).distinct)}")
     assert(names.size == defs.size)

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class RepetitionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("grams: start positions with multiplicity, short docs empty") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "z")).toDF("doc_id", "text")
+    val g2 = Repetition.grams(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(g2.sorted == Seq((1L, "a b"), (1L, "a b"), (1L, "b a")))
+    assert(Repetition.grams(docs, "doc_id", "text", 5).count() == 0)
+  }
+
+  test("docRepetition on planted fixtures") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),    // top "a b"×3; both 5-grams unique
+      (2L, "x x x x x x"),    // top "x x"×5; 5-gram "x x x x x"×2
+      (3L, "p q"),            // no 5-grams
+      (4L, "z")               // no 2-grams at all
+    ).toDF("doc_id", "text")
+    val got = Repetition.docRepetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((6L, 3L, 0L)),
+      2L -> ((6L, 5L, 2L)),
+      3L -> ((2L, 1L, 0L)),
+      4L -> ((1L, 0L, 0L))))
+  }
+
+  test("boilerplateCoverage: shared 3-gram crosses the doc-frequency bar") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // "a b c" + "b c d"
+      (2L, "x a b c"),   // "x a b" + "a b c"
+      (3L, "q r s"),
+      (4L, "t u")        // too short for 3-grams
+    ).toDF("doc_id", "text")
+    // denom=2 → threshold ⌈4/2⌉=2 docs: only "a b c" qualifies
+    val got = Repetition.boilerplateCoverage(docs, "doc_id", "text", n = 3, denom = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((4L, 1L)), 2L -> ((4L, 1L)), 3L -> ((3L, 0L)), 4L -> ((2L, 0L))))
+  }
+
+  test("position multiplicity counts double-occurrences inside one doc") {
+    import spark.implicits._
+    // "m n o" appears twice in doc 1 → bp_hits counts BOTH positions
+    val docs = Seq((1L, "m n o m n o"), (2L, "m n o")).toDF("doc_id", "text")
+    val got = Repetition.boilerplateCoverage(docs, "doc_id", "text", n = 3, denom = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // boilerplate = grams in ≥1 doc? threshold ⌈2/2⌉=1: every gram.
+    // doc 1 has 4 gram positions ("m n o", "n o m", "o m n", "m n o")
+    assert(got == Map(1L -> 4L, 2L -> 1L))
+  }
+}
