@@ -87,4 +87,73 @@ object Kmv {
       .agg(count(lit(1)).cast("long").as("k_used"),
         max(col("_h")).as("kth_hash"))
   }
+
+  /** Pairwise KMV SET-OVERLAP components for every unordered group pair
+    * (ga < gb): the sketch algebra that makes KMV more than a distinct
+    * counter — audience-overlap / segment-intersection estimation
+    * without ever joining the raw key sets.
+    *
+    * Per pair the output carries only integers: each side's
+    * (k_used, kth_hash), the union sketch's (ku_used, kth_union) — the
+    * k smallest distinct hashes of the MERGED value sets, the standard
+    * KMV union — and match_cnt = how many of those union survivors
+    * belong to BOTH sides. The consumer derives
+    * |A∪B| ≈ (ku_used−1)·2³²/kth_union and
+    * |A∩B| ≈ match_cnt/ku_used · |A∪B| (floats left out per the
+    * avg-class ground rule). match_cnt has no false negatives: the
+    * union's kth hash is ≤ each side's kth hash, so any A∩B key cheap
+    * enough for the union sketch is present in both side sketches.
+    *
+    * Scale design: the only input-sized work is [[sketch]]'s distinct
+    * shuffle + rank window; everything after runs on the kept frame
+    * (≤ |groups|·k rows, persisted — it feeds the pair tagging twice
+    * plus the per-side stats, and AQE's runtime broadcast conversion
+    * would otherwise re-execute it per consumer). The pair dimension is
+    * a theta self-join of the distinct group list (|groups|² pairs of a
+    * LIST, not of data rows).
+    */
+  def overlapComponents(df: DataFrame, grpCol: String, keyCol: String,
+                        k: Int, seed: Long = 2654435769L): DataFrame = {
+    require(k >= 2 && k <= 65536, "k: 2..65536")
+    val keys = df.select(col(grpCol).as("g"), col(keyCol).cast("long").as("_k"))
+      .filter(col("_k").isNotNull)
+      .distinct()
+      .withColumn("_h", hash32(col("_k"), seed))
+    val w = Window.partitionBy("g").orderBy(col("_h"), col("_k"))
+    val kept = keys.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select("g", "_h", "_k")
+      .persist()
+    val groups = kept.select("g").distinct()
+    val pairs = groups.as("a").join(groups.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("ga"), col("b.g").as("gb"))
+    // tag each kept row into every pair it participates in (two equi
+    // joins, no OR-condition nested-loop), then collapse keys present
+    // in both sides' sketches
+    val tagged = kept.join(pairs, col("g") === col("ga"))
+      .select(col("ga"), col("gb"), col("_h"), col("_k"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+      .unionByName(kept.join(pairs, col("g") === col("gb"))
+        .select(col("ga"), col("gb"), col("_h"), col("_k"),
+          lit(0L).as("in_a"), lit(1L).as("in_b")))
+    val uni = tagged.groupBy("ga", "gb", "_h", "_k")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    val wu = Window.partitionBy("ga", "gb").orderBy(col("_h"), col("_k"))
+    val survivors = uni.withColumn("_rn", row_number().over(wu))
+      .filter(col("_rn") <= k)
+    val uagg = survivors.groupBy("ga", "gb")
+      .agg(count(lit(1)).cast("long").as("ku_used"),
+        max("_h").as("kth_union"),
+        sum(col("in_a") * col("in_b")).cast("long").as("match_cnt"))
+    val side = kept.groupBy("g")
+      .agg(count(lit(1)).cast("long").as("k_used"), max("_h").as("kth_hash"))
+    uagg
+      .join(side.select(col("g").as("ga"), col("k_used").as("ka_used"),
+        col("kth_hash").as("kth_a")), "ga")
+      .join(side.select(col("g").as("gb"), col("k_used").as("kb_used"),
+        col("kth_hash").as("kth_b")), "gb")
+      .select(col("ga"), col("gb"), col("ka_used"), col("kth_a"),
+        col("kb_used"), col("kth_b"), col("ku_used"), col("kth_union"),
+        col("match_cnt"))
+  }
 }

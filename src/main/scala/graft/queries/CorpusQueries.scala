@@ -80,6 +80,33 @@ object CorpusQueries {
       Repetition.boilerplateCoverage(Tables.documents(s, d), "doc_id", "text",
         n = 3, denom = 20)
         .orderBy("doc_id")
+    },
+
+    // Sliding token-window chunking (operators/Chunker): window 40,
+    // stride 30 — overlapping LLM training windows with integer
+    // offsets. The oracle restates the chunk schedule (count, starts,
+    // clamped lengths) and re-slices the text with DuckDB's own list
+    // machinery, so the schedule arithmetic AND the span extraction are
+    // both cross-checked.
+    QueryDef.sql("q210_chunk_windows",
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, CASE WHEN n <= 40 THEN 0
+        |      ELSE (n - 40 + 29) // 30 END)) AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 30 + 1 AS BIGINT) AS start_pos,
+        |  CAST(least(40, n - chunk_id * 30) AS BIGINT) AS chunk_len,
+        |  array_to_string(list_slice(toks, chunk_id * 30 + 1,
+        |    chunk_id * 30 + least(40, n - chunk_id * 30)), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      graft.operators.Chunker.slidingChunks(
+        Tables.documents(s, d), "doc_id", "text", window = 40, stride = 30)
+        .orderBy("doc_id", "chunk_id")
     }
   )
 }

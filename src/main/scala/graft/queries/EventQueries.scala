@@ -1165,6 +1165,111 @@ object EventQueries {
         .select(col("window_start_ms"), col("n"), col("p").cast("long").as("p"),
           col("est"))
         .orderBy("window_start_ms", "p")
+    },
+
+    // Pairwise KMV set-overlap (Kmv.overlapComponents): audience
+    // overlap between every pair of event types' distinct user sets,
+    // from sketches alone — each side's (k_used, kth), the union
+    // sketch, and the both-sides match count; |A∩B| follows without
+    // joining the raw sets. The oracle rebuilds the identical sketches
+    // in SQL (q162's hash chain), enumerates pairs by theta join, and
+    // re-derives the union survivors + match counts independently.
+    QueryDef.sql("q211_kmv_overlap",
+      """WITH keys AS (
+        |  SELECT DISTINCT event_type AS g, user_id AS k FROM events
+        |  WHERE user_id IS NOT NULL),
+        |h0 AS (SELECT g, k, xor(k & 4294967295, 2654435769) AS x FROM keys),
+        |h1 AS (SELECT g, k, xor(x, (x << 13) & 4294967295) AS x FROM h0),
+        |h2 AS (SELECT g, k, xor(x, x >> 17) AS x FROM h1),
+        |h3 AS (SELECT g, k, xor(xor(x, (x << 5) & 4294967295), 2246822507) AS x FROM h2),
+        |h4 AS (SELECT g, k, xor(x, (x << 13) & 4294967295) AS x FROM h3),
+        |h5 AS (SELECT g, k, xor(x, x >> 17) AS x FROM h4),
+        |h6 AS (SELECT g, k, xor(x, (x << 5) & 4294967295) AS x FROM h5),
+        |kept AS (
+        |  SELECT g, x, k FROM (
+        |    SELECT g, x, k,
+        |      row_number() OVER (PARTITION BY g ORDER BY x, k) AS rn
+        |    FROM h6) WHERE rn <= 128),
+        |side AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS k_used, max(x) AS kth
+        |  FROM kept GROUP BY 1),
+        |gs AS (SELECT DISTINCT g FROM kept),
+        |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g),
+        |tagged AS (
+        |  SELECT p.ga, p.gb, t.x, t.k,
+        |    max(CASE WHEN t.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN t.g = p.gb THEN 1 ELSE 0 END) AS in_b
+        |  FROM kept t JOIN pairs p ON t.g = p.ga OR t.g = p.gb
+        |  GROUP BY 1, 2, 3, 4),
+        |surv AS (
+        |  SELECT * FROM (
+        |    SELECT ga, gb, x, in_a, in_b,
+        |      row_number() OVER (PARTITION BY ga, gb ORDER BY x, k) AS rn
+        |    FROM tagged) WHERE rn <= 128),
+        |uagg AS (
+        |  SELECT ga, gb, CAST(count(*) AS BIGINT) AS ku_used,
+        |    max(x) AS kth_union,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS match_cnt
+        |  FROM surv GROUP BY 1, 2)
+        |SELECT ga, gb, sa.k_used AS ka_used, sa.kth AS kth_a,
+        |  sb.k_used AS kb_used, sb.kth AS kth_b,
+        |  ku_used, kth_union, match_cnt
+        |FROM uagg JOIN side sa ON sa.g = ga JOIN side sb ON sb.g = gb
+        |ORDER BY ga, gb""".stripMargin) { (s, d) =>
+      graft.operators.Kmv.overlapComponents(
+        Tables.events(s, d).select(col("event_type"), col("user_id")),
+        "event_type", "user_id", k = 128)
+        .orderBy("ga", "gb")
+    },
+
+    // Lag-1 autocorrelation components of each event type's daily
+    // value series: the exact Pearson moments (q184 discipline) over
+    // CALENDAR-adjacent day pairs — the pairing is an equi self-join on
+    // (type, day = prev_day + 1), q178's adjacency machinery, NOT a lag
+    // window (which would pair across gaps). Daily cents are aggregates
+    // → pre-cast DECIMAL(19,0) before squaring (q185 rule); wide
+    // accumulators exit as digit strings.
+    QueryDef.sql("q213_autocorr_lag1",
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type, a.cents AS x, b.cents AS y
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND b.day = a.day + 1)
+        |SELECT event_type, count(*) AS n_pairs,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+        |    AS VARCHAR) AS sxx,
+        |  CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |    AS VARCHAR) AS syy,
+        |  CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |    AS VARCHAR) AS sxy
+        |FROM pairs GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast("long").as("day"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+      daily.as("a")
+        .join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.day") === col("a.day") + 1L)
+        .select(col("a.event_type").as("event_type"),
+          col("a.cents").as("x"), col("b.cents").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(dec(col("x")) * dec(col("x"))).cast("string").as("sxx"),
+          sum(dec(col("y")) * dec(col("y"))).cast("string").as("syy"),
+          sum(dec(col("x")) * dec(col("y"))).cast("string").as("sxy"))
+        .orderBy("event_type")
     }
   )
 }

@@ -1962,6 +1962,56 @@ object RelationalQueries {
           element_at(col("sk.qs"), 3).as("q75"),
           element_at(col("sk.qs"), 4).as("q95"))
         .orderBy("grp")
+    },
+
+    // CUSUM changepoint (operators/Changepoint): per nation, the order
+    // day where cumulative revenue deviates most from uniform growth —
+    // max |n·S_i − i·S_n| cross-multiplied all-integer (no float i/n),
+    // products DECIMAL(19,0)² (q185 pre-cast rule), peak stat exits as
+    // a digit string. One nation-keyed exchange carries all four window
+    // frames + the peak filter.
+    QueryDef.sql("q212_cusum_changepoint",
+      """WITH cn AS (
+        |  SELECT c_custkey, n_name
+        |  FROM customer JOIN nation ON n_nationkey = c_nationkey),
+        |daily AS (
+        |  SELECT n_name AS grp, o_orderdate AS ord,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders JOIN cn ON c_custkey = o_custkey
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT grp, ord,
+        |    row_number() OVER (PARTITION BY grp ORDER BY ord) AS i,
+        |    CAST(sum(v) OVER (PARTITION BY grp ORDER BY ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+        |    count(*) OVER (PARTITION BY grp) AS n,
+        |    CAST(sum(v) OVER (PARTITION BY grp) AS BIGINT) AS tot
+        |  FROM daily),
+        |st AS (
+        |  SELECT grp, ord, n, tot,
+        |    abs(CAST(n AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))
+        |      - CAST(i AS DECIMAL(19,0)) * CAST(tot AS DECIMAL(19,0))) AS stat
+        |  FROM w),
+        |mx AS (SELECT grp, max(stat) AS m FROM st GROUP BY 1)
+        |SELECT st.grp AS nation, CAST(max(st.n) AS BIGINT) AS n_days,
+        |  max(st.tot) AS total_cents, min(st.ord) AS peak_day,
+        |  CAST(max(st.stat) AS VARCHAR) AS peak_stat
+        |FROM st JOIN mx ON st.grp = mx.grp AND st.stat = mx.m
+        |GROUP BY 1 ORDER BY nation""".stripMargin) { (s, d) =>
+      val cn = customer(s, d)
+        .join(nation(s, d), col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val daily = orders(s, d)
+        .join(broadcast(cn), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("n_name"), col("o_orderdate"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+      graft.operators.Changepoint.cusumArgmax(daily, "n_name", "o_orderdate", "cents")
+        .select(col("grp").as("nation"), col("n_points").as("n_days"),
+          col("total").as("total_cents"), col("peak_ord").as("peak_day"),
+          col("peak_stat"))
+        .orderBy("nation")
     }
   )
 }
