@@ -1270,6 +1270,41 @@ object EventQueries {
           sum(dec(col("y")) * dec(col("y"))).cast("string").as("syy"),
           sum(dec(col("x")) * dec(col("y"))).cast("string").as("sxy"))
         .orderBy("event_type")
+    },
+
+    // Per-window HyperLogLog registers (operators/HllAgg via
+    // streaming/SketchStreams.windowedHll): distinct users per 5-min
+    // window from ONE 256-byte buffer per window — the industry-
+    // standard distinct sketch with cross-engine-reproducible
+    // registers: Kmv.hash32 chain, idx = low 8 bits, rank = 25 −
+    // bit-length of the top 24 bits (q187's length(bin()) device — no
+    // float log2). The oracle rebuilds every register in SQL and
+    // hash-matches the nonzero ones exactly. Batch frame of the
+    // streaming code (HllSpec proves streaming ≡ batch ≡ plan form).
+    QueryDef.sql("q214_window_hll",
+      """WITH e AS (
+        |  SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS w,
+        |    user_id AS k
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h0 AS (SELECT w, k, xor(k & 4294967295, 2654435769) AS x FROM e),
+        |h1 AS (SELECT w, k, xor(x, (x << 13) & 4294967295) AS x FROM h0),
+        |h2 AS (SELECT w, k, xor(x, x >> 17) AS x FROM h1),
+        |h3 AS (SELECT w, k, xor(xor(x, (x << 5) & 4294967295), 2246822507) AS x FROM h2),
+        |h4 AS (SELECT w, k, xor(x, (x << 13) & 4294967295) AS x FROM h3),
+        |h5 AS (SELECT w, k, xor(x, x >> 17) AS x FROM h4),
+        |h6 AS (SELECT w, k, xor(x, (x << 5) & 4294967295) AS x FROM h5),
+        |ir AS (
+        |  SELECT w, x & 255 AS idx,
+        |    CASE WHEN (x >> 8) = 0 THEN 25
+        |         ELSE 25 - length(bin(x >> 8)) END AS rank
+        |  FROM h6)
+        |SELECT w AS window_start_ms, CAST(idx AS BIGINT) AS idx,
+        |  CAST(max(rank) AS BIGINT) AS reg
+        |FROM ir GROUP BY 1, 2 ORDER BY window_start_ms, idx""".stripMargin) { (s, d) =>
+      graft.streaming.SketchStreams.windowedHll(
+        Tables.events(s, d).filter(col("user_id").isNotNull),
+        "ts", "user_id", p = 8, windowDur = "5 minutes")
+        .orderBy("window_start_ms", "idx")
     }
   )
 }

@@ -2168,6 +2168,56 @@ object PipelineQueries {
         .select(col("n_name"), col("day"))
       graft.operators.Streaks.dailyStreaks(breach, "n_name", "day")
         .orderBy("n_name")
+    },
+
+    // Equi-depth vector quantization + quantized ANN
+    // (operators/VecQuant): per-dim RANK-based codebooks (values at
+    // discrete ranks ⌈n·j/8⌉ — integer-exact where affine int8
+    // round() would flake), per-vector integer codes, and code-space
+    // L1 top-5 for three query vectors. The oracle rebuilds codebooks,
+    // codes, and distances independently in SQL — the whole quantizer
+    // is gated, not just the ranking.
+    QueryDef.sql("q215_vec_quant_topk",
+      """WITH x AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings),
+        |r AS (
+        |  SELECT vec_id, dim, val,
+        |    row_number() OVER (PARTITION BY dim ORDER BY val, vec_id) AS rn,
+        |    count(*) OVER (PARTITION BY dim) AS cnt
+        |  FROM x),
+        |b AS (
+        |  SELECT dim, val AS bound FROM r
+        |  WHERE rn = (cnt * 1 + 7) // 8 OR rn = (cnt * 2 + 7) // 8
+        |     OR rn = (cnt * 3 + 7) // 8 OR rn = (cnt * 4 + 7) // 8
+        |     OR rn = (cnt * 5 + 7) // 8 OR rn = (cnt * 6 + 7) // 8
+        |     OR rn = (cnt * 7 + 7) // 8),
+        |codes AS (
+        |  SELECT x.vec_id, x.dim,
+        |    CAST(count(*) FILTER (WHERE b.bound <= x.val) AS BIGINT) AS code
+        |  FROM x JOIN b ON b.dim = x.dim
+        |  GROUP BY 1, 2),
+        |q AS (
+        |  SELECT vec_id AS query_id, dim, code AS qc
+        |  FROM codes WHERE vec_id < 3),
+        |dist AS (
+        |  SELECT q.query_id, c.vec_id AS corpus_id,
+        |    CAST(sum(abs(q.qc - c.code)) AS BIGINT) AS l1_dist
+        |  FROM codes c JOIN q ON q.dim = c.dim AND c.vec_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, l1_dist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY l1_dist, corpus_id) AS rank
+        |  FROM dist)
+        |SELECT query_id, corpus_id, l1_dist, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      graft.operators.VecQuant.quantizedTopK(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        buckets = 8, isQuery = col("vec_id") < 3, k = 5)
+        .orderBy("query_id", "rank")
     }
   )
 

@@ -125,4 +125,35 @@ object SketchStreams {
                      watermark: String = "10 minutes"): DataFrame =
     windowedQuantiles(events.withWatermark(tsCol, watermark),
       tsCol, valueCol, k, levels, probesPerMille, windowDur)
+
+  /** Per-event-time-window HyperLogLog registers
+    * ([[graft.operators.HllAgg]]): distinct-per-window with ONE
+    * 2^p-byte buffer per open window — constant state independent of
+    * window cardinality, the cheapest of the distinct sketches (vs
+    * [[windowedKmv]]'s k·16-byte pair buffer). Register merge is
+    * elementwise max — idempotent AND order-independent, so duplicates,
+    * partitioning and micro-batch slicing all yield identical bytes
+    * (HllSpec proves streaming ≡ batch ≡ the [[graft.operators.Hll]]
+    * plan form); q214 gates the batch frame against a DuckDB oracle
+    * rebuilding the registers in SQL. Emits the nonzero registers as
+    * rows. */
+  def windowedHll(events: DataFrame, tsCol: String, keyCol: String,
+                  p: Int, windowDur: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), windowDur).as("win"))
+      .agg(graft.operators.HllAgg.hll_registers(col(keyCol).cast("long"), p)
+        .as("regs"))
+      .select(unix_millis(col("win.start")).as("window_start_ms"),
+        posexplode(col("regs")).as(Seq("idx", "reg")))
+      .filter(col("reg") > 0L)
+      .select(col("window_start_ms"), col("idx").cast("long").as("idx"),
+        col("reg"))
+
+  /** Streaming entry for [[windowedHll]]: watermark bounds the open-
+    * window set, hence the total state (2^p bytes per window). */
+  def hllStream(events: DataFrame, tsCol: String, keyCol: String,
+                p: Int, windowDur: String = "5 minutes",
+                watermark: String = "10 minutes"): DataFrame =
+    windowedHll(events.withWatermark(tsCol, watermark),
+      tsCol, keyCol, p, windowDur)
 }
