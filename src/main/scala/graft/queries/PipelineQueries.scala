@@ -2218,6 +2218,56 @@ object PipelineQueries {
         Tables.embeddings(s, d), "vec_id", "embedding",
         buckets = 8, isQuery = col("vec_id") < 3, k = 5)
         .orderBy("query_id", "rank")
+    },
+
+    // Perceptual image near-dup (operators/ImageHash): integer aHash
+    // over the REAL PPM decode — cross-multiplied mean bits, SimHash
+    // pigeonhole candidate join, exact Hamming ≤ 3. The decode's block
+    // sums are aux-shared; the oracle re-derives bits → segments →
+    // candidates → Hamming entirely in SQL, so the whole post-decode
+    // pipeline (incl. pigeonhole losslessness on this corpus) is gated.
+    QueryDef.sql("q216_image_ahash",
+      """WITH blocks AS (
+        |  SELECT * FROM read_parquet('__AUX__/q216_blocks/*.parquet')),
+        |tot AS (
+        |  SELECT media_id, sum(bsum) AS tsum, sum(bcnt) AS tcnt
+        |  FROM blocks GROUP BY 1),
+        |bits AS (
+        |  SELECT b.media_id, b.block,
+        |    CASE WHEN b.bcnt > 0 AND b.bsum * t.tcnt >= t.tsum * b.bcnt
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM blocks b JOIN tot t USING (media_id)),
+        |segs AS (
+        |  SELECT media_id, block // 16 AS seg,
+        |    sum(bit << CAST(block % 16 AS INT)) AS segval
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+        |  FROM segs x JOIN segs y
+        |    ON x.seg = y.seg AND x.segval = y.segval
+        |   AND x.media_id < y.media_id),
+        |ham AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(sum(abs(ba.bit - bb.bit)) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bits ba ON ba.media_id = c.id_a
+        |  JOIN bits bb ON bb.media_id = c.id_b AND bb.block = ba.block
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val media = Multimodal.syntheticMedia(s, Tables.documents(s, d),
+        "doc_id", "text").filter(col("kind") === "image")
+      // the realistic near-dup population: every frame also appears
+      // 2×-upscaled (same content, different resolution) — exactly the
+      // variation grid-mean hashing exists to catch and raw-byte dedup
+      // cannot (ids offset by 10^7 to keep the pair space honest)
+      val up = Multimodal.transcode(media, 32, 32, 1)
+        .select((col("media_id") + 10000000L).as("media_id"), col("content"))
+      val all = media.select(col("media_id"), col("content")).unionByName(up)
+      val blocks = Aux.share(
+        graft.operators.ImageHash.blockSums(all), d, "q216_blocks")
+      graft.operators.ImageHash.nearDupPairs(blocks, maxHamming = 3)
+        .orderBy("id_a", "id_b")
     }
   )
 
