@@ -644,6 +644,43 @@ object BenchScale {
             probes = Seq(1L, 2L, 3L, 5L)).as("sk"))
           .count()
       },
+      "chunker" -> { k =>
+        // pure row-local explode — should track the scan exactly
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        graft.operators.Chunker.slidingChunks(d, "doc_id", "text", 40, 30).count()
+      },
+      "hll_registers" -> { k =>
+        // per-type register vectors: constant 256-long output per group,
+        // map-side combined — runtime tracks the scan
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        e.groupBy("event_type")
+          .agg(graft.operators.HllAgg.hll_registers(col("user_id"), 8).as("r"))
+          .count()
+      },
+      "kmv_overlap" -> { k =>
+        // cloned users give k× distinct (type, user) pairs — the input-
+        // sized distinct shuffle; everything after runs on ≤|types|·k
+        // kept rows
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        graft.operators.Kmv.overlapComponents(e, "event_type", "user_id", 128)
+          .count()
+      },
+      "gram" -> { k =>
+        // fixed 2080-key groupBy under a k× scan; the D² fan-out is
+        // row-local and partial aggregation collapses it map-side
+        val em = spark.read.parquet(s"$scratch/k$k/embeddings.parquet")
+        val x = em.select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("i", "v")))
+          .select(col("vec_id"), col("i").cast("long").as("i"),
+            floor(col("v").cast("double") * 1000000d).cast("long").as("v"))
+        x.as("a").join(x.as("b"),
+            col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+          .select(col("a.i").as("i"), col("b.i").as("j"),
+            (col("a.v") * col("b.v")).as("p"))
+          .groupBy("i", "j")
+          .agg(sum(col("p").cast("decimal(38,0)")).cast("string").as("dot"))
+          .count()
+      },
       "repetition" -> { k =>
         // per-doc gram counting: salted copies have disjoint grams, so
         // the (doc, gram) shuffle key space grows k× with the scan —

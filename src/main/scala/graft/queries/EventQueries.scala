@@ -1305,6 +1305,56 @@ object EventQueries {
         Tables.events(s, d).filter(col("user_id").isNotNull),
         "ts", "user_id", p = 8, windowDur = "5 minutes")
         .orderBy("window_start_ms", "idx")
+    },
+
+    // Seasonal-naive backtest (MASE components): per event type, the
+    // absolute-error sums of the week-ago forecast (x̂_d = x_{d−7})
+    // next to the naive-1 scaling denominator (|x_d − x_{d−1}|) — the
+    // standard forecast-accuracy scaffold, all-integer. Both pairings
+    // are CALENDAR equi self-joins on (type, day = prev + lag) — q178's
+    // adjacency machinery, never a lag window (which would pair across
+    // gaps). The float MASE ratio is determined by the four integers
+    // and left to the consumer.
+    QueryDef.sql("q217_seasonal_backtest",
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |e7 AS (
+        |  SELECT a.event_type, count(*) AS n7,
+        |    CAST(sum(abs(b.cents - a.cents)) AS BIGINT) AS abs_err7
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND b.day = a.day + 7
+        |  GROUP BY 1),
+        |e1 AS (
+        |  SELECT a.event_type, count(*) AS n1,
+        |    CAST(sum(abs(b.cents - a.cents)) AS BIGINT) AS abs_err1
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND b.day = a.day + 1
+        |  GROUP BY 1)
+        |SELECT event_type, n7, abs_err7, n1, abs_err1
+        |FROM e7 JOIN e1 USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast("long").as("day"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+        .persist() // feeds both lag pairings
+      def lagErr(lag: Int, nName: String, eName: String) =
+        daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("b.day") === col("a.day") + lag.toLong)
+          .groupBy(col("a.event_type").as("event_type"))
+          .agg(count(lit(1)).as(nName),
+            sum(abs(col("b.cents") - col("a.cents"))).as(eName))
+      lagErr(7, "n7", "abs_err7")
+        .join(lagErr(1, "n1", "abs_err1"), "event_type")
+        .orderBy("event_type")
     }
   )
 }

@@ -2268,6 +2268,42 @@ object PipelineQueries {
         graft.operators.ImageHash.blockSums(all), d, "q216_blocks")
       graft.operators.ImageHash.nearDupPairs(blocks, maxHamming = 3)
         .orderBy("id_a", "id_b")
+    },
+
+    // Exact integer Gram matrix of the embedding corpus — X^T X, the
+    // covariance/PCA/linear-probe prep — over ×10^6 floor-quantized
+    // values (floor is boundary-safe where round() is not; the ×10^6
+    // multiply is IEEE-exact identical on both engines). Upper triangle
+    // only; per-cell products fit BIGINT, the corpus-sized SUM is
+    // pre-cast DECIMAL(38,0) (q184/q185 rule — at 10^9 vectors a BIGINT
+    // accumulator overflows and ANSI throws) and exits as a digit
+    // string. Plan: one explode + equi self-join on vec_id (row-local
+    // D² fan-out), then a 2080-key groupBy — partial aggregation
+    // collapses map-side, so the shuffle carries |D|² rows per
+    // partition, not the corpus.
+    QueryDef.sql("q218_gram_matrix",
+      """WITH x AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS i,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.i AS i, b.i AS j, a.v * b.v AS p
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i)
+        |SELECT i, j, count(*) AS n,
+        |  CAST(sum(CAST(p AS DECIMAL(38,0))) AS VARCHAR) AS dot
+        |FROM pairs GROUP BY 1, 2 ORDER BY i, j""".stripMargin) { (s, d) =>
+      val x = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("vec_id"), col("i").cast("long").as("i"),
+          floor(col("v").cast("double") * 1000000d).cast("long").as("v"))
+      x.as("a").join(x.as("b"),
+          col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+        .select(col("a.i").as("i"), col("b.i").as("j"),
+          (col("a.v") * col("b.v")).as("p"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p").cast("decimal(38,0)")).cast("string").as("dot"))
+        .orderBy("i", "j")
     }
   )
 
