@@ -125,4 +125,42 @@ object GraphStats {
       .agg(count(lit(1)).as("m"),
         sum(coalesce(col("_m"), lit(0L))).as("m_mutual"))
   }
+
+  /** Common-neighbor link prediction: the top-`topK` NON-edges (a < b)
+    * ranked by how many neighbors they share — the classic
+    * candidate-generation pass before a learned ranker. Output:
+    * (a, b, cn), ordered by (cn desc, a, b).
+    *
+    * Scale design: two-hop paths are generated only through middle
+    * nodes of degree ≤ `hubCap`, the standard hub-suppression trick —
+    * a celebrity middle contributes deg² candidate pairs and near-zero
+    * signal (sharing a hub is weak evidence), so capping bounds the
+    * join at Σ_{deg(m)≤cap} deg(m)² ≤ cap·|E| while keeping every
+    * non-hub witness exact. The cap is part of the operator's
+    * SEMANTICS (cn counts low-degree witnesses only), so the oracle
+    * applies the identical cap — not a lossy approximation being
+    * papered over. Candidate pairs are partially aggregated map-side
+    * before the (a,b)-keyed shuffle; existing edges leave via one
+    * anti join; top-k is TakeOrdered (no global window). Input must be
+    * symmetric (feed both directions). */
+  def linkPrediction(edges: DataFrame, hubCap: Long, topK: Int): DataFrame = {
+    // normalized frame feeds three consumers (degree count + both join
+    // sides + the anti join) — persist per the AQE ReuseExchange rule
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist()
+    val deg = e.groupBy(col("src").as("m")).agg(count(lit(1)).as("deg"))
+    val mid = deg.filter(col("deg") <= hubCap).select("m")
+    val thru = e.select(col("dst").as("m"), col("src").as("a"))
+      .join(mid, "m")
+    val pairs = thru
+      .join(e.select(col("src").as("m"), col("dst").as("b")), "m")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    pairs.join(e.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+      .orderBy(col("cn").desc, col("a"), col("b"))
+      .limit(topK)
+  }
 }

@@ -90,4 +90,28 @@ object Repetition {
       .select(col("doc_id"), col("tok_cnt"),
         coalesce(col("bp_hits"), lit(0L)).as("bp_hits"))
   }
+
+  /** Cross-source contamination matrix: for every pair of sources
+    * (src_a < src_b), how many DISTINCT token n-grams they share — the
+    * corpus-health audit run before mixing crawls/dumps (a high count
+    * means one source republishes the other, so per-source dedup stats
+    * and mixture weights double-count). Output (src_a, src_b, shared),
+    * ordered; non-overlapping pairs are absent.
+    *
+    * Scale design: the gram stream collapses to DISTINCT (source, gram)
+    * FIRST (map-side combined; ≤ one row per source per gram), so the
+    * posting self-join's per-gram fan-out is bounded by #sources² —
+    * #sources is catalog-sized (thousands), never corpus-sized — and
+    * the pair agg combines map-side. The distinct frame is persisted
+    * because the self-join consumes it twice (AQE ReuseExchange rule). */
+  def crossSourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    val g = grams(docs, srcCol, textCol, n).distinct()
+      .withColumnRenamed("id", "source").persist()
+    g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -2304,6 +2304,178 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("p").cast("decimal(38,0)")).cast("string").as("dot"))
         .orderBy("i", "j")
+    },
+
+    // DSIR-style importance scoring (operators/Importance — public
+    // method, Xie et al. NeurIPS 2023): rank raw-pool documents by
+    // target-corpus resemblance with an exact-integer scaled-rate
+    // linear score over the top-512 vocabulary (target = lang='en').
+    // One token scan builds the V-row weight table (TakeOrdered cap,
+    // O(V) driver totals), a second scan broadcast-joins it and sums
+    // per doc. The oracle re-derives the identical weights with
+    // HUGEINT `//` (≡ decimal `div`, ImportanceSpec) and re-ranks.
+    QueryDef.sql("q219_importance_score",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+        |    lang = 'en' AS tgt
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        |cnt AS (
+        |  SELECT token,
+        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+        |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cnt_r
+        |  FROM tok2 GROUP BY 1),
+        |vocab AS (
+        |  SELECT * FROM cnt ORDER BY cnt_t + cnt_r DESC, token LIMIT 512),
+        |tot AS (
+        |  SELECT greatest(CAST(sum(cnt_t) AS BIGINT), 1) AS nt,
+        |    greatest(CAST(sum(cnt_r) AS BIGINT), 1) AS nr
+        |  FROM vocab),
+        |w AS (
+        |  SELECT token,
+        |    CAST(CAST(cnt_t AS HUGEINT) * 1000000000 // nt
+        |       - CAST(cnt_r AS HUGEINT) * 1000000000 // nr AS BIGINT) AS weight
+        |  FROM vocab, tot),
+        |sc AS (
+        |  SELECT t.doc_id, CAST(sum(w.weight) AS BIGINT) AS score,
+        |    count(*) AS n_hits
+        |  FROM tok2 t JOIN w USING (token) GROUP BY 1)
+        |SELECT doc_id, score, n_hits FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      import graft.operators.Importance
+      val docs = Tables.documents(s, d)
+      val vocab = Importance.vocabCounts(
+        docs, "doc_id", "text", col("lang") === "en", 512)
+      Importance.scores(docs, "doc_id", "text", Importance.weights(s, vocab))
+        .orderBy(col("score").desc, col("doc_id")).limit(100)
+    },
+
+    // Common-neighbor link prediction (GraphStats.linkPrediction) over
+    // the shared order-adjacency graph: top-100 non-edges by shared
+    // low-degree neighbors (hubCap 64 — part of the semantics, the
+    // oracle applies the identical cap). Two-hop join bounded at
+    // cap·|E|, anti join vs existing edges, TakeOrdered. All-integer.
+    QueryDef.sql("q220_link_prediction",
+      orderAdjSql +
+      """,
+        |sym AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT src AS m, count(*) AS deg FROM sym GROUP BY 1),
+        |cand AS (
+        |  SELECT x.src AS a, y.dst AS b, count(*) AS cn
+        |  FROM sym x
+        |  JOIN deg ON deg.m = x.dst AND deg.deg <= 64
+        |  JOIN sym y ON y.src = x.dst AND x.src < y.dst
+        |  GROUP BY 1, 2),
+        |nonedge AS (
+        |  SELECT a, b, cn FROM cand
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cand.a AND e.b = cand.b))
+        |SELECT a, b, cn FROM nonedge
+        |ORDER BY cn DESC, a, b LIMIT 100""".stripMargin) { (s, d) =>
+      val edges = orderAdjEdges(s, d)
+      val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      graft.operators.GraphStats.linkPrediction(sym, hubCap = 64, topK = 100)
+    },
+
+    // SemDeDup-style semantic dedup (operators/SemDedup — public
+    // method, Abbas et al. 2023): seed-centroid clustering + within-
+    // cluster cosine near-dup marking over ×10^6 floor-quantized
+    // embeddings, all-integer (assignment distances, norms, dots; the
+    // cross-multiplied cosine test pre-casts DECIMAL(38,0) before
+    // squaring — q185 rule). tau = 2/5: the synthetic 64-dim vectors
+    // max out near cos 0.49 within clusters, so 0.9 would never fire.
+    QueryDef.sql("q221_semantic_dedup",
+      """WITH x AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS seed FROM embeddings ORDER BY vec_id LIMIT 8),
+        |sq AS (SELECT s.seed, x.d, x.q AS sq FROM x JOIN seeds s ON x.vec_id = s.seed),
+        |dist AS (
+        |  SELECT x.vec_id, sq.seed, sum((x.q - sq.sq) * (x.q - sq.sq)) AS dist
+        |  FROM x JOIN sq ON x.d = sq.d GROUP BY 1, 2),
+        |md AS (SELECT vec_id, min(dist) AS m FROM dist GROUP BY 1),
+        |asg AS (SELECT d.vec_id, min(d.seed) AS cluster FROM dist d
+        |        JOIN md ON d.vec_id = md.vec_id AND d.dist = md.m GROUP BY 1),
+        |nrm AS (SELECT vec_id, sum(q * q) AS nrm FROM x GROUP BY 1),
+        |av AS (SELECT x.vec_id, x.d, x.q, a.cluster, n.nrm
+        |       FROM x JOIN asg a USING (vec_id) JOIN nrm n USING (vec_id)),
+        |dots AS (
+        |  SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb, a.nrm AS na,
+        |    b.nrm AS nb, sum(a.q * b.q) AS dot
+        |  FROM av a JOIN av b ON a.cluster = b.cluster AND a.d = b.d
+        |    AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |nd AS (SELECT DISTINCT vb FROM dots
+        |  WHERE dot > 0
+        |    AND 25 * CAST(dot AS HUGEINT) * dot >= 4 * CAST(na AS HUGEINT) * nb),
+        |drp AS (SELECT a.cluster AS cluster, count(*) AS n_dropped,
+        |          CAST(sum(a.vec_id) AS BIGINT) AS idsum
+        |        FROM asg a JOIN nd ON a.vec_id = nd.vb GROUP BY 1)
+        |SELECT a.cluster AS cluster, count(*) AS n_members,
+        |  coalesce(max(drp.n_dropped), 0) AS n_dropped,
+        |  coalesce(max(drp.idsum), 0) AS dropped_idsum
+        |FROM asg a LEFT JOIN drp ON a.cluster = drp.cluster
+        |GROUP BY 1 ORDER BY cluster""".stripMargin) { (s, d) =>
+      graft.operators.SemDedup.report(
+        Tables.embeddings(s, d), k = 8, tauNum = 2, tauDen = 5)
+    },
+
+    // Discriminative-vocabulary extraction (Importance
+    // .discriminativeTokens): per-token doc frequencies target vs rest
+    // + cross-multiplied |df_t·B − df_r·A| ranking — integer-exact
+    // keyword selection (target = lang='en').
+    QueryDef.sql("q222_discriminative_tokens",
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token,
+        |    lang = 'en' AS tgt
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        |tot AS (
+        |  SELECT count(DISTINCT CASE WHEN lang = 'en' THEN doc_id END) AS big_a,
+        |         count(DISTINCT CASE WHEN lang <> 'en' THEN doc_id END) AS big_b
+        |  FROM documents),
+        |df AS (
+        |  SELECT token,
+        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS df_t,
+        |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS df_r
+        |  FROM tok2 GROUP BY 1)
+        |SELECT token, df_t, df_r,
+        |  CAST(abs(CAST(df_t AS HUGEINT) * big_b - CAST(df_r AS HUGEINT) * big_a)
+        |    AS VARCHAR) AS score
+        |FROM df, tot
+        |ORDER BY abs(CAST(df_t AS HUGEINT) * big_b - CAST(df_r AS HUGEINT) * big_a)
+        |  DESC, token
+        |LIMIT 50""".stripMargin) { (s, d) =>
+      graft.operators.Importance.discriminativeTokens(
+        Tables.documents(s, d), "doc_id", "text", col("lang") === "en", 50)
+    },
+
+    // Cross-source 5-gram contamination matrix
+    // (Repetition.crossSourceOverlap): distinct shared grams per source
+    // pair — posting self-join whose per-gram fan-out is bounded by
+    // #sources², never corpus rows. Oracle builds grams the INDEPENDENT
+    // way (zipped unnests + lead windows, the q208 technique) vs the
+    // engine's transform/slice.
+    QueryDef.sql("q223_cross_source_overlap",
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        |      || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS gram
+        |  FROM toks
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok, 4) OVER w IS NOT NULL)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      graft.operators.Repetition.crossSourceOverlap(
+        Tables.documents(s, d), "source", "text", 5)
     }
   )
 

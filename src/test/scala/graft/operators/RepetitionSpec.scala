@@ -62,4 +62,40 @@ class RepetitionSpec extends AnyFunSuite {
     // doc 1 has 4 gram positions ("m n o", "n o m", "o m n", "m n o")
     assert(got == Map(1L -> 4L, 2L -> 1L))
   }
+
+  test("crossSourceOverlap: distinct shared grams per source pair") {
+    import spark.implicits._
+    val docs = Seq(
+      // s1/s2 share "a b c" (s1 carries it twice across docs — counted ONCE)
+      ("s1", "a b c d"), ("s1", "a b c"), ("s2", "a b c"),
+      // s2/s3 share "x y z"; s1/s3 share nothing
+      ("s2", "x y z"), ("s3", "x y z w")
+    ).toDF("source", "text")
+    val got = Repetition.crossSourceOverlap(docs, "source", "text", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("s1", "s2") -> 1L, ("s2", "s3") -> 1L))
+  }
+
+  test("crossSourceOverlap matches a driver brute force on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val words = Vector("a", "b", "c", "d", "e")
+    val docs = (1 to 40).map { _ =>
+      val src = s"s${rnd.nextInt(4)}"
+      src -> Seq.fill(3 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    def gramsOf(t: String) =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val bySrc = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.map(d => gramsOf(d._2)).foldLeft(Set.empty[String])(_ ++ _)
+    }
+    val expected = (for {
+      a <- bySrc.keys; b <- bySrc.keys if a < b
+      n = bySrc(a).intersect(bySrc(b)).size if n > 0
+    } yield (a, b) -> n.toLong).toMap
+    val got = Repetition.crossSourceOverlap(docs.toDF("source", "text"),
+        "source", "text", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class SemDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def df(vs: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    vs.toDF("vec_id", "embedding")
+  }
+
+  test("hand case: assignment, threshold, and smallest-id survivor") {
+    // seeds (k=2) are vec 0 = (1,0) and vec 1 = (0,1).
+    // vec 2 = (0.9, 0.1): nearer seed 0; cos(2,0) = 0.9/sqrt(0.82) ≈ 0.994
+    // vec 3 = (-1, 0):    nearer seed 0 (dist 4 vs 2... no: to seed0 (−2)²=4,
+    //                     to seed1 1+1=2 → cluster 1); cos vs seed1 = 0 → kept
+    // vec 4 = (0.1, 0.95): cluster 1; cos(4,1) ≈ 0.9945 → dropped
+    val got = SemDedup.report(df(Seq(
+        0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),
+        2L -> Seq(0.9f, 0.1f), 3L -> Seq(-1f, 0f), 4L -> Seq(0.1f, 0.95f))),
+      k = 2, tauNum = 9, tauDen = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(0L -> ((2L, 1L, 2L)), 1L -> ((3L, 1L, 4L))))
+  }
+
+  test("assignment tie goes to the smaller seed id") {
+    // vec 2 is equidistant from both seeds
+    import spark.implicits._
+    val got = SemDedup.report(df(Seq(
+        0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f), 2L -> Seq(0.5f, 0.5f))),
+      k = 2, tauNum = 99, tauDen = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 1L))
+  }
+
+  test("random vectors match a driver-side brute force") {
+    val rnd = new scala.util.Random(11)
+    val vs = (0L until 60L).map { i =>
+      i -> Seq.fill(6)((rnd.nextDouble() - 0.5).toFloat)
+    }
+    val k = 4
+    val (tauNum, tauDen) = (8L, 10L)
+    // brute force on the identical quantization
+    val q = vs.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * SemDedup.Scale).toLong)
+    }.toMap
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seeds = (0L until k.toLong)
+    val cluster = q.map { case (id, e) =>
+      id -> seeds.minBy(s => (d2(e, q(s)), s))
+    }
+    val nrm = q.map { case (id, e) => id -> e.map(x => x * x).sum }
+    val dropped = q.keys.filter { b =>
+      q.keys.exists { a =>
+        a < b && cluster(a) == cluster(b) && {
+          val dot = q(a).zip(q(b)).map { case (x, y) => x * y }.sum
+          dot > 0 && BigInt(tauDen * tauDen) * BigInt(dot) * BigInt(dot) >=
+            BigInt(tauNum * tauNum) * BigInt(nrm(a)) * BigInt(nrm(b))
+        }
+      }
+    }.toSet
+    val expected = cluster.groupBy(_._2).map { case (c, m) =>
+      val ids = m.keys.toSeq
+      val drp = ids.filter(dropped)
+      c -> ((ids.size.toLong, drp.size.toLong, drp.sum))
+    }
+    val got = SemDedup.report(df(vs), k, tauNum, tauDen)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+}

@@ -41,7 +41,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "q82_ranked_retrieval",   // posting rows × 1-row (N, Σdl) stats
     "q135_collocations",      // pair rows × 1-row corpus-total broadcast
     "q139_assoc_rules",       // pair rows × 1-row basket-total broadcast
-    "q140_contingency")       // cells × 1-row grand-total broadcast
+    "q140_contingency",       // cells × 1-row grand-total broadcast
+    "q222_discriminative_tokens") // token dfs × 1-row (A, B) doc totals
 
   private lazy val optimized: Map[String, LogicalPlan] =
     graft.SparkEntry.queries.map { case (name, fn) =>
