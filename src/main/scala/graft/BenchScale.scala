@@ -705,6 +705,48 @@ object BenchScale {
             col("zk").cast("string"), k = 8).as("mg"))
           .count()
       },
+      "semdedup_assign" -> { k =>
+        // the linear stage of SemDeDup: one explode + fixed-8-seed
+        // broadcast join + two map-side-combined aggs. The within-
+        // cluster pair join is deliberately NOT in this family: its
+        // cost is the paper's intended budget with k_seeds ∝ n as the
+        // knob, and the k× fixture clones vectors VERBATIM, which
+        // would measure the degenerate all-identical worst case, not
+        // the operator
+        val em = spark.read.parquet(s"$scratch/k$k/embeddings.parquet")
+        graft.operators.SemDedup.assignments(em, 8).count()
+      },
+      "linkpred" -> { k =>
+        // bfs's k×-users / fixed-hubs bipartite graph: hubs outgrow
+        // the cap and stop being middles, users keep constant degree —
+        // candidate pairs track Σ_{deg≤cap} deg² = users·const, linear
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val pair = e.select(col("user_id").as("c"),
+          (col("event_id") % 1000).as("s")).distinct()
+        val edges = pair.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+          .unionByName(pair.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+        graft.operators.GraphStats.linkPrediction(edges, hubCap = 64, topK = 100)
+          .count()
+      },
+      "importance" -> { k =>
+        // two token scans; the vocab cap keeps the weight table at 512
+        // rows regardless of the k× (salted, disjoint) token space, so
+        // the broadcast join payload is constant
+        val dd = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        val v = graft.operators.Importance.vocabCounts(
+          dd, "doc_id", "text", col("doc_id") % 2 === 0, 512)
+        graft.operators.Importance.scores(dd, "doc_id", "text",
+          graft.operators.Importance.weights(spark, v)).count()
+      },
+      "overlap" -> { k =>
+        // synthetic sources spread clones; salted clones make grams
+        // disjoint, so distinct (source, gram) grows with the scan and
+        // per-gram join fan-out stays bounded by the source count
+        val dd = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+          .withColumn("source", (col("doc_id") % 97).cast("string"))
+        graft.operators.Repetition.crossSourceOverlap(dd, "source", "text", 5)
+          .count()
+      },
     )
 
     // dev-only family filter (SPARK_GRAFT_SCALE_ONLY=bfs,components_star)

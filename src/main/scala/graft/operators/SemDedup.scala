@@ -41,24 +41,62 @@ object SemDedup {
       .select(col("vec_id"), col("d").cast("long").as("d"),
         floor(col("x").cast("double") * Scale.toDouble).cast("long").as("q"))
 
-  /** Per-cluster dedup report: (cluster, n_members, n_dropped,
-    * dropped_idsum), cluster = seed vec_id, dropped = members with a
-    * near-dup (cos ≥ tauNum/tauDen) of smaller vec_id in the same
-    * cluster. Ordered by cluster. */
-  def report(emb: DataFrame, k: Int, tauNum: Long, tauDen: Long): DataFrame = {
+  /** Nearest-centroid assignment of a quantized frame against a
+    * (seed, d, sq) centroid table: n·|seeds|·D join rows map-side
+    * combined down to n·|seeds| before the shuffle; argmin with ties
+    * to the smaller seed id = lexicographic struct min. */
+  private def assignTo(qv: DataFrame, cents: DataFrame): DataFrame =
+    qv.join(broadcast(cents), "d")
+      .groupBy(col("vec_id"), col("seed"))
+      .agg(sum((col("q") - col("sq")) * (col("q") - col("sq"))).as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("seed"))).getField("seed").as("cluster"))
+
+  private def seedTable(emb: DataFrame, qv: DataFrame, k: Int): DataFrame = {
+    val seedIds = emb.select(col("vec_id").as("seed")).orderBy("seed").limit(k)
+    qv.join(broadcast(seedIds), qv("vec_id") === col("seed"))
+      .select(col("seed"), col("d"), col("q").as("sq"))
+  }
+
+  /** (vec_id, cluster) seed-centroid assignments — the linear stage of
+    * the pipeline (one explode + broadcast centroid join + two
+    * map-side-combined aggs), exposed for scale measurement. */
+  def assignments(emb: DataFrame, k: Int): DataFrame = {
+    val qv = quantized(emb).persist() // feeds seed projection + assignment
+    assignTo(qv, seedTable(emb, qv, k))
+  }
+
+  /** Two-round integer Lloyd iteration: round-1 assignment to the k
+    * smallest-id seed vectors, centroid update as the per-(cluster, d)
+    * FLOOR-DIV mean, round-2 reassignment. Returns per round-2 cluster
+    * (cluster, n_members, moved_in, idsum) where moved_in counts
+    * members whose cluster changed between rounds. Quantized values are
+    * SHIFTED by +Scale so every operand is non-negative: Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, and they agree
+    * only on non-negative operands (the q219 div-bridge rule); the
+    * shift cancels in every distance. */
+  def kmeansTwoRounds(emb: DataFrame, k: Int): DataFrame = {
+    val qv = quantized(emb).withColumn("q", col("q") + Scale).persist()
+    val a1 = assignTo(qv, seedTable(emb, qv, k)).persist()
+    val cent = qv.join(a1, "vec_id")
+      .groupBy(col("cluster").as("seed"), col("d"))
+      .agg(expr("sum(q) div count(1)").as("sq"))
+    assignTo(qv, cent)
+      .join(a1.withColumnRenamed("cluster", "c1"), "vec_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("c1") =!= col("cluster"), 1L).otherwise(0L)).as("moved_in"),
+        sum("vec_id").as("idsum"))
+      .orderBy("cluster")
+  }
+
+  /** The near-dup pair frame (cluster, va, vb, na, nb, dot) plus the
+    * assignment it was built against. */
+  private def pairFrames(emb: DataFrame, k: Int): (DataFrame, DataFrame) = {
     // quantized frame feeds the seed projection, the assignment join,
     // the norms agg, and the pair join — persist once
     val qv = quantized(emb).persist()
-    val seedIds = emb.select(col("vec_id").as("seed")).orderBy("seed").limit(k)
-    val seeds = qv.join(broadcast(seedIds), qv("vec_id") === col("seed"))
-      .select(col("seed"), col("d"), col("q").as("sq"))
-    // n·k·D rows, map-side combined down to n·k before the shuffle
-    val dists = qv.join(broadcast(seeds), "d")
-      .groupBy(col("vec_id"), col("seed"))
-      .agg(sum((col("q") - col("sq")) * (col("q") - col("sq"))).as("dist"))
-    // argmin with ties to the smaller seed id = lexicographic struct min
-    val assign = dists.groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("seed"))).getField("seed").as("cluster"))
+    val assign = assignTo(qv, seedTable(emb, qv, k))
     val norms = qv.groupBy("vec_id").agg(sum(col("q") * col("q")).as("nrm"))
     // cluster-tagged quantized frame: both sides of the pair join
     val av = qv.join(assign, "vec_id").join(norms, "vec_id").persist()
@@ -69,12 +107,32 @@ object SemDedup {
         col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         col("a.nrm").as("na"), col("b.nrm").as("nb"))
       .agg(sum(col("a.q") * col("b.q")).as("dot"))
+    (assign, dots)
+  }
+
+  private def nearDupOf(dots: DataFrame, tauNum: Long, tauDen: Long): DataFrame = {
     val dotDec = col("dot").cast("decimal(38,0)")
-    val nearDup = dots.filter(col("dot") > 0 &&
+    dots.filter(col("dot") > 0 &&
       lit(tauDen * tauDen) * dotDec * dotDec >=
         lit(tauNum * tauNum) * col("na").cast("decimal(38,0)") *
           col("nb").cast("decimal(38,0)"))
-    val dropped = nearDup.select(col("vb").as("vec_id")).distinct()
+  }
+
+  /** The vec_ids a SemDeDup pass removes: members with a near-dup
+    * (cos ≥ tauNum/tauDen) of smaller vec_id in the same cluster. */
+  def droppedIds(emb: DataFrame, k: Int, tauNum: Long, tauDen: Long): DataFrame = {
+    val (_, dots) = pairFrames(emb, k)
+    nearDupOf(dots, tauNum, tauDen).select(col("vb").as("vec_id")).distinct()
+  }
+
+  /** Per-cluster dedup report: (cluster, n_members, n_dropped,
+    * dropped_idsum), cluster = seed vec_id, dropped = members with a
+    * near-dup (cos ≥ tauNum/tauDen) of smaller vec_id in the same
+    * cluster. Ordered by cluster. */
+  def report(emb: DataFrame, k: Int, tauNum: Long, tauDen: Long): DataFrame = {
+    val (assign, dots) = pairFrames(emb, k)
+    val dropped = nearDupOf(dots, tauNum, tauDen)
+      .select(col("vb").as("vec_id")).distinct()
       .join(assign, "vec_id")
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_dropped"), sum("vec_id").as("idsum"))

@@ -2476,6 +2476,207 @@ object PipelineQueries {
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
       graft.operators.Repetition.crossSourceOverlap(
         Tables.documents(s, d), "source", "text", 5)
+    },
+
+    // Two-round integer Lloyd k-means (SemDedup.kmeansTwoRounds):
+    // round-1 seed assignment, floor-div centroid update, round-2
+    // reassignment — per round-2 cluster: size, inbound movers, id
+    // checksum. Quantized values shifted +10^6 so every div operand is
+    // non-negative (Spark div truncates, DuckDB // floors; they agree
+    // only there — the q219 div-bridge rule).
+    QueryDef.sql("q224_kmeans_rounds",
+      """WITH x AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) + 1000000
+        |      AS BIGINT) AS q
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS seed FROM embeddings ORDER BY vec_id LIMIT 8),
+        |sq AS (SELECT s.seed, x.d, x.q AS sq FROM x JOIN seeds s ON x.vec_id = s.seed),
+        |dist AS (
+        |  SELECT x.vec_id, sq.seed, sum((x.q - sq.sq) * (x.q - sq.sq)) AS dist
+        |  FROM x JOIN sq ON x.d = sq.d GROUP BY 1, 2),
+        |md AS (SELECT vec_id, min(dist) AS m FROM dist GROUP BY 1),
+        |a1 AS (SELECT d.vec_id, min(d.seed) AS cluster FROM dist d
+        |       JOIN md ON d.vec_id = md.vec_id AND d.dist = md.m GROUP BY 1),
+        |cent AS (
+        |  SELECT a.cluster AS seed, x.d, CAST(sum(x.q) // count(*) AS BIGINT) AS sq
+        |  FROM x JOIN a1 a USING (vec_id) GROUP BY 1, x.d),
+        |dist2 AS (
+        |  SELECT x.vec_id, cent.seed, sum((x.q - cent.sq) * (x.q - cent.sq)) AS dist
+        |  FROM x JOIN cent ON x.d = cent.d GROUP BY 1, 2),
+        |md2 AS (SELECT vec_id, min(dist) AS m FROM dist2 GROUP BY 1),
+        |a2 AS (SELECT d.vec_id, min(d.seed) AS cluster FROM dist2 d
+        |       JOIN md2 ON d.vec_id = md2.vec_id AND d.dist = md2.m GROUP BY 1)
+        |SELECT a2.cluster AS cluster, count(*) AS n_members,
+        |  CAST(sum(CASE WHEN a1.cluster <> a2.cluster THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS moved_in,
+        |  CAST(sum(a2.vec_id) AS BIGINT) AS idsum
+        |FROM a2 JOIN a1 USING (vec_id)
+        |GROUP BY 1 ORDER BY cluster""".stripMargin) { (s, d) =>
+      graft.operators.SemDedup.kmeansTwoRounds(Tables.embeddings(s, d), k = 8)
+    },
+
+    // HLL rollup mergeability under the oracle gate: region registers
+    // built DIRECTLY from customer keys vs ELEMENTWISE-MAX-merged from
+    // the per-nation sketch arrays (the 100-TB rollup path: merge
+    // nation sketches instead of rescanning customers). The oracle
+    // rebuilds every register from the q214 SQL hash chain; merged ≡
+    // direct is the mergeability claim, asserted per (region, idx).
+    QueryDef.sql("q225_hll_rollup",
+      """WITH cust AS (
+        |  SELECT n_regionkey AS r, n_nationkey AS n, c_custkey AS k
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |h0 AS (SELECT r, n, xor(k & 4294967295, 2654435769) AS x FROM cust),
+        |h1 AS (SELECT r, n, xor(x, (x << 13) & 4294967295) AS x FROM h0),
+        |h2 AS (SELECT r, n, xor(x, x >> 17) AS x FROM h1),
+        |h3 AS (SELECT r, n, xor(xor(x, (x << 5) & 4294967295), 2246822507) AS x FROM h2),
+        |h4 AS (SELECT r, n, xor(x, (x << 13) & 4294967295) AS x FROM h3),
+        |h5 AS (SELECT r, n, xor(x, x >> 17) AS x FROM h4),
+        |h6 AS (SELECT r, n, xor(x, (x << 5) & 4294967295) AS x FROM h5),
+        |ir AS (
+        |  SELECT r, n, x & 255 AS idx,
+        |    CASE WHEN (x >> 8) = 0 THEN 25
+        |         ELSE 25 - length(bin(x >> 8)) END AS rank
+        |  FROM h6),
+        |natreg AS (SELECT r, n, idx, max(rank) AS reg FROM ir GROUP BY 1, 2, 3),
+        |merged AS (SELECT r, idx, max(reg) AS reg FROM natreg GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT r, unnest(generate_series(0, 255)) AS idx
+        |  FROM (SELECT DISTINCT r FROM cust))
+        |SELECT g.r AS regionkey, CAST(g.idx AS BIGINT) AS idx,
+        |  CAST(coalesce(m.reg, 0) AS BIGINT) AS reg_direct,
+        |  CAST(coalesce(m.reg, 0) AS BIGINT) AS reg_merged
+        |FROM grid g LEFT JOIN merged m ON g.r = m.r AND g.idx = m.idx
+        |ORDER BY regionkey, idx""".stripMargin) { (s, d) =>
+      import graft.operators.HllAgg
+      val cust = Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_regionkey").as("regionkey"), col("n_nationkey").as("n"),
+          col("c_custkey").as("k"))
+        .persist() // feeds the per-nation and the direct per-region aggs
+      val merged = cust.groupBy("regionkey", "n")
+        .agg(HllAgg.hll_registers(col("k"), 8).as("regs"))
+        .select(col("regionkey"), posexplode(col("regs")).as(Seq("idx", "reg")))
+        .groupBy(col("regionkey"), col("idx").cast("long").as("idx"))
+        .agg(max("reg").as("reg_merged"))
+      cust.groupBy("regionkey")
+        .agg(HllAgg.hll_registers(col("k"), 8).as("regs"))
+        .select(col("regionkey"), posexplode(col("regs")).as(Seq("idx", "reg")))
+        .select(col("regionkey"), col("idx").cast("long").as("idx"),
+          col("reg").as("reg_direct"))
+        .join(merged, Seq("regionkey", "idx"))
+        .orderBy("regionkey", "idx")
+    },
+
+    // End-to-end curation v2: the round-8 signals composed into one
+    // selection pass — repetition gate (top 2-gram ≤ 20% of tokens),
+    // boilerplate gate (≤ 25% positions in corpus-boilerplate 3-grams),
+    // DSIR importance gate (score > 0 vs the en target), and semantic
+    // near-dup removal (q221's dropped set; vec_id ≡ doc_id in this
+    // corpus). Per (lang, source): total, kept, kept-id checksum. Every
+    // piece reuses an already-oracle-gated operator; the oracle
+    // re-derives all four gates in one SQL program.
+    QueryDef.sql("q226_curation_v2",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tok_cnt FROM t GROUP BY 1),
+        |g2 AS (SELECT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+        |  FROM t),
+        |t2 AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top2_cnt FROM (
+        |    SELECT doc_id, gram, count(*) AS cnt FROM g2
+        |    WHERE gram IS NOT NULL GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |gg AS (SELECT doc_id, gram FROM g3 WHERE gram IS NOT NULL),
+        |ndoc AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |bp AS (SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS df FROM gg GROUP BY 1), ndoc
+        |  WHERE df >= (n + 19) // 20),
+        |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS bp_hits FROM gg
+        |  WHERE gram IN (SELECT gram FROM bp) GROUP BY 1),
+        |iall AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+        |    lang = 'en' AS tgt FROM documents),
+        |itok2 AS (SELECT * FROM iall WHERE token <> ''),
+        |cnt AS (SELECT token,
+        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+        |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cnt_r
+        |  FROM itok2 GROUP BY 1),
+        |vocab AS (SELECT * FROM cnt ORDER BY cnt_t + cnt_r DESC, token LIMIT 512),
+        |tot AS (SELECT greatest(CAST(sum(cnt_t) AS BIGINT), 1) AS nt,
+        |    greatest(CAST(sum(cnt_r) AS BIGINT), 1) AS nr FROM vocab),
+        |w AS (SELECT token,
+        |    CAST(CAST(cnt_t AS HUGEINT) * 1000000000 // nt
+        |       - CAST(cnt_r AS HUGEINT) * 1000000000 // nr AS BIGINT) AS weight
+        |  FROM vocab, tot),
+        |sc AS (SELECT t.doc_id, CAST(sum(w.weight) AS BIGINT) AS score
+        |  FROM itok2 t JOIN w USING (token) GROUP BY 1),
+        |x AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS seed FROM embeddings ORDER BY vec_id LIMIT 8),
+        |sq AS (SELECT s.seed, x.d, x.q AS sq FROM x JOIN seeds s ON x.vec_id = s.seed),
+        |dist AS (SELECT x.vec_id, sq.seed, sum((x.q - sq.sq) * (x.q - sq.sq)) AS dist
+        |  FROM x JOIN sq ON x.d = sq.d GROUP BY 1, 2),
+        |md AS (SELECT vec_id, min(dist) AS m FROM dist GROUP BY 1),
+        |asg AS (SELECT d.vec_id, min(d.seed) AS cluster FROM dist d
+        |  JOIN md ON d.vec_id = md.vec_id AND d.dist = md.m GROUP BY 1),
+        |nrm AS (SELECT vec_id, sum(q * q) AS nrm FROM x GROUP BY 1),
+        |av AS (SELECT x.vec_id, x.d, x.q, a.cluster, n.nrm
+        |  FROM x JOIN asg a USING (vec_id) JOIN nrm n USING (vec_id)),
+        |dots AS (SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb, a.nrm AS na,
+        |    b.nrm AS nb, sum(a.q * b.q) AS dot
+        |  FROM av a JOIN av b ON a.cluster = b.cluster AND a.d = b.d
+        |    AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |snd AS (SELECT DISTINCT vb FROM dots
+        |  WHERE dot > 0
+        |    AND 25 * CAST(dot AS HUGEINT) * dot >= 4 * CAST(na AS HUGEINT) * nb),
+        |flags AS (
+        |  SELECT d.doc_id, d.lang, d.source,
+        |    (coalesce(t2.top2_cnt, 0) * 5 <= c.tok_cnt) AND
+        |    (coalesce(cov.bp_hits, 0) * 4 <= c.tok_cnt) AND
+        |    (coalesce(sc.score, -1) > 0) AND
+        |    (d.doc_id NOT IN (SELECT vb FROM snd)) AS keep
+        |  FROM documents d JOIN c USING (doc_id)
+        |  LEFT JOIN t2 USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |  LEFT JOIN sc USING (doc_id))
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS kept_idsum
+        |FROM flags GROUP BY 1, 2 ORDER BY lang, source""".stripMargin) { (s, d) =>
+      import graft.operators.{Importance, Repetition, SemDedup}
+      val docs = Tables.documents(s, d)
+      val rep = Repetition.docRepetition(docs, "doc_id", "text")
+      val bp = Repetition.boilerplateCoverage(docs, "doc_id", "text",
+        n = 3, denom = 20)
+      val w = Importance.weights(s, Importance.vocabCounts(
+        docs, "doc_id", "text", col("lang") === "en", 512))
+      val sc = Importance.scores(docs, "doc_id", "text", w)
+        .select("doc_id", "score")
+      val dropped = SemDedup.droppedIds(Tables.embeddings(s, d),
+          k = 8, tauNum = 2, tauDen = 5)
+        .withColumnRenamed("vec_id", "doc_id")
+        .withColumn("sem_dropped", lit(true))
+      docs.select("doc_id", "lang", "source")
+        .join(rep.select("doc_id", "tok_cnt", "top2_cnt"), "doc_id")
+        .join(bp.select("doc_id", "bp_hits"), "doc_id")
+        .join(sc, Seq("doc_id"), "left")
+        .join(dropped, Seq("doc_id"), "left")
+        .withColumn("keep",
+          col("top2_cnt") * 5 <= col("tok_cnt") &&
+            col("bp_hits") * 4 <= col("tok_cnt") &&
+            coalesce(col("score"), lit(-1L)) > 0 &&
+            col("sem_dropped").isNull)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_idsum"))
+        .orderBy("lang", "source")
     }
   )
 

@@ -41,6 +41,39 @@ class SemDedupSpec extends AnyFunSuite {
     assert(got == Map(0L -> 2L, 1L -> 1L))
   }
 
+  test("kmeansTwoRounds matches a driver-side integer Lloyd") {
+    val rnd = new scala.util.Random(23)
+    val vs = (0L until 50L).map { i =>
+      i -> Seq.fill(5)((rnd.nextDouble() - 0.5).toFloat)
+    }
+    val k = 3
+    // brute force with the identical shifted quantization + floor div
+    val q = vs.map { case (id, e) =>
+      id -> e.map(x =>
+        math.floor(x.toDouble * SemDedup.Scale).toLong + SemDedup.Scale)
+    }.toMap
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seeds = (0L until k.toLong)
+    val a1 = q.map { case (id, e) => id -> seeds.minBy(s => (d2(e, q(s)), s)) }
+    val cent = a1.groupBy(_._2).map { case (c, m) =>
+      val members = m.keys.toSeq.map(q)
+      c -> (0 until 5).map(dim =>
+        members.map(_(dim)).sum / members.size) // all operands ≥ 0
+    }
+    val cids = cent.keys.toSeq.sorted
+    val a2 = q.map { case (id, e) => id -> cids.minBy(s => (d2(e, cent(s)), s)) }
+    val expected = a2.groupBy(_._2).map { case (c, m) =>
+      val ids = m.keys.toSeq
+      c -> ((ids.size.toLong, ids.count(i => a1(i) != c).toLong, ids.sum))
+    }
+    import spark.implicits._
+    val got = SemDedup.kmeansTwoRounds(vs.toDF("vec_id", "embedding"), k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
   test("random vectors match a driver-side brute force") {
     val rnd = new scala.util.Random(11)
     val vs = (0L until 60L).map { i =>
