@@ -143,7 +143,29 @@ object GraphStats {
     * before the (a,b)-keyed shuffle; existing edges leave via one
     * anti join; top-k is TakeOrdered (no global window). Input must be
     * symmetric (feed both directions). */
-  def linkPrediction(edges: DataFrame, hubCap: Long, topK: Int): DataFrame = {
+  def linkPrediction(edges: DataFrame, hubCap: Long, topK: Int): DataFrame =
+    linkCandidates(edges, hubCap)
+      .select(col("a"), col("b"), col("cn"))
+      .orderBy(col("cn").desc, col("a"), col("b"))
+      .limit(topK)
+
+  /** Resource-allocation-index variant of [[linkPrediction]] (the
+    * Adamic–Adar family): each low-degree shared neighbor m
+    * contributes 10^9 div deg(m) instead of 1, so rare witnesses
+    * outweigh common ones. Integer-exact (div on positive longs is
+    * the floor both engines compute); output (a, b, cn, ra) by
+    * (ra desc, a, b). Same hub-capped candidate machinery and cost
+    * bound as the unweighted form. */
+  def linkPredictionRa(edges: DataFrame, hubCap: Long, topK: Int): DataFrame =
+    linkCandidates(edges, hubCap)
+      .orderBy(col("ra").desc, col("a"), col("b"))
+      .limit(topK)
+
+  /** Shared candidate generation: non-edges (a < b) with ≥1 shared
+    * neighbor of degree ≤ hubCap, carrying both the witness count and
+    * the RA weight sum. An unused aggregate column is pruned by the
+    * optimizer, so the single-score callers pay nothing extra. */
+  private def linkCandidates(edges: DataFrame, hubCap: Long): DataFrame = {
     // normalized frame feeds three consumers (degree count + both join
     // sides + the anti join) — persist per the AQE ReuseExchange rule
     val e = edges.select(col("src").cast("long").as("src"),
@@ -151,16 +173,16 @@ object GraphStats {
       .filter(col("src") =!= col("dst")).distinct()
       .persist()
     val deg = e.groupBy(col("src").as("m")).agg(count(lit(1)).as("deg"))
-    val mid = deg.filter(col("deg") <= hubCap).select("m")
+    val mid = deg.filter(col("deg") <= hubCap)
     val thru = e.select(col("dst").as("m"), col("src").as("a"))
       .join(mid, "m")
     val pairs = thru
       .join(e.select(col("src").as("m"), col("dst").as("b")), "m")
       .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000000 div deg")).as("ra"))
     pairs.join(e.select(col("src").as("a"), col("dst").as("b")),
-        Seq("a", "b"), "left_anti")
-      .orderBy(col("cn").desc, col("a"), col("b"))
-      .limit(topK)
+      Seq("a", "b"), "left_anti")
   }
 }

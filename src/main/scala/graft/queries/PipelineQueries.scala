@@ -2677,6 +2677,111 @@ object PipelineQueries {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_idsum"))
         .orderBy("lang", "source")
+    },
+
+    // Cluster label purity (the clustering-quality audit paired with
+    // q221/q224): per SemDeDup cluster, member count, majority-label
+    // size, distinct labels, and the smallest majority label —
+    // all-integer; argmax ties resolved by min label on both engines.
+    QueryDef.sql("q227_cluster_purity",
+      """WITH x AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS seed FROM embeddings ORDER BY vec_id LIMIT 8),
+        |sq AS (SELECT s.seed, x.d, x.q AS sq FROM x JOIN seeds s ON x.vec_id = s.seed),
+        |dist AS (SELECT x.vec_id, sq.seed, sum((x.q - sq.sq) * (x.q - sq.sq)) AS dist
+        |  FROM x JOIN sq ON x.d = sq.d GROUP BY 1, 2),
+        |md AS (SELECT vec_id, min(dist) AS m FROM dist GROUP BY 1),
+        |asg AS (SELECT d.vec_id, min(d.seed) AS cluster FROM dist d
+        |  JOIN md ON d.vec_id = md.vec_id AND d.dist = md.m GROUP BY 1),
+        |lab AS (
+        |  SELECT a.cluster, e.label, count(*) AS cnt
+        |  FROM asg a JOIN embeddings e USING (vec_id) GROUP BY 1, 2)
+        |SELECT cluster, CAST(sum(cnt) AS BIGINT) AS n_members,
+        |  CAST(max(cnt) AS BIGINT) AS top_label_cnt,
+        |  CAST(count(*) AS BIGINT) AS n_labels,
+        |  CAST(min(CASE WHEN cnt = mx THEN label END) AS BIGINT) AS top_label
+        |FROM (SELECT *, max(cnt) OVER (PARTITION BY cluster) AS mx FROM lab)
+        |GROUP BY 1 ORDER BY cluster""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val lab = graft.operators.SemDedup.assignments(emb, 8)
+        .join(emb.select(col("vec_id"), col("label").cast("long").as("label")),
+          "vec_id")
+        .groupBy("cluster", "label").agg(count(lit(1)).as("cnt"))
+      lab.withColumn("mx", max("cnt").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+        .groupBy("cluster")
+        .agg(sum("cnt").as("n_members"),
+          max("cnt").as("top_label_cnt"),
+          count(lit(1)).as("n_labels"),
+          min(when(col("cnt") === col("mx"), col("label"))).as("top_label"))
+        .orderBy("cluster")
+    },
+
+    // Resource-allocation-index link prediction
+    // (GraphStats.linkPredictionRa): rare shared neighbors outweigh
+    // common ones via 10^9 div deg — integer Adamic–Adar family,
+    // same hub-capped candidate machinery as q220.
+    QueryDef.sql("q228_link_prediction_ra",
+      orderAdjSql +
+      """,
+        |sym AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT src AS m, count(*) AS deg FROM sym GROUP BY 1),
+        |cand AS (
+        |  SELECT x.src AS a, y.dst AS b, count(*) AS cn,
+        |    CAST(sum(1000000000 // deg.deg) AS BIGINT) AS ra
+        |  FROM sym x
+        |  JOIN deg ON deg.m = x.dst AND deg.deg <= 64
+        |  JOIN sym y ON y.src = x.dst AND x.src < y.dst
+        |  GROUP BY 1, 2),
+        |nonedge AS (
+        |  SELECT a, b, cn, ra FROM cand
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cand.a AND e.b = cand.b))
+        |SELECT a, b, cn, ra FROM nonedge
+        |ORDER BY ra DESC, a, b LIMIT 100""".stripMargin) { (s, d) =>
+      val edges = orderAdjEdges(s, d)
+      val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      graft.operators.GraphStats.linkPredictionRa(sym, hubCap = 64, topK = 100)
+    },
+
+    // Vocabulary coverage curve (tokenizer budgeting): what fraction of
+    // corpus token occurrences the top-V tokens cover, at V = 8/16/32/
+    // 64. The ranked prefix sums are assembled DRIVER-SIDE from the
+    // TakeOrdered top-64 frame (bounded by contract — V rows, the
+    // PrefixSum/IvfIndex two-level-scan pattern) because the
+    // distributed alternative is a GLOBAL rank window, the
+    // single-partition killer the plan audit bans.
+    QueryDef.sql("q229_vocab_coverage",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tok2 AS (SELECT token FROM tok WHERE token <> ''),
+        |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok2 GROUP BY 1),
+        |ranked AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rn FROM cnt),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_occ FROM cnt),
+        |vs AS (SELECT * FROM (VALUES (8), (16), (32), (64)) AS t(v_size))
+        |SELECT v_size,
+        |  CAST(sum(CASE WHEN rn <= v_size THEN cnt ELSE 0 END) AS BIGINT) AS covered,
+        |  max(total_occ) AS total_occ
+        |FROM vs, ranked, tot
+        |GROUP BY 1 ORDER BY v_size""".stripMargin) { (s, d) =>
+      val cnt = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .persist() // feeds the total and the top-V TakeOrdered
+      val total = cnt.agg(sum("cnt")).head().getLong(0)
+      val top = cnt.orderBy(col("cnt").desc, col("token")).limit(64)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (t, c) => (-c, t) }
+      val rows = Seq(8, 16, 32, 64).map { v =>
+        (v, top.take(v).map(_._2).sum, total)
+      }
+      import s.implicits._
+      rows.toDF("v_size", "covered", "total_occ").orderBy("v_size")
     }
   )
 

@@ -40,6 +40,22 @@ class LinkPredictionSpec extends AnyFunSuite {
     assert(uncapped((50L, 99L)) == 2L)
   }
 
+  test("RA variant weights witnesses by 10^9 div degree") {
+    // non-edge (1,3) has witnesses 2 (deg 2) and 4 (deg 3):
+    // ra = 1e9/2 + 1e9/3 (floored) — the deg-2 witness counts more
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L), (4L, 5L))
+    val got = GraphStats.linkPredictionRa(sym(edges), hubCap = 64, topK = 10)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got((1L, 3L)) == ((2L, 500000000L + 333333333L)))
+    // (2,4)'s witnesses are 1 and 3, both deg 2
+    assert(got((2L, 4L)) == ((2L, 1000000000L)))
+    // (1,5) and (3,5) share only deg-3 witness 4
+    assert(got((1L, 5L)) == ((1L, 333333333L)))
+    assert(got((3L, 5L)) == ((1L, 333333333L)))
+    assert(!got.contains((2L, 5L)) || got((2L, 5L))._1 == 0L)
+  }
+
   test("random graph matches brute force under the cap") {
     val rnd = new scala.util.Random(7)
     val es = (1 to 200).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
