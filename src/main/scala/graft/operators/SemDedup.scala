@@ -90,6 +90,38 @@ object SemDedup {
       .orderBy("cluster")
   }
 
+  /** Contrastive hard-negative mining: for each vector, the NEAREST
+    * (quantized squared-L2) vector with a DIFFERENT label inside the
+    * same SemDeDup cluster — the candidate generation step for
+    * embedding-model training. The cluster blocking is part of the
+    * semantics (the oracle applies it identically); ties resolve to
+    * the smallest candidate id. Output (anchor, negative, d2) ordered
+    * by anchor; vectors whose cluster holds no other label are absent.
+    *
+    * Scale: same within-cluster pair join and k-as-the-knob budget as
+    * [[report]]; the pair distance frame is persisted because the
+    * two-step argmin (min join-back) consumes it twice. */
+  def hardNegatives(emb: DataFrame, k: Int): DataFrame = {
+    val qv = quantized(emb).persist()
+    val asg = assignTo(qv, seedTable(emb, qv, k))
+    val av = qv.join(asg, "vec_id")
+      .join(emb.select(col("vec_id"), col("label")), "vec_id").persist()
+    val cd = av.as("a").join(av.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.d") === col("b.d") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          col("a.label") =!= col("b.label"))
+      .groupBy(col("a.vec_id").as("anchor"), col("b.vec_id").as("cand"))
+      .agg(sum((col("a.q") - col("b.q")) * (col("a.q") - col("b.q"))).as("d2"))
+      .persist()
+    val mn = cd.groupBy("anchor").agg(min("d2").as("m"))
+    cd.join(mn, Seq("anchor"))
+      .filter(col("d2") === col("m"))
+      .groupBy("anchor", "d2")
+      .agg(min("cand").as("negative"))
+      .select(col("anchor"), col("negative"), col("d2"))
+      .orderBy("anchor")
+  }
+
   /** The near-dup pair frame (cluster, va, vb, na, nb, dot) plus the
     * assignment it was built against. */
   private def pairFrames(emb: DataFrame, k: Int): (DataFrame, DataFrame) = {

@@ -2782,6 +2782,167 @@ object PipelineQueries {
       }
       import s.implicits._
       rows.toDF("v_size", "covered", "total_occ").orderBy("v_size")
+    },
+
+    // Contrastive hard-negative mining (SemDedup.hardNegatives): per
+    // vector, the nearest DIFFERENT-label vector inside its SemDeDup
+    // cluster — quantized squared-L2, ties to the smallest candidate
+    // id; the cluster blocking is part of the semantics and the oracle
+    // applies it identically.
+    QueryDef.sql("q230_hard_negatives",
+      """WITH x AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS seed FROM embeddings ORDER BY vec_id LIMIT 8),
+        |sq AS (SELECT s.seed, x.d, x.q AS sq FROM x JOIN seeds s ON x.vec_id = s.seed),
+        |dist AS (SELECT x.vec_id, sq.seed, sum((x.q - sq.sq) * (x.q - sq.sq)) AS dist
+        |  FROM x JOIN sq ON x.d = sq.d GROUP BY 1, 2),
+        |md AS (SELECT vec_id, min(dist) AS m FROM dist GROUP BY 1),
+        |asg AS (SELECT d.vec_id, min(d.seed) AS cluster FROM dist d
+        |  JOIN md ON d.vec_id = md.vec_id AND d.dist = md.m GROUP BY 1),
+        |av AS (SELECT x.vec_id, x.d, x.q, a.cluster, e.label
+        |  FROM x JOIN asg a USING (vec_id) JOIN embeddings e USING (vec_id)),
+        |cd AS (
+        |  SELECT a.vec_id AS anchor, b.vec_id AS cand,
+        |    sum((a.q - b.q) * (a.q - b.q)) AS d2
+        |  FROM av a JOIN av b ON a.cluster = b.cluster AND a.d = b.d
+        |    AND a.vec_id <> b.vec_id AND a.label <> b.label
+        |  GROUP BY 1, 2),
+        |mn AS (SELECT anchor, min(d2) AS m FROM cd GROUP BY 1)
+        |SELECT c.anchor AS anchor, min(c.cand) AS negative, c.d2 AS d2
+        |FROM cd c JOIN mn ON c.anchor = mn.anchor AND c.d2 = mn.m
+        |GROUP BY 1, 3 ORDER BY anchor""".stripMargin) { (s, d) =>
+      graft.operators.SemDedup.hardNegatives(Tables.embeddings(s, d), k = 8)
+    },
+
+    // One BPE training round end-to-end (Bpe.adjacentPairCounts +
+    // applyMerge): learn the top adjacent pair, apply the LEFT-GREEDY
+    // non-overlapping merge (row-local UDF — sequential within a doc
+    // by definition), report the merged/part token counts + the corpus
+    // total. The oracle applies the merge via a genuinely INDEPENDENT
+    // relational construction: match positions → consecutive-run
+    // parity (≡ left-greedy for the only overlap case, identical
+    // halves) → piece emission — so the greedy semantics themselves
+    // are cross-checked, not just the counting.
+    QueryDef.sql("q231_bpe_merge_round",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, pos, tok,
+        |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |  FROM t),
+        |pc AS (
+        |  SELECT tok || ' ' || nxt AS pair, count(*) AS cnt
+        |  FROM p WHERE nxt IS NOT NULL AND tok <> '' AND nxt <> ''
+        |  GROUP BY 1),
+        |top AS (SELECT pair FROM pc ORDER BY cnt DESC, pair LIMIT 1),
+        |m AS (
+        |  SELECT doc_id, pos FROM p, top
+        |  WHERE nxt IS NOT NULL AND tok <> '' AND nxt <> ''
+        |    AND tok || ' ' || nxt = top.pair),
+        |runs AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM m),
+        |keep AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      pos - min(pos) OVER (PARTITION BY doc_id, grp) AS off
+        |    FROM runs)
+        |  WHERE off % 2 = 0),
+        |pieces AS (
+        |  SELECT t.doc_id, t.pos,
+        |    CASE WHEN k.pos IS NOT NULL
+        |         THEN t.tok || '_' ||
+        |           lead(t.tok, 1) OVER (PARTITION BY t.doc_id ORDER BY t.pos)
+        |         ELSE t.tok END AS piece,
+        |    (k2.pos IS NOT NULL) AS consumed
+        |  FROM t
+        |  LEFT JOIN keep k ON t.doc_id = k.doc_id AND t.pos = k.pos
+        |  LEFT JOIN keep k2 ON t.doc_id = k2.doc_id AND t.pos = k2.pos + 1),
+        |toks2 AS (SELECT piece AS tok FROM pieces WHERE NOT consumed AND piece <> '')
+        |SELECT token, cnt FROM (
+        |  SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt FROM toks2, top
+        |  WHERE tok IN (string_split(top.pair, ' ')[1], string_split(top.pair, ' ')[2],
+        |                replace(top.pair, ' ', '_'))
+        |  GROUP BY 1
+        |  UNION ALL
+        |  SELECT '__total__', CAST(count(*) AS BIGINT) FROM toks2)
+        |ORDER BY token""".stripMargin) { (s, d) =>
+      import graft.operators.Bpe
+      val docs = Tables.documents(s, d)
+      // top pair: O(1) driver fold of the pair-count frame (tuple order
+      // ≡ the oracle's space-joined string order — tokens contain no
+      // spaces, and ' ' sorts below every token character)
+      val topRow = Bpe.adjacentPairCounts(docs, "text")
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+        .collect().head
+      val (w1, w2) = (topRow.getString(0), topRow.getString(1))
+      val merged = w1 + "_" + w2
+      val toks = Bpe.applyMerge(docs, "text", w1, w2, merged)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .persist() // feeds the named counts and the total
+      val named = toks.filter(col("token").isin(w1, w2, merged))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("cnt"))
+        .select(lit("__total__").as("token"), col("cnt"))
+      named.unionByName(total).orderBy("token")
+    },
+
+    // Per-source signature tokens: top-3 tokens per source by the
+    // cross-multiplied source-vs-rest doc-frequency score
+    // |ds·(N−Ns) − (dall−ds)·Ns| — q222's discriminative machinery
+    // with a source-PARTITIONED rank (never a global window); products
+    // pre-cast DECIMAL(38,0), score exits as a digit string.
+    QueryDef.sql("q232_source_signature_tokens",
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        |ns AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src
+        |       FROM documents GROUP BY 1),
+        |nt AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_all FROM documents),
+        |dfs AS (SELECT source, token, CAST(count(*) AS BIGINT) AS ds
+        |        FROM tok2 GROUP BY 1, 2),
+        |dfa AS (SELECT token, CAST(count(*) AS BIGINT) AS dall FROM tok2 GROUP BY 1),
+        |sc AS (
+        |  SELECT dfs.source, dfs.token, dfs.ds,
+        |    abs(CAST(dfs.ds AS HUGEINT) * (n_all - n_src)
+        |      - CAST(dfa.dall - dfs.ds AS HUGEINT) * n_src) AS score
+        |  FROM dfs JOIN dfa USING (token) JOIN ns ON dfs.source = ns.source, nt),
+        |rk AS (
+        |  SELECT source, token, ds, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, token) AS rn
+        |  FROM sc)
+        |SELECT source, token, ds, CAST(score AS VARCHAR) AS score, rn
+        |FROM rk WHERE rn <= 3 ORDER BY source, rn""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "").distinct()
+        .persist() // feeds the per-source and the corpus-wide dfs
+      val ns = docs.groupBy("source").agg(countDistinct("doc_id").as("n_src"))
+      val nt = docs.agg(countDistinct("doc_id").as("n_all"))
+      val dfs = tok.groupBy("source", "token").agg(count(lit(1)).as("ds"))
+      val dfa = tok.groupBy("token").agg(count(lit(1)).as("dall"))
+      dfs.join(dfa, "token").join(broadcast(ns), "source")
+        .crossJoin(broadcast(nt))
+        .withColumn("score_dec",
+          abs(col("ds").cast("decimal(38,0)") * (col("n_all") - col("n_src")) -
+            (col("dall") - col("ds")).cast("decimal(38,0)") * col("n_src")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("score_dec").desc, col("token"))).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("token"), col("ds"),
+          col("score_dec").cast("string").as("score"), col("rn"))
+        .orderBy("source", "rn")
     }
   )
 

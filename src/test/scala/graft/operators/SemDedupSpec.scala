@@ -41,6 +41,37 @@ class SemDedupSpec extends AnyFunSuite {
     assert(got == Map(0L -> 2L, 1L -> 1L))
   }
 
+  test("hardNegatives: nearest other-label in-cluster, ties to min id") {
+    val rnd = new scala.util.Random(31)
+    val vs = (0L until 60L).map { i =>
+      (i, Seq.fill(4)((rnd.nextDouble() - 0.5).toFloat), (i % 3).toInt)
+    }
+    val k = 4
+    val q = vs.map { case (id, e, _) =>
+      id -> e.map(x => math.floor(x.toDouble * SemDedup.Scale).toLong)
+    }.toMap
+    val lbl = vs.map(v => v._1 -> v._3).toMap
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seeds = (0L until k.toLong)
+    val cl = q.map { case (id, e) => id -> seeds.minBy(s => (d2(e, q(s)), s)) }
+    val expected = q.keys.flatMap { a =>
+      val cands = q.keys.filter(b =>
+        b != a && cl(b) == cl(a) && lbl(b) != lbl(a))
+      if (cands.isEmpty) None
+      else {
+        val best = cands.map(b => (d2(q(a), q(b)), b)).min
+        Some(a -> ((best._2, best._1)))
+      }
+    }.toMap
+    import spark.implicits._
+    val got = SemDedup.hardNegatives(
+        vs.toDF("vec_id", "embedding", "label"), k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("kmeansTwoRounds matches a driver-side integer Lloyd") {
     val rnd = new scala.util.Random(23)
     val vs = (0L until 50L).map { i =>

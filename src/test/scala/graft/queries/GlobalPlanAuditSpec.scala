@@ -42,7 +42,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "q135_collocations",      // pair rows × 1-row corpus-total broadcast
     "q139_assoc_rules",       // pair rows × 1-row basket-total broadcast
     "q140_contingency",       // cells × 1-row grand-total broadcast
-    "q222_discriminative_tokens") // token dfs × 1-row (A, B) doc totals
+    "q222_discriminative_tokens", // token dfs × 1-row (A, B) doc totals
+    "q232_source_signature_tokens") // source dfs × 1-row corpus total
 
   private lazy val optimized: Map[String, LogicalPlan] =
     graft.SparkEntry.queries.map { case (name, fn) =>
