@@ -2943,6 +2943,152 @@ object PipelineQueries {
         .select(col("source"), col("token"), col("ds"),
           col("score_dec").cast("string").as("score"), col("rn"))
         .orderBy("source", "rn")
+    },
+
+    // LSH index health audit over q37's SHARED signature store: per
+    // band — bucket count, colliding buckets, max bucket size, and the
+    // candidate-pair budget Σ C(m,2) the band contributes. The numbers
+    // that tell you whether banding parameters hold before the
+    // candidate join is paid (a hot bucket = the skew to salt).
+    QueryDef.sql("q233_lsh_band_audit",
+      """WITH sigs AS (SELECT * FROM read_parquet('__AUX__/q37_sigs/*.parquet')),
+        |buckets AS (
+        |  SELECT id, b.range AS band,
+        |    array_to_string(sig[b.range*4+1 : b.range*4+4], ',') AS key
+        |  FROM sigs CROSS JOIN range(16) b),
+        |bs AS (SELECT band, key, count(*) AS m FROM buckets GROUP BY 1, 2)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_colliding,
+        |  CAST(max(m) AS BIGINT) AS max_bucket,
+        |  CAST(sum(m * (m - 1) // 2) AS BIGINT) AS cand_pairs
+        |FROM bs GROUP BY 1 ORDER BY band""".stripMargin) { (s, d) =>
+      val sigs = Aux.share(
+        Dedup.minhashSigs(docsWithPlants(s, d), "doc_id", "text"), d, "q37_sigs")
+      sigs.select(col("id"), explode(expr("sequence(0, 15)")).as("band"),
+          col("sig"))
+        .select(col("id"), col("band"),
+          expr("array_join(slice(sig, band*4+1, 4), ',')").as("key"))
+        .groupBy("band", "key").agg(count(lit(1)).as("m"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("m") >= 2, 1L).otherwise(0L)).as("n_colliding"),
+          max("m").as("max_bucket"),
+          sum(expr("m * (m - 1) div 2")).as("cand_pairs"))
+        .orderBy("band")
+    },
+
+    // Curation yield funnel: q226's four gates attributed per lang —
+    // how many docs fail EACH gate (independently) and how many pass
+    // all four; the dashboard row a pipeline owner reads before
+    // retuning thresholds. Same machinery, different final projection.
+    QueryDef.sql("q234_curation_funnel",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tok_cnt FROM t GROUP BY 1),
+        |g2 AS (SELECT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+        |  FROM t),
+        |t2 AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top2_cnt FROM (
+        |    SELECT doc_id, gram, count(*) AS cnt FROM g2
+        |    WHERE gram IS NOT NULL GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |gg AS (SELECT doc_id, gram FROM g3 WHERE gram IS NOT NULL),
+        |ndoc AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |bp AS (SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS df FROM gg GROUP BY 1), ndoc
+        |  WHERE df >= (n + 19) // 20),
+        |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS bp_hits FROM gg
+        |  WHERE gram IN (SELECT gram FROM bp) GROUP BY 1),
+        |iall AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+        |    lang = 'en' AS tgt FROM documents),
+        |itok2 AS (SELECT * FROM iall WHERE token <> ''),
+        |cnt AS (SELECT token,
+        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+        |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cnt_r
+        |  FROM itok2 GROUP BY 1),
+        |vocab AS (SELECT * FROM cnt ORDER BY cnt_t + cnt_r DESC, token LIMIT 512),
+        |tot AS (SELECT greatest(CAST(sum(cnt_t) AS BIGINT), 1) AS nt,
+        |    greatest(CAST(sum(cnt_r) AS BIGINT), 1) AS nr FROM vocab),
+        |w AS (SELECT token,
+        |    CAST(CAST(cnt_t AS HUGEINT) * 1000000000 // nt
+        |       - CAST(cnt_r AS HUGEINT) * 1000000000 // nr AS BIGINT) AS weight
+        |  FROM vocab, tot),
+        |sc AS (SELECT t.doc_id, CAST(sum(w.weight) AS BIGINT) AS score
+        |  FROM itok2 t JOIN w USING (token) GROUP BY 1),
+        |x AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS seed FROM embeddings ORDER BY vec_id LIMIT 8),
+        |sq AS (SELECT s.seed, x.d, x.q AS sq FROM x JOIN seeds s ON x.vec_id = s.seed),
+        |dist AS (SELECT x.vec_id, sq.seed, sum((x.q - sq.sq) * (x.q - sq.sq)) AS dist
+        |  FROM x JOIN sq ON x.d = sq.d GROUP BY 1, 2),
+        |md AS (SELECT vec_id, min(dist) AS m FROM dist GROUP BY 1),
+        |asg AS (SELECT d.vec_id, min(d.seed) AS cluster FROM dist d
+        |  JOIN md ON d.vec_id = md.vec_id AND d.dist = md.m GROUP BY 1),
+        |nrm AS (SELECT vec_id, sum(q * q) AS nrm FROM x GROUP BY 1),
+        |av AS (SELECT x.vec_id, x.d, x.q, a.cluster, n.nrm
+        |  FROM x JOIN asg a USING (vec_id) JOIN nrm n USING (vec_id)),
+        |dots AS (SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb, a.nrm AS na,
+        |    b.nrm AS nb, sum(a.q * b.q) AS dot
+        |  FROM av a JOIN av b ON a.cluster = b.cluster AND a.d = b.d
+        |    AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |snd AS (SELECT DISTINCT vb FROM dots
+        |  WHERE dot > 0
+        |    AND 25 * CAST(dot AS HUGEINT) * dot >= 4 * CAST(na AS HUGEINT) * nb),
+        |flags AS (
+        |  SELECT d.doc_id, d.lang,
+        |    (coalesce(t2.top2_cnt, 0) * 5 > c.tok_cnt) AS f_rep,
+        |    (coalesce(cov.bp_hits, 0) * 4 > c.tok_cnt) AS f_bp,
+        |    (coalesce(sc.score, -1) <= 0) AS f_imp,
+        |    (d.doc_id IN (SELECT vb FROM snd)) AS f_sem
+        |  FROM documents d JOIN c USING (doc_id)
+        |  LEFT JOIN t2 USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |  LEFT JOIN sc USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep,
+        |  CAST(sum(CASE WHEN f_bp THEN 1 ELSE 0 END) AS BIGINT) AS fail_bp,
+        |  CAST(sum(CASE WHEN f_imp THEN 1 ELSE 0 END) AS BIGINT) AS fail_imp,
+        |  CAST(sum(CASE WHEN f_sem THEN 1 ELSE 0 END) AS BIGINT) AS fail_sem,
+        |  CAST(sum(CASE WHEN NOT f_rep AND NOT f_bp AND NOT f_imp AND NOT f_sem
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM flags GROUP BY 1 ORDER BY lang""".stripMargin) { (s, d) =>
+      import graft.operators.{Importance, Repetition, SemDedup}
+      val docs = Tables.documents(s, d)
+      val rep = Repetition.docRepetition(docs, "doc_id", "text")
+      val bp = Repetition.boilerplateCoverage(docs, "doc_id", "text",
+        n = 3, denom = 20)
+      val w = Importance.weights(s, Importance.vocabCounts(
+        docs, "doc_id", "text", col("lang") === "en", 512))
+      val sc = Importance.scores(docs, "doc_id", "text", w)
+        .select("doc_id", "score")
+      val dropped = SemDedup.droppedIds(Tables.embeddings(s, d),
+          k = 8, tauNum = 2, tauDen = 5)
+        .withColumnRenamed("vec_id", "doc_id")
+        .withColumn("sem_dropped", lit(true))
+      docs.select("doc_id", "lang")
+        .join(rep.select("doc_id", "tok_cnt", "top2_cnt"), "doc_id")
+        .join(bp.select("doc_id", "bp_hits"), "doc_id")
+        .join(sc, Seq("doc_id"), "left")
+        .join(dropped, Seq("doc_id"), "left")
+        .withColumn("f_rep", col("top2_cnt") * 5 > col("tok_cnt"))
+        .withColumn("f_bp", col("bp_hits") * 4 > col("tok_cnt"))
+        .withColumn("f_imp", coalesce(col("score"), lit(-1L)) <= 0)
+        .withColumn("f_sem", col("sem_dropped").isNotNull)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("f_rep"), 1L).otherwise(0L)).as("fail_rep"),
+          sum(when(col("f_bp"), 1L).otherwise(0L)).as("fail_bp"),
+          sum(when(col("f_imp"), 1L).otherwise(0L)).as("fail_imp"),
+          sum(when(col("f_sem"), 1L).otherwise(0L)).as("fail_sem"),
+          sum(when(!col("f_rep") && !col("f_bp") && !col("f_imp") &&
+            !col("f_sem"), 1L).otherwise(0L)).as("n_pass"))
+        .orderBy("lang")
     }
   )
 
