@@ -3089,6 +3089,97 @@ object PipelineQueries {
           sum(when(!col("f_rep") && !col("f_bp") && !col("f_imp") &&
             !col("f_sem"), 1L).otherwise(0L)).as("n_pass"))
         .orderBy("lang")
+    },
+
+    // IVF cell-size audit over q54's persisted store: per cell, vector
+    // count + id range — the partition-prune economics check (a fat
+    // cell = probes that scan too much; an empty one = wasted
+    // centroid). Oracle reads the SAME hive-partitioned store.
+    QueryDef.sql("q235_ivf_cell_audit",
+      """WITH c AS (SELECT corpus_id, CAST(cell AS BIGINT) AS cell
+        |  FROM read_parquet('__AUX__/q54_store/assigned/*/*.parquet',
+        |                    hive_partitioning = 1))
+        |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  min(corpus_id) AS min_id, max(corpus_id) AS max_id
+        |FROM c GROUP BY 1 ORDER BY cell""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val index = IvfIndex.buildCached(s"q54:$d", emb, "vec_id", "embedding",
+        nlist = 8)
+      val store = IvfIndex.storeCached(index, s"${Aux.dir(d)}/q54_store")
+      IvfIndex.load(s, store).assigned
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min("corpus_id").as("min_id"), max("corpus_id").as("max_id"))
+        .orderBy("cell")
+    },
+
+    // Quota-constrained training-data selection: per-lang floor (top-3
+    // docs per lang by importance score) + a global top-up to 50 —
+    // the mixture-guarantee selection a multilingual pipeline runs so
+    // a dominant language can't starve the rest. Fill size = 50 −
+    // |floor| is an O(1) driver scalar; the global fill is TakeOrdered
+    // (never a global rank window engine-side — the oracle's global
+    // row_number is legal oracle-side).
+    QueryDef.sql("q236_quota_selection",
+      """WITH iall AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+        |    lang = 'en' AS tgt FROM documents),
+        |itok2 AS (SELECT * FROM iall WHERE token <> ''),
+        |cnt AS (SELECT token,
+        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+        |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cnt_r
+        |  FROM itok2 GROUP BY 1),
+        |vocab AS (SELECT * FROM cnt ORDER BY cnt_t + cnt_r DESC, token LIMIT 512),
+        |tot AS (SELECT greatest(CAST(sum(cnt_t) AS BIGINT), 1) AS nt,
+        |    greatest(CAST(sum(cnt_r) AS BIGINT), 1) AS nr FROM vocab),
+        |w AS (SELECT token,
+        |    CAST(CAST(cnt_t AS HUGEINT) * 1000000000 // nt
+        |       - CAST(cnt_r AS HUGEINT) * 1000000000 // nr AS BIGINT) AS weight
+        |  FROM vocab, tot),
+        |sc AS (SELECT t.doc_id, CAST(sum(w.weight) AS BIGINT) AS score
+        |  FROM itok2 t JOIN w USING (token) GROUP BY 1),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, sc.score
+        |  FROM documents d JOIN sc USING (doc_id)),
+        |floor_pick AS (
+        |  SELECT doc_id, lang, score FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY lang ORDER BY score DESC, doc_id) AS rn
+        |    FROM scored)
+        |  WHERE rn <= 3),
+        |rest AS (
+        |  SELECT s.* FROM scored s
+        |  WHERE s.doc_id NOT IN (SELECT doc_id FROM floor_pick)),
+        |fill AS (
+        |  SELECT doc_id, lang, score FROM (
+        |    SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        |    FROM rest)
+        |  WHERE rn <= 50 - (SELECT count(*) FROM floor_pick))
+        |SELECT doc_id, lang, score, 'lang_floor' AS via FROM floor_pick
+        |UNION ALL
+        |SELECT doc_id, lang, score, 'global' AS via FROM fill
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Importance
+      val docs = Tables.documents(s, d)
+      val sc = Importance.scores(docs, "doc_id", "text",
+          Importance.weights(s, Importance.vocabCounts(
+            docs, "doc_id", "text", col("lang") === "en", 512)))
+        .select("doc_id", "score")
+      val scored = docs.select("doc_id", "lang").join(sc, "doc_id").persist()
+      val floorPick = scored.withColumn("rn", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rn") <= 3).drop("rn")
+        .persist() // feeds the anti join, the count, and the output
+      val fillN = 50 - floorPick.count() // O(1) driver scalar
+      val fill = scored.join(floorPick.select("doc_id"), Seq("doc_id"),
+          "left_anti")
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(fillN.toInt)
+      floorPick.withColumn("via", lit("lang_floor"))
+        .unionByName(fill.withColumn("via", lit("global")))
+        .select("doc_id", "lang", "score", "via")
+        .orderBy("doc_id")
     }
   )
 
