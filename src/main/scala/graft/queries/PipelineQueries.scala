@@ -3180,6 +3180,43 @@ object PipelineQueries {
         .unionByName(fill.withColumn("via", lit("global")))
         .select("doc_id", "lang", "score", "via")
         .orderBy("doc_id")
+    },
+
+    // Dedup savings report: per source, how many docs exact dedup
+    // removes and the bytes it saves — the capacity-planning number a
+    // pipeline owner reads next to q36's group list. Survivor = min
+    // doc_id per text hash GLOBALLY (dups can span sources); 5 exact
+    // copies planted (ids +300000, the docsWithPii literal-mirror
+    // pattern) because the synthetic corpus has none.
+    QueryDef.sql("q237_dedup_savings",
+      """WITH aug AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text, lang, source, n_chars FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 5)),
+        |g AS (SELECT md5(text) AS h, min(doc_id) AS survivor
+        |      FROM aug GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN d.doc_id <> g.survivor THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN d.doc_id <> g.survivor THEN d.n_chars ELSE 0 END)
+        |    AS BIGINT) AS chars_saved
+        |FROM aug d JOIN g ON md5(d.text) = g.h
+        |GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val aug = docs.unionByName(docs.orderBy("doc_id").limit(5)
+        .withColumn("doc_id", col("doc_id") + 300000L))
+        .persist() // feeds the group agg and the per-source join
+      val g = aug.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("survivor"))
+      aug.join(g, md5(col("text")) === col("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("survivor"), 1L).otherwise(0L))
+            .as("n_dup"),
+          sum(when(col("doc_id") =!= col("survivor"), col("n_chars"))
+            .otherwise(0L)).as("chars_saved"))
+        .orderBy("source")
     }
   )
 
