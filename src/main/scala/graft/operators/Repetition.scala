@@ -91,6 +91,27 @@ object Repetition {
         coalesce(col("bp_hits"), lit(0L)).as("bp_hits"))
   }
 
+  /** Per-doc n-gram novelty against everything EARLIER (ids as arrival
+    * order): n_grams = the doc's gram positions, n_novel = positions
+    * whose gram no earlier doc contains — the dedup-novelty curve that
+    * tells a crawl pipeline when a source stops contributing new
+    * content. Docs shorter than n tokens are absent (no grams).
+    *
+    * Scale design: one gram-keyed agg (min doc id per gram = its
+    * first-seen owner, map-side combined) + one join back into the
+    * position stream — cost Σ positions, no pairing term; "earlier" by
+    * id needs no global ordering structure, just the min. */
+  def noveltyRate(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame = {
+    val g = grams(docs, idCol, textCol, n).persist() // feeds agg + join
+    val firstSeen = g.groupBy("gram").agg(min("id").as("first_seen"))
+    g.join(firstSeen, "gram")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_seen") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+  }
+
   /** Cross-source contamination matrix: for every pair of sources
     * (src_a < src_b), how many DISTINCT token n-grams they share — the
     * corpus-health audit run before mixing crawls/dumps (a high count

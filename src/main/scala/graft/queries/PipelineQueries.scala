@@ -3217,6 +3217,32 @@ object PipelineQueries {
           sum(when(col("doc_id") =!= col("survivor"), col("n_chars"))
             .otherwise(0L)).as("chars_saved"))
         .orderBy("source")
+    },
+
+    // Per-doc 3-gram novelty vs everything earlier
+    // (Repetition.noveltyRate): the dedup-novelty curve — when a
+    // source stops contributing new content, its docs' n_novel goes to
+    // zero. One gram-keyed min agg + one join back; oracle builds
+    // grams the independent way (q208 technique).
+    QueryDef.sql("q238_novelty_rate",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |gg AS (SELECT doc_id, gram FROM g WHERE gram IS NOT NULL),
+        |fs AS (SELECT gram, min(doc_id) AS first_seen FROM gg GROUP BY 1)
+        |SELECT gg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN fs.first_seen = gg.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel
+        |FROM gg JOIN fs USING (gram)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Repetition.noveltyRate(
+        Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy("doc_id")
     }
   )
 

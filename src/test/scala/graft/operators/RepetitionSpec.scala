@@ -63,6 +63,19 @@ class RepetitionSpec extends AnyFunSuite {
     assert(got == Map(1L -> 4L, 2L -> 1L))
   }
 
+  test("noveltyRate: first-seen ownership, repeats inside a doc count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),      // 2 grams, both novel
+      (2L, "a b c"),        // 1 gram, seen in doc 1 → 0 novel
+      (3L, "b c d x y z"),  // 4 grams: "b c d" seen; other 3 novel
+      (4L, "q r")           // no 3-grams → absent
+    ).toDF("doc_id", "text")
+    val got = Repetition.noveltyRate(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 2L)), 2L -> ((1L, 0L)), 3L -> ((4L, 3L))))
+  }
+
   test("crossSourceOverlap: distinct shared grams per source pair") {
     import spark.implicits._
     val docs = Seq(
