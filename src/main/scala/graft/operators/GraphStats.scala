@@ -161,13 +161,15 @@ object GraphStats {
       .orderBy(col("ra").desc, col("a"), col("b"))
       .limit(topK)
 
-  /** Shared candidate generation: non-edges (a < b) with ≥1 shared
-    * neighbor of degree ≤ hubCap, carrying both the witness count and
-    * the RA weight sum. An unused aggregate column is pruned by the
-    * optimizer, so the single-score callers pay nothing extra. */
-  private def linkCandidates(edges: DataFrame, hubCap: Long): DataFrame = {
+  /** Shared witness machinery: the normalized symmetric edge frame,
+    * node degrees, and the capped 2-hop pair counts (a < b, witness
+    * count + RA weight sum — an unused aggregate column is pruned by
+    * the optimizer, so single-score callers pay nothing extra). */
+  private def witnessFrames(edges: DataFrame,
+                            hubCap: Long): (DataFrame, DataFrame, DataFrame) = {
     // normalized frame feeds three consumers (degree count + both join
-    // sides + the anti join) — persist per the AQE ReuseExchange rule
+    // sides + the anti/semi consumer) — persist per the AQE ReuseExchange
+    // rule
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
@@ -182,7 +184,33 @@ object GraphStats {
       .groupBy("a", "b")
       .agg(count(lit(1)).as("cn"),
         sum(expr("1000000000 div deg")).as("ra"))
+    (e, deg, pairs)
+  }
+
+  /** Candidate NON-edges for [[linkPrediction]]/[[linkPredictionRa]]. */
+  private def linkCandidates(edges: DataFrame, hubCap: Long): DataFrame = {
+    val (e, _, pairs) = witnessFrames(edges, hubCap)
     pairs.join(e.select(col("src").as("a"), col("dst").as("b")),
       Seq("a", "b"), "left_anti")
+  }
+
+  /** Edge embeddedness (Easley–Kleinberg tie strength): for each
+    * EXISTING edge (a < b), its shared-low-degree-neighbor count next
+    * to the endpoint degrees — cn = 0 flags a LOCAL BRIDGE, the edges
+    * community detection must not cut. Output the topK weakest ties
+    * (cn asc, a, b). Same hub-capped machinery and cost bound as link
+    * prediction (the cap is part of the semantics). Input must be
+    * symmetric (feed both directions). */
+  def edgeEmbeddedness(edges: DataFrame, hubCap: Long, topK: Int): DataFrame = {
+    val (e, deg, pairs) = witnessFrames(edges, hubCap)
+    e.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .join(pairs.select("a", "b", "cn"), Seq("a", "b"), "left")
+      .join(deg.select(col("m").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("m").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), coalesce(col("cn"), lit(0L)).as("cn"),
+        col("deg_a"), col("deg_b"))
+      .orderBy(col("cn"), col("a"), col("b"))
+      .limit(topK)
   }
 }

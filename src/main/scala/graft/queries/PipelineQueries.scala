@@ -3243,6 +3243,34 @@ object PipelineQueries {
       graft.operators.Repetition.noveltyRate(
         Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy("doc_id")
+    },
+
+    // Edge embeddedness / local-bridge detection
+    // (GraphStats.edgeEmbeddedness): per existing edge, shared
+    // low-degree neighbors + endpoint degrees; cn = 0 flags the local
+    // bridges community detection must not cut. Weakest 100 ties.
+    QueryDef.sql("q239_edge_embeddedness",
+      orderAdjSql +
+      """,
+        |sym AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT src AS m, CAST(count(*) AS BIGINT) AS deg
+        |        FROM sym GROUP BY 1),
+        |cand AS (
+        |  SELECT x.src AS a, y.dst AS b, CAST(count(*) AS BIGINT) AS cn
+        |  FROM sym x
+        |  JOIN deg ON deg.m = x.dst AND deg.deg <= 64
+        |  JOIN sym y ON y.src = x.dst AND x.src < y.dst
+        |  GROUP BY 1, 2)
+        |SELECT e.a AS a, e.b AS b, coalesce(cand.cn, 0) AS cn,
+        |  da.deg AS deg_a, db.deg AS deg_b
+        |FROM e LEFT JOIN cand ON e.a = cand.a AND e.b = cand.b
+        |JOIN deg da ON da.m = e.a JOIN deg db ON db.m = e.b
+        |ORDER BY cn, a, b LIMIT 100""".stripMargin) { (s, d) =>
+      val edges = orderAdjEdges(s, d)
+      val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      graft.operators.GraphStats.edgeEmbeddedness(sym, hubCap = 64, topK = 100)
     }
   )
 

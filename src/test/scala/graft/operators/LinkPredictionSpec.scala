@@ -56,6 +56,23 @@ class LinkPredictionSpec extends AnyFunSuite {
     assert(!got.contains((2L, 5L)) || got((2L, 5L))._1 == 0L)
   }
 
+  test("edgeEmbeddedness: triangle edges embedded, bridge at cn 0") {
+    // triangle 1-2-3 plus pendant 3-4: edge (3,4) is a local bridge
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val got = GraphStats.edgeEmbeddedness(sym(edges), hubCap = 64, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      (3L, 4L) -> ((0L, 3L, 1L)),
+      (1L, 2L) -> ((1L, 2L, 2L)),
+      (1L, 3L) -> ((1L, 2L, 3L)),
+      (2L, 3L) -> ((1L, 2L, 3L))))
+    // the weakest tie orders first
+    val first = GraphStats.edgeEmbeddedness(sym(edges), hubCap = 64, topK = 1)
+      .collect().head
+    assert((first.getLong(0), first.getLong(1)) == ((3L, 4L)))
+  }
+
   test("random graph matches brute force under the cap") {
     val rnd = new scala.util.Random(7)
     val es = (1 to 200).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
