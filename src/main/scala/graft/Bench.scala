@@ -70,14 +70,29 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.split(",").exists(n.startsWith)) }
+    // Per-pass peak of the block-manager storage pool, to separate
+    // "host weather" from "cache pressure" in slow passes (VERDICT r8:
+    // ~35 persist() sites with 2 unpersists meant every cached plan of
+    // all 239 queries stayed resident for the whole bench JVM).
+    val passPeakStorage = scala.collection.mutable.ArrayBuffer[Long]()
     val samples: Seq[Seq[Double]] = (1 to runs).map { _ =>
-      named.map { case (_, fn) =>
+      var peak = 0L
+      val pass = named.map { case (_, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         val sec = (System.nanoTime() - t0) / 1e9
+        peak = math.max(peak,
+          spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum)
+        // Cache hygiene: drop query-scoped persists so pass n+1 times
+        // the same cold-cache work as pass 1 and the storage pool stays
+        // flat across 239 queries. Aux.share/shareBuilt stages are
+        // parquet-backed (write-once memo) and unaffected.
+        spark.catalog.clearCache()
         if (ok) sec else -1.0
       }
+      passPeakStorage += peak
+      pass
     }
     // Per-pass detail is buffered and printed BEFORE the final JSON
     // line: the driver tail-reads the last ~2000 chars of combined
@@ -91,6 +106,9 @@ object Bench {
     // r05 gate showed a q57-q68 late-run slowdown cluster with medians
     // only; per-run numbers distinguish "every run slow" (plan/state)
     // from "first run slow" (cache/compile) for the next investigation.
+    detail.append("bench-detail storage-peak-mb " +
+      passPeakStorage.map(b => f"${b / 1048576.0}%.1f").mkString(" ") +
+      f"%n")
     print(detail.toString)
     // The driver records only the LAST ~2000 chars of this process's
     // output and JSON-parses what it finds there (BENCH_r0{1..4}.json all

@@ -27,6 +27,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Cache hygiene (VERDICT r8): query-scoped persists otherwise
+      // accumulate across 239 queries in this one JVM until LRU
+      // eviction. Aux.share/shareBuilt stages are parquet-backed and
+      // unaffected (their `written` memo skips the rewrite; readers
+      // re-read from disk).
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

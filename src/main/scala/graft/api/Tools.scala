@@ -57,7 +57,12 @@ object Tools {
       case None => ("", Seq.empty[String])
     }
     ToolOutput(
-      FetchResult(dir, rows.length.toLong, cleaned, 0, "success"),
+      // Every reference server distinguishes an empty success from a
+      // populated one: `"code": -9999 if n_found == 0 else 0`
+      // (optimade server.py:196/352/510, bohriumpublic server.py:223,
+      // openlam server.py:199, mofdbsql server.py:200).
+      FetchResult(dir, rows.length.toLong, cleaned,
+        if (rows.isEmpty) -9999 else 0, "success"),
       plan, files)
   }
 
@@ -212,7 +217,8 @@ object Tools {
           Manifest.write(p, sql, Seq.empty, Seq.empty, saved.files,
             saved.warnings.map(("mofdbsql", _)))
           ToolOutput(
-            FetchResult(d, rows.length.toLong, cleaned, 0,
+            FetchResult(d, rows.length.toLong, cleaned,
+              if (rows.isEmpty) -9999 else 0, // mofdbsql server.py:200
               if (saved.warnings.isEmpty) "success"
               else s"success with ${saved.warnings.size} warning(s)"),
             Seq.empty, saved.files)

@@ -88,6 +88,11 @@ object GraftFunctions {
     call_function("lsh_bands", sig, lit(bands), lit(rowsPerBand))
   }
 
+  def sig_agree(a: Column, b: Column): Column = {
+    ensureVectorRegistered(SparkSession.active)
+    call_function("sig_agree", a, b)
+  }
+
   private def ensureVectorRegistered(spark: SparkSession): Unit = {
     if (vectorRegistered.containsKey(spark)) return
     vectorRegistered.synchronized {
@@ -112,6 +117,8 @@ object GraftFunctions {
       "lsh_bands", exprs => LshBandsExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sig_agree", exprs => SigAgreeExpr(exprs(0), exprs(1)), "scala_udf")
   }
 
   // F4 — space-group number → short HM / unicode symbol via map literals

@@ -319,3 +319,44 @@ object SignBucketExpr {
     bucket
   }
 }
+
+/** Count of positions where two MinHash signatures agree — the
+  * unbiased Jaccard estimator's numerator (m matching rows of L total;
+  * est = m/L). Native one-pass form of
+  * `aggregate(zip_with(a, b, (x,y) => if(x=y,1,0)), 0, _+_)` over
+  * array&lt;long&gt; signatures (the HOF form is interpreted AND — per
+  * the repo's captured-expression rule — re-evaluates a nested
+  * zip_with per element when projection collapse inlines it).
+  * Compared over the common prefix; a null element contributes no
+  * agreement (mirroring the fold, where null = null is null → 0). */
+case class SigAgreeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sig_agree"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigAgreeExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SigAgreeExpr.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SigAgreeExpr {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) m += 1
+      i += 1
+    }
+    m
+  }
+}

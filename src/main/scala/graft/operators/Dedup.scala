@@ -175,6 +175,44 @@ object Dedup {
     when(union === 0, 0.0).otherwise(inter / union)
   }
 
+  /** MinHash estimator calibration over the LSH candidate set: for
+    * every banded candidate pair, the signature agreement count m
+    * (the estimator's numerator — est ≈ m/L) next to the EXACT
+    * shingle intersection/union, aggregated per m into the
+    * calibration table (m, n_pairs, sum_inter, sum_union, min_inter,
+    * max_union). The pipeline-health readout for tuning (bands, rows)
+    * against a threshold: a well-behaved banding shows sum_inter /
+    * sum_union tracking m/L with no mass below the target band.
+    *
+    * Scale design: pairs come from [[minhashCandidatesFromSigs]]
+    * (band-bucket join — bounded by bucket collisions, no all-pairs
+    * term); per pair the agreement is the codegen'd sig_agree kernel
+    * (the HOF aggregate∘zip_with form would fall out of WSCG and,
+    * post projection-collapse, re-evaluate the zipped array per
+    * element — the repo's captured-expression rule); the final
+    * aggregation is L+1 groups max, map-side combined. All-integer →
+    * the DuckDB oracle (q243) rebuilds it exactly from the shared sig
+    * store. */
+  def minhashCalibration(sigs: DataFrame, bands: Int,
+                         rowsPerBand: Int): DataFrame = {
+    val cands = minhashCandidatesFromSigs(sigs, bands, rowsPerBand)
+    val sv = sigs.select(col("id"), col("sig"), col("sh"))
+    cands
+      .join(sv.select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("sh").as("sh_a")), Seq("id_a"))
+      .join(sv.select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("sh").as("sh_b")), Seq("id_b"))
+      .select(
+        graft.functions.GraftFunctions.sig_agree(col("sig_a"), col("sig_b"))
+          .cast("long").as("m"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("uni"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("inter").as("sum_inter"), sum("uni").as("sum_union"),
+        min("inter").as("min_inter"), max("uni").as("max_union"))
+  }
+
   /** Near-dup pipeline from a materialized (id, sig, sh) frame
     * ([[minhashSigs]]): LSH candidates verified with exact shingle
     * Jaccard ≥ threshold. Returns (id_a, id_b, jaccard) — jaccard is the

@@ -58,10 +58,15 @@ object Importance {
     * [[vocabCounts]] frame. The two totals are an O(V) driver fold —
     * the bounded-collect pattern (vocabSize rows, not data-scale). */
   def weights(spark: SparkSession, vocab: DataFrame): DataFrame = {
-    val t = vocab.agg(sum("cnt_t"), sum("cnt_r")).head()
+    // Two consumers (the totals fold below, then the weight
+    // projection): without persist the full token-explode scan + agg
+    // behind `vocab` recomputes once per consumer (ADVICE r8; same
+    // multi-consumer rule as the AQE/ReuseExchange ground rule).
+    val v = vocab.persist()
+    val t = v.agg(sum("cnt_t"), sum("cnt_r")).head()
     val nT = math.max(1L, if (t.isNullAt(0)) 0L else t.getLong(0))
     val nR = math.max(1L, if (t.isNullAt(1)) 0L else t.getLong(1))
-    vocab.select(col("token"),
+    v.select(col("token"),
       (expr(s"cast(cnt_t as decimal(38,0)) * $Scale div $nT") -
         expr(s"cast(cnt_r as decimal(38,0)) * $Scale div $nR")).as("weight"))
   }

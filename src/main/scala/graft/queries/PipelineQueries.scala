@@ -2784,6 +2784,47 @@ object PipelineQueries {
       rows.toDF("v_size", "covered", "total_occ").orderBy("v_size")
     },
 
+    // MinHash estimator calibration (Dedup.minhashCalibration): per
+    // banded candidate pair, the signature agreement count m (the
+    // m/L Jaccard estimator's numerator, via the codegen'd sig_agree
+    // kernel) against the EXACT shingle intersection/union, rolled up
+    // per m — the tuning readout for (bands, rowsPerBand) vs a target
+    // threshold. All-integer; the oracle rebuilds candidates,
+    // agreements, and exact set sizes from the shared q37 sig store.
+    QueryDef.sql("q243_minhash_calibration",
+      """WITH sigs AS (SELECT * FROM read_parquet('__AUX__/q37_sigs/*.parquet')),
+        |buckets AS (
+        |  SELECT id, b.range AS band,
+        |    array_to_string(sig[b.range*4+1 : b.range*4+4], ',') AS key
+        |  FROM sigs CROSS JOIN range(16) b),
+        |cands AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM buckets a JOIN buckets b
+        |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        |pm AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(list_sum(list_transform(range(1, 1 + len(sa.sig)),
+        |      k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END))
+        |      AS BIGINT) AS m,
+        |    CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS BIGINT)
+        |      AS inter,
+        |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)
+        |      AS uni
+        |  FROM cands c
+        |  JOIN sigs sa ON c.id_a = sa.id
+        |  JOIN sigs sb ON c.id_b = sb.id)
+        |SELECT m, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(inter) AS BIGINT) AS sum_inter,
+        |  CAST(sum(uni) AS BIGINT) AS sum_union,
+        |  CAST(min(inter) AS BIGINT) AS min_inter,
+        |  CAST(max(uni) AS BIGINT) AS max_union
+        |FROM pm GROUP BY 1 ORDER BY m""".stripMargin) { (s, d) =>
+      val sigs = Aux.share(
+        Dedup.minhashSigs(docsWithPlants(s, d), "doc_id", "text"), d, "q37_sigs")
+      Dedup.minhashCalibration(sigs, bands = 16, rowsPerBand = 4)
+        .orderBy("m")
+    },
+
     // Contrastive hard-negative mining (SemDedup.hardNegatives): per
     // vector, the nearest DIFFERENT-label vector inside its SemDeDup
     // cluster — quantized squared-L2, ties to the smallest candidate
@@ -2810,7 +2851,8 @@ object PipelineQueries {
         |    AND a.vec_id <> b.vec_id AND a.label <> b.label
         |  GROUP BY 1, 2),
         |mn AS (SELECT anchor, min(d2) AS m FROM cd GROUP BY 1)
-        |SELECT c.anchor AS anchor, min(c.cand) AS negative, c.d2 AS d2
+        |SELECT c.anchor AS anchor, min(c.cand) AS negative,
+        |  CAST(c.d2 AS BIGINT) AS d2
         |FROM cd c JOIN mn ON c.anchor = mn.anchor AND c.d2 = mn.m
         |GROUP BY 1, 3 ORDER BY anchor""".stripMargin) { (s, d) =>
       graft.operators.SemDedup.hardNegatives(Tables.embeddings(s, d), k = 8)
@@ -3171,7 +3213,10 @@ object PipelineQueries {
             .orderBy(col("score").desc, col("doc_id"))))
         .filter(col("rn") <= 3).drop("rn")
         .persist() // feeds the anti join, the count, and the output
-      val fillN = 50 - floorPick.count() // O(1) driver scalar
+      // Clamp: with >16 langs × 3 floor picks, 50 - count goes
+      // negative; the oracle's `rn <= negative` degrades to an empty
+      // fill while Spark's limit(negative) would throw (ADVICE r8).
+      val fillN = math.max(0L, 50 - floorPick.count()) // O(1) driver scalar
       val fill = scored.join(floorPick.select("doc_id"), Seq("doc_id"),
           "left_anti")
         .orderBy(col("score").desc, col("doc_id"))
@@ -3190,7 +3235,7 @@ object PipelineQueries {
     // pattern) because the synthetic corpus has none.
     QueryDef.sql("q237_dedup_savings",
       """WITH aug AS (
-        |  SELECT * FROM documents
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
         |  UNION ALL
         |  SELECT doc_id + 300000, text, lang, source, n_chars FROM
         |    (SELECT * FROM documents ORDER BY doc_id LIMIT 5)),

@@ -127,6 +127,81 @@ object SqlSurfaceQueries {
         Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
         "o_orderkey", limit = 700)
       pages.take(2).reduce(_.unionByName(_)).orderBy("o_orderkey")
+    },
+
+    // O2/S5 negative path: a malformed ISO-8601 submission-time bound
+    // reaches the openlam tool, ANSI to_timestamp raises at execution,
+    // and the tool returns the reference's error envelope — code −1,
+    // n_found 0, no structures (openlam Openlam_Server/server.py:133-141:
+    // any query exception → {"code": -1, "n_found": 0,
+    // "cleaned_structures": []}). The oracle is the envelope constant.
+    QueryDef.sql("q240_openlam_bad_time",
+      """SELECT CAST(-1 AS INT) AS code, CAST(0 AS BIGINT) AS n_found,
+        |  CAST(0 AS BIGINT) AS n_structs""".stripMargin) { (s, d) =>
+      val v = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"),
+        col("o_orderpriority").as("formula"),
+        col("o_totalprice").as("energy"),
+        col("o_orderdate").as("submission_time"))
+      val out = graft.api.Tools.fetchOpenlamStructures(s, v,
+        minSubmissionTime = Some("not-a-timestamp"), nResults = 10)
+      import s.implicits._
+      Seq((out.result.code, out.result.nFound,
+        out.result.cleanedStructures.size.toLong))
+        .toDF("code", "n_found", "n_structs")
+    },
+
+    // P3/F4 negative path: an UNKNOWN space-group number is dropped
+    // with a warning, not an error (bohriumpublic server.py:120-125:
+    // `if sg_symbol: ... else: logging.warning`), and an unparseable
+    // range string completes to the default end (the API-forwarding
+    // analog of server.py:126-142's empty-string fill). The oracle
+    // applies NO space-group predicate and the default-completed
+    // bounds — identical rows proves both drop semantics.
+    QueryDef.sql("q241_bohrium_unknown_spg",
+      """WITH v AS (
+        |  SELECT p_partkey AS id, p_type AS formula, p_size AS atom_count,
+        |    ((CAST(p_partkey % 200 AS DOUBLE) - 100.0) +
+        |     CAST(p_partkey AS DOUBLE) * 1e-9) AS predicted_formation_energy
+        |  FROM part)
+        |SELECT id, formula, atom_count, predicted_formation_energy FROM v
+        |WHERE formula LIKE '%ECO%'
+        |  AND atom_count >= 0.0 AND atom_count <= 30.0
+        |ORDER BY predicted_formation_energy LIMIT 25""".stripMargin) { (s, d) =>
+      val v = Tables.part(s, d).select(
+        col("p_partkey").as("id"),
+        col("p_type").as("formula"),
+        col("p_size").as("atom_count"),
+        (((col("p_partkey") % 200).cast("double") - lit(100.0)) +
+          col("p_partkey").cast("double") * lit(1e-9))
+          .as("predicted_formation_energy"))
+      Parametric.bohriumQuery(
+        formula = Some("ECO"), matchMode = 0,
+        spacegroupNumber = Some(999), // unknown → dropped, not an error
+        atomCountRange = Seq("junk", "30"), // unparseable → defaultMin 0
+        nResults = 25)
+        .run(v)
+        .select("id", "formula", "atom_count", "predicted_formation_energy")
+    },
+
+    // Empty-result envelope code: every reference server returns
+    // code −9999 (NOT 0) when a successful query matches nothing
+    // (optimade server.py:196/352/510, bohriumpublic server.py:223,
+    // openlam server.py:199, mofdbsql server.py:200) — gated here via
+    // a bohrium fetch whose exact-match formula exists in no row.
+    QueryDef.sql("q242_empty_result_code",
+      """SELECT CAST(-9999 AS INT) AS code, CAST(0 AS BIGINT) AS n_found,
+        |  CAST(0 AS BIGINT) AS n_structs""".stripMargin) { (s, d) =>
+      val v = Tables.part(s, d).select(
+        col("p_partkey").as("id"), col("p_type").as("formula"),
+        col("p_size").as("atom_count"),
+        col("p_retailprice").cast("double").as("predicted_formation_energy"))
+      val out = graft.api.Tools.fetchBohriumCrystals(s, v,
+        formula = Some("NO_SUCH_FORMULA"), matchMode = 1, nResults = 10)
+      import s.implicits._
+      Seq((out.result.code, out.result.nFound,
+        out.result.cleanedStructures.size.toLong))
+        .toDF("code", "n_found", "n_structs")
     }
   )
 }

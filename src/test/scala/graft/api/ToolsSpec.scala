@@ -73,6 +73,23 @@ class ToolsSpec extends AnyFunSuite {
     assert(out.result.cleanedStructures.head("id") == 1L)
   }
 
+  test("envelope codes: -9999 on empty success, -1 on query error") {
+    import spark.implicits._
+    val crystals = Seq(
+      (1L, "Fe2O3", -40.2, Timestamp.valueOf("2024-03-01 00:00:00")))
+      .toDF("id", "formula", "energy", "submission_time")
+    // empty SUCCESS → -9999, the reference's n_found==0 branch
+    // (openlam server.py:199; same line in all five servers)
+    val empty = Tools.fetchOpenlamStructures(spark, crystals,
+      formula = Some("NaCl"))
+    assert(empty.result.code == -9999 && empty.result.nFound == 0)
+    // malformed ISO bound → ANSI parse error → -1 error envelope
+    // (openlam server.py:133-141)
+    val bad = Tools.fetchOpenlamStructures(spark, crystals,
+      minSubmissionTime = Some("not-a-timestamp"))
+    assert(bad.result.code == -1 && bad.result.nFound == 0)
+  }
+
   test("fetch_bohrium_crystals and fetch_mofs parametric tools") {
     import spark.implicits._
     val bohrium = Seq(

@@ -167,4 +167,29 @@ class VectorExprsSpec extends AnyFunSuite {
       .collect().head
     assert(v.isNullAt(0)) // documented divergence: HOF folds null vec to 0L
   }
+
+  test("native sig_agree matches the HOF zip_with fold, incl. edge cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // small value range forces plenty of agreements
+    val df = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextInt(4).toLong),
+        Seq.fill(64)(rnd.nextInt(4).toLong))
+    }.toDF("id", "a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    df.select(GraftFunctions.sig_agree(col("a"), col("b")).as("n"),
+        hof.as("h")).collect()
+      .foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // identical arrays agree everywhere; disjoint agree nowhere
+    val pin = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), Seq(7L, 8L, 9L)))
+      .toDF("a", "b", "c")
+    val pr = pin.select(
+      GraftFunctions.sig_agree(col("a"), col("b")),
+      GraftFunctions.sig_agree(col("a"), col("c")),
+      GraftFunctions.sig_agree(col("a"), lit(null).cast("array<bigint>")))
+      .collect().head
+    assert(pr.getInt(0) == 3 && pr.getInt(1) == 0 && pr.isNullAt(2))
+  }
 }

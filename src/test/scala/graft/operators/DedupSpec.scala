@@ -235,4 +235,30 @@ class DedupSpec extends AnyFunSuite {
       ufComponents(pairs.toSeq).values.toSet
     assert(surv == Set(1L, 2L, 3L, 9L) -- expectedLosers)
   }
+
+  test("minhashCalibration matches a brute-force recomputation per m") {
+    val sigs = Dedup.minhashSigs(docs, "doc_id", "text").persist()
+    val local = sigs.collect().map(r => (r.getLong(0),
+      r.getSeq[Long](1).toIndexedSeq, r.getSeq[String](2).toSet)).toSeq
+    // brute force: candidates = pairs sharing any band slice
+    val bands = 16; val rpb = 4
+    def bandKeys(sig: IndexedSeq[Long]) =
+      (0 until bands).map(b => (b, sig.slice(b * rpb, b * rpb + rpb)))
+    val expect = (for {
+      (ia, sa, ha) <- local; (ib, sb, hb) <- local
+      if ia < ib && bandKeys(sa).toSet.intersect(bandKeys(sb).toSet).nonEmpty
+    } yield {
+      val m = sa.zip(sb).count { case (x, y) => x == y }.toLong
+      (m, (ha & hb).size.toLong, (ha | hb).size.toLong)
+    }).groupBy(_._1).map { case (m, ps) =>
+      m -> (ps.size.toLong, ps.map(_._2).sum, ps.map(_._3).sum,
+        ps.map(_._2).min, ps.map(_._3).max)
+    }
+    val got = Dedup.minhashCalibration(sigs, bands, rpb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    sigs.unpersist()
+    assert(got == expect)
+    assert(got.nonEmpty) // docs fixture plants exact + near dups
+  }
 }

@@ -26,9 +26,11 @@ class SemDedupStreamsSpec extends AnyFunSuite {
   }
 
   /** Frozen centroids: the k smallest-id vectors' quantized dims —
-    * exactly the batch operator's seed set. */
+    * derived the way the batch operator's seedTable does (orderBy +
+    * limit, NOT `vec_id < K`: regenerated testdata ids need not start
+    * at 0 — ADVICE r8). */
   private lazy val centroids: Map[Long, Array[Long]] =
-    graft.operators.SemDedup.quantized(emb.filter(col("vec_id") < K))
+    graft.operators.SemDedup.quantized(emb.orderBy("vec_id").limit(K))
       .collect()
       .groupBy(_.getLong(0))
       .map { case (id, rows) =>

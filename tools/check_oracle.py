@@ -64,6 +64,37 @@ def norm(v):
         return repr(v)
     return str(v)
 
+import pyarrow as pa
+
+def type_class(t):
+    """Coarse arrow-type class for driver-hash compatibility.
+
+    The driver's hasher is TYPE-SENSITIVE where string canon here is
+    not: decimal128 (DuckDB HUGEINT, e.g. an uncast sum(BIGINT)) vs
+    int64 hash-mismatches even when every cell value agrees (r08 q230),
+    as does decimal vs float (r03 q47). Classes that must match on
+    both sides: decimal / floating / integer. Width within a class is
+    fine (driver passed int32-vs-int64 pairs for 8 rounds)."""
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_integer(t):
+        return "int"
+    return "other"
+
+def type_mismatches(spark_tbl, duck_tbl):
+    d_by_name = {f.name: f.type for f in duck_tbl.schema}
+    bad = []
+    for f in spark_tbl.schema:
+        dt = d_by_name.get(f.name)
+        if dt is None:
+            continue  # column-set diff reported separately
+        sc_cls, dk_cls = type_class(f.type), type_class(dt)
+        if sc_cls != dk_cls and {sc_cls, dk_cls} <= {"decimal", "float", "int"}:
+            bad.append(f"{f.name}: spark={f.type} duck={dt}")
+    return bad
+
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:
@@ -71,14 +102,20 @@ for name, sql in sorted(oracle.items()):
         # silently coerces DECIMAL to float64, which hid a decimal-typed
         # Spark column (q47 percentile) from this local gate while the
         # driver's native read hash-mismatched it (r03+r04 q47 flake).
-        spark_df = pq.read_table(
-            sorted(glob.glob(f"{outdir}/{name}/*.parquet"))).to_pandas()
+        spark_tbl = pq.read_table(sorted(glob.glob(f"{outdir}/{name}/*.parquet")))
+        spark_df = spark_tbl.to_pandas()
         # .arrow() not .df(): pandas conversion coerces date32 to a
         # midnight timestamp and DECIMAL to float64; arrow keeps both.
-        duck_df = con.execute(sql).arrow().to_pandas()
+        duck_tbl = con.execute(sql).arrow()
+        duck_df = duck_tbl.to_pandas()
         sc, sr = canon(spark_df)
         dc, dr = canon(duck_df)
-        if sc != dc:
+        tmis = type_mismatches(spark_tbl, duck_tbl)
+        if tmis:
+            print(f"FAIL {name}: type class mismatch (driver hash would differ): "
+                  + "; ".join(tmis))
+            fails += 1
+        elif sc != dc:
             print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
             fails += 1
         elif sr != dr:
