@@ -747,6 +747,22 @@ object BenchScale {
         graft.operators.Repetition.crossSourceOverlap(dd, "source", "text", 5)
           .count()
       },
+      "ref_coverage" -> { k =>
+        // ref side = even doc ids (half the k× corpus); salted clones
+        // keep gram spaces disjoint per copy, so the ref-distinct set
+        // AND the eval gram stream both grow k× while per-gram join
+        // fan-out stays ~1 — the gram-keyed equi join should be linear
+        val dd = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        graft.operators.Repetition.referenceCoverage(
+          dd, "doc_id", "text", col("doc_id") % 2 === 0, 2).count()
+      },
+      "shard_balance" -> { k =>
+        // row-local hash + one 16-group agg: the textbook linear scan
+        val dd = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        graft.operators.Curation.shardBalance(
+          dd, "doc_id", "text", "n_chars", 16).count()
+      },
     )
 
     // dev-only family filter (SPARK_GRAFT_SCALE_ONLY=bfs,components_star)

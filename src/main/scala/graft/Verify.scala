@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // expected unpersist-of-localCheckpoint WARNs from the per-query
+    // RDD sweep (see Bench) — silence the rdd logger only
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // dev-only prefix filter (SPARK_GRAFT_VERIFY_ONLY=q224,q225) for
     // single-query iteration — the round driver never sets it
@@ -31,8 +35,12 @@ object Verify {
       // accumulate across 239 queries in this one JVM until LRU
       // eviction. Aux.share/shareBuilt stages are parquet-backed and
       // unaffected (their `written` memo skips the rewrite; readers
-      // re-read from disk).
+      // re-read from disk). The RDD sweep also frees iterative
+      // operators' per-round localCheckpoints, which the catalog
+      // cache never tracks.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -58,7 +58,11 @@ object Bfs {
     while (frontierSize > 0 && depth < maxDepth) {
       depth += 1
       // Iterate.materialize keeps the carried size estimates (and
-      // lineage) round-constant — see Iterate scaladoc
+      // lineage) round-constant — see Iterate scaladoc. (A fused
+      // lazy-checkpoint + count was A/B-measured SLOWER: the count
+      // over the eager checkpoint's cached blocks is near-free, while
+      // counting through the uncheckpointed plan loses codegen'd
+      // aggregation locality.)
       val next = Iterate.materialize(
         frontier.select(col("node").as("src")).join(e, "src")
           .select(col("dst").as("node")).distinct()

@@ -175,4 +175,31 @@ object Curation {
         count(lit(1)).as("n_members"),
         count_distinct(col(prioCol)).as("n_prios"))
   }
+
+  /** Deterministic content-hash shard id in [0, shards): the first 8
+    * hex digits of md5("<id>:<text>") as an unsigned 32-bit value, mod
+    * the shard count — the stable output-layout router a corpus writer
+    * uses (same doc → same shard across runs and engines; no RNG, no
+    * Spark-internal hash, so any SQL engine re-derives it). Content in
+    * the key means a re-ingested doc with a new id moves shards but
+    * identical (id, text) never does. */
+  def shardOf(id: Column, text: Column, shards: Int): Column = {
+    require(shards >= 1 && shards <= (1 << 20), "shards: 1..2^20")
+    conv(substring(md5(concat(id.cast("string"), lit(":"), text)), 1, 8),
+      16, 10).cast("long") % shards
+  }
+
+  /** Shard-balance audit for a planned `shards`-way layout: per shard,
+    * row count, total payload chars, and the id range — the skew
+    * readout a writer checks BEFORE committing a partitioning (a fat
+    * shard = a straggler task and an oversized file at 100 TB; the
+    * audit is one map-side-combined aggregation over a row-local hash,
+    * no shuffle wider than `shards` groups). */
+  def shardBalance(docs: DataFrame, idCol: String, textCol: String,
+                   weightCol: String, shards: Int): DataFrame =
+    docs.select(shardOf(col(idCol), col(textCol), shards).as("shard"),
+        col(idCol).as("id"), col(weightCol).as("w"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w").cast("long")).as("chars"),
+        min("id").as("min_id"), max("id").as("max_id"))
 }

@@ -175,6 +175,30 @@ object Dedup {
     when(union === 0, 0.0).otherwise(inter / union)
   }
 
+  /** Incremental-ingest admission flags: for every incoming batch row,
+    * whether its exact text hash already exists in the standing corpus
+    * (`dup_vs_corpus`) and whether an earlier batch row (smaller id)
+    * carries the same hash (`dup_in_batch`) — the two gates an
+    * append-only ingest applies before admitting new documents, WITHOUT
+    * rescanning or rewriting the corpus (the corpus side collapses to
+    * DISTINCT hashes, the batch side is one min-per-hash aggregation +
+    * two hash-keyed joins; at 100 TB the corpus hash set is the only
+    * large input and it shuffles once, on the hash). Returns
+    * (id, dup_vs_corpus 0/1, dup_in_batch 0/1), both flags raw —
+    * precedence (corpus wins) is the consumer's bucketing. */
+  def admissionFlags(corpus: DataFrame, batch: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    val ch = corpus.select(md5(col(textCol)).as("h")).distinct()
+      .withColumn("in_corpus", lit(1L))
+    val bh = batch.select(col(idCol).as("id"), md5(col(textCol)).as("h"))
+    val firstIn = bh.groupBy("h").agg(min("id").as("first_id"))
+    bh.join(ch, Seq("h"), "left")
+      .join(firstIn, Seq("h"))
+      .select(col("id"),
+        coalesce(col("in_corpus"), lit(0L)).as("dup_vs_corpus"),
+        when(col("id") > col("first_id"), 1L).otherwise(0L).as("dup_in_batch"))
+  }
+
   /** MinHash estimator calibration over the LSH candidate set: for
     * every banded candidate pair, the signature agreement count m
     * (the estimator's numerator — est ≈ m/L) next to the EXACT

@@ -33,4 +33,5 @@ object Iterate {
     val cp = df.localCheckpoint()
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
+
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Within-document repetition signals and corpus-level boilerplate
@@ -134,5 +134,29 @@ object Repetition {
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("shared"))
       .orderBy("src_a", "src_b")
+  }
+
+  /** Per-doc n-gram coverage against a REFERENCE sub-corpus: for every
+    * non-reference doc, how many of its gram positions carry a gram
+    * the reference contains — the held-out familiarity proxy behind
+    * "is this candidate in-distribution for the model we trained on
+    * ref?" (the doc-level sibling of [[noveltyRate]]'s arrival-order
+    * novelty). Returns (doc_id, n_grams, n_known); docs shorter than
+    * the gram order yield no row.
+    *
+    * Scale design: two [[grams]] scans over DISJOINT partitions of the
+    * corpus (ref / eval — no doc is scanned twice), the reference side
+    * collapsed to DISTINCT grams, one gram-keyed equi join (NOT a
+    * broadcast — a reference corpus is corpus-scale, unlike q74's tiny
+    * benchmark set), one doc-keyed aggregation. All-integer. */
+  def referenceCoverage(docs: DataFrame, idCol: String, textCol: String,
+                        isRef: Column, n: Int): DataFrame = {
+    val ref = grams(docs.filter(isRef), idCol, textCol, n)
+      .select("gram").distinct()
+    grams(docs.filter(!isRef), idCol, textCol, n)
+      .join(ref.withColumn("known", lit(1L)), Seq("gram"), "left")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("known"), lit(0L))).as("n_known"))
   }
 }

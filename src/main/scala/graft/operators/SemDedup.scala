@@ -122,6 +122,37 @@ object SemDedup {
       .orderBy("anchor")
   }
 
+  /** kNN label agreement under the same cluster blocking as
+    * [[hardNegatives]]: per anchor, the nearest OTHER vector in its
+    * cluster (quantized squared-L2, ties to the smallest candidate
+    * id), aggregated per label to (n_vecs, n_same) — the standard
+    * embedding-quality eval "does my nearest neighbour share my
+    * label", with the blocking as part of the semantics (the oracle
+    * applies it identically). A vector alone in its cluster
+    * contributes no row. All-integer. */
+  def knnLabelAgreement(emb: DataFrame, k: Int): DataFrame = {
+    val qv = quantized(emb).persist()
+    val asg = assignTo(qv, seedTable(emb, qv, k))
+    val av = qv.join(asg, "vec_id")
+      .join(emb.select(col("vec_id"), col("label")), "vec_id").persist()
+    val cd = av.as("a").join(av.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.d") === col("b.d") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("anchor"), col("a.label").as("la"),
+        col("b.vec_id").as("cand"), col("b.label").as("lb"))
+      .agg(sum((col("a.q") - col("b.q")) * (col("a.q") - col("b.q"))).as("d2"))
+      .persist() // feeds the min, the argmin filter, and the label join-back
+    val mn = cd.groupBy("anchor").agg(min("d2").as("m"))
+    val nn = cd.join(mn, Seq("anchor"))
+      .filter(col("d2") === col("m"))
+      .groupBy("anchor", "la").agg(min("cand").as("nnid"))
+    nn.join(cd.select(col("anchor"), col("cand").as("nnid"), col("lb")),
+        Seq("anchor", "nnid"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_same"))
+  }
+
   /** The near-dup pair frame (cluster, va, vb, na, nb, dot) plus the
     * assignment it was built against. */
   private def pairFrames(emb: DataFrame, k: Int): (DataFrame, DataFrame) = {

@@ -119,4 +119,43 @@ class CurationSpec extends AnyFunSuite {
       "y" -> ((5L, 3, 2L, 1L)),
       "z" -> ((99L, 9, 1L, 1L))))
   }
+
+  test("shardOf: deterministic, in range, and equal to a JVM md5 recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 200L).map(i => (i, s"doc text $i")).toDF("id", "text")
+    val got = docs.select(col("id"),
+        Curation.shardOf(col("id"), col("text"), 16).as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = (0L until 200L).map { i =>
+      val hex = md.digest(s"$i:doc text $i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      i -> java.lang.Long.parseLong(hex.take(8), 16) % 16
+    }.toMap
+    assert(got == expect)
+    assert(got.values.forall(s => s >= 0 && s < 16))
+    assert(got.values.toSet.size > 8) // spreads, not collapsed
+  }
+
+  test("shardBalance: per-shard counts/chars/ranges match a driver fold") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"t$i", 10L + i % 7))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Curation.shardBalance(docs, "doc_id", "text", "n_chars", 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def shard(i: Long) = {
+      val hex = md.digest(s"$i:t$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 8
+    }
+    val expect = (0L until 100L).map(i => (shard(i), i, 10L + i % 7))
+      .groupBy(_._1).map { case (sh, xs) =>
+        sh -> ((xs.size.toLong, xs.map(_._3).sum, xs.map(_._2).min, xs.map(_._2).max))
+      }
+    assert(got == expect)
+    assert(got.keys.forall(s => s >= 0 && s < 8))
+  }
 }

@@ -236,6 +236,24 @@ class DedupSpec extends AnyFunSuite {
     assert(surv == Set(1L, 2L, 3L, 9L) -- expectedLosers)
   }
 
+  test("admissionFlags: corpus dup, in-batch dup, both, and fresh") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha"),  // dup vs corpus only
+      (11L, "gamma"),  // fresh, first of its hash
+      (12L, "gamma"),  // in-batch dup of 11
+      (13L, "beta"),   // dup vs corpus AND (first of its batch hash)
+      (14L, "beta"),   // dup vs corpus AND in-batch dup
+      (15L, "delta"))  // fresh
+      .toDF("doc_id", "text")
+    val got = Dedup.admissionFlags(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      10L -> ((1L, 0L)), 11L -> ((0L, 0L)), 12L -> ((0L, 1L)),
+      13L -> ((1L, 0L)), 14L -> ((1L, 1L)), 15L -> ((0L, 0L))))
+  }
+
   test("minhashCalibration matches a brute-force recomputation per m") {
     val sigs = Dedup.minhashSigs(docs, "doc_id", "text").persist()
     val local = sigs.collect().map(r => (r.getLong(0),

@@ -111,4 +111,21 @@ class RepetitionSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == expected)
   }
+
+  test("referenceCoverage: per-doc known-gram positions vs the ref side") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "ref", "a b c"),      // ref grams: "a b", "b c"
+      (2L, "ref", "c d"),        // ref gram: "c d"
+      (3L, "eval", "a b c d"),   // positions: a b✓, b c✓, c d✓ → 3/3
+      (4L, "eval", "a b x y"),   // a b✓, b x✗, x y✗ → 1/3
+      (5L, "eval", "q r"),       // q r✗ → 0/1
+      (6L, "eval", "z"))         // too short → absent
+      .toDF("doc_id", "side", "text")
+    val got = Repetition.referenceCoverage(
+        docs, "doc_id", "text", col("side") === "ref", n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(3L -> ((3L, 3L)), 4L -> ((3L, 1L)), 5L -> ((1L, 0L))))
+  }
 }

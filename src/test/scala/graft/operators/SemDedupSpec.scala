@@ -72,6 +72,39 @@ class SemDedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("knnLabelAgreement: nearest any-label in-cluster, per-label agg") {
+    val rnd = new scala.util.Random(37)
+    val vs = (0L until 60L).map { i =>
+      (i, Seq.fill(4)((rnd.nextDouble() - 0.5).toFloat), (i % 3).toInt)
+    }
+    val k = 4
+    val q = vs.map { case (id, e, _) =>
+      id -> e.map(x => math.floor(x.toDouble * SemDedup.Scale).toLong)
+    }.toMap
+    val lbl = vs.map(v => v._1 -> v._3).toMap
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seeds = (0L until k.toLong)
+    val cl = q.map { case (id, e) => id -> seeds.minBy(s => (d2(e, q(s)), s)) }
+    val nn = q.keys.flatMap { a =>
+      val cands = q.keys.filter(b => b != a && cl(b) == cl(a))
+      if (cands.isEmpty) None
+      else Some(a -> cands.minBy(b => (d2(q(a), q(b)), b)))
+    }.toMap
+    val expected = nn.toSeq.groupBy { case (a, _) => lbl(a) }
+      .map { case (l, ps) =>
+        l.toLong -> ((ps.size.toLong,
+          ps.count { case (a, b) => lbl(a) == lbl(b) }.toLong))
+      }
+    import spark.implicits._
+    val got = SemDedup.knnLabelAgreement(
+        vs.toDF("vec_id", "embedding", "label"), k)
+      .collect().map(r => r.getInt(0).toLong -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("kmeansTwoRounds matches a driver-side integer Lloyd") {
     val rnd = new scala.util.Random(23)
     val vs = (0L until 50L).map { i =>
