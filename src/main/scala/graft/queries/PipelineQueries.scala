@@ -3376,6 +3376,12 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_cands"), sum("hit").as("n_true"))
           .select(lit(b).as("bands"), lit(r).as("rpb"),
             col("n_cands"), col("n_true"))
+          // a config with ZERO candidates: the global agg still emits
+          // one (0, NULL) row while the oracle's GROUP BY emits none —
+          // drop it so both sides agree that an empty config is absent
+          // (possible at strict bandings if a regenerated corpus has
+          // no band collisions)
+          .filter(col("n_cands") > 0)
       }.reduce(_.unionByName(_)).orderBy("bands", "rpb")
     },
 
@@ -3596,10 +3602,14 @@ object PipelineQueries {
         |  CAST(base + (CASE WHEN rn <= 100 - fsum THEN 1 ELSE 0 END) AS BIGINT)
         |    AS alloc
         |FROM r ORDER BY lang, source""".stripMargin) { (s, d) =>
+      // two consumers (the apportionment input and the n_docs
+      // join-back) — persist or the corpus scan + agg runs twice
+      // (the Importance.weights/ADVICE-r8 rule)
       val n = Tables.documents(s, d).groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"))
         .withColumn("w",
           floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long"))
+        .persist()
       graft.operators.Apportion.largestRemainder(n
           .select(col("lang"), col("source"), col("w"), col("n_docs")),
           "lang", "source", "w", 100)
