@@ -136,6 +136,38 @@ object Repetition {
       .orderBy("src_a", "src_b")
   }
 
+  /** Split-document rejoin candidates: pairs (left, right) where the
+    * LAST k tokens of `left` equal the FIRST k tokens of `right` — the
+    * detector for documents a crawler/chunker split mid-text (the
+    * inverse failure mode of q75's packing), whose halves should be
+    * re-joined before dedup/training. One head-key and one tail-key
+    * projection (row-local slices), an equi join on the bridge gram,
+    * and the q69 posting-list guard: bridge keys with document
+    * frequency above `maxDf` on either side are boilerplate
+    * (headers/footers), contribute candidates quadratically, and are
+    * excluded BY SEMANTICS (the oracle applies the same cap) — so join
+    * fan-out is bounded by maxDf² per key. Docs shorter than k tokens
+    * have no bridge. Self-pairs excluded. */
+  def splitRejoinCandidates(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int, maxDf: Long): DataFrame = {
+    val t = docs.select(col(idCol).as("id"), split(col(textCol), " ").as("ts"))
+      .filter(size(col("ts")) >= k)
+    val tails = t.select(col("id"),
+      array_join(slice(col("ts"), -k, k), " ").as("bridge"))
+    val heads = t.select(col("id"),
+      array_join(slice(col("ts"), 1, k), " ").as("bridge"))
+    def capped(side: DataFrame) = {
+      val df = side.groupBy("bridge").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("bridge")
+      side.join(df, "bridge")
+    }
+    capped(tails).select(col("bridge"), col("id").as("left_id"))
+      .join(capped(heads).select(col("bridge"), col("id").as("right_id")),
+        Seq("bridge"))
+      .filter(col("left_id") =!= col("right_id"))
+      .select("left_id", "right_id", "bridge")
+  }
+
   /** Per-doc n-gram coverage against a REFERENCE sub-corpus: for every
     * non-reference doc, how many of its gram positions carry a gram
     * the reference contains — the held-out familiarity proxy behind

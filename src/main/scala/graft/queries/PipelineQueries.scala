@@ -3482,6 +3482,87 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // Duplication × size joint profile: per exact-dup cluster size,
+    // the doc count and char/token mass with min/max chars — answers
+    // "are my duplicates long boilerplate or short spam" (which decides
+    // whether dedup savings (q237) come from storage or from training
+    // tokens). Exact-int aggregates only (the q68 avg rule).
+    QueryDef.sql("q255_dup_size_profile",
+      """WITH aug AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 800000, text, n_chars FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 6)),
+        |g AS (SELECT md5(text) AS h, count(*) AS n_copies FROM aug GROUP BY 1),
+        |j AS (SELECT a.doc_id, g.n_copies, a.n_chars,
+        |        len(string_split(a.text, ' ')) AS toks
+        |      FROM aug a JOIN g ON md5(a.text) = g.h)
+        |SELECT CAST(n_copies AS BIGINT) AS n_copies,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(toks) AS BIGINT) AS sum_tokens,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM j GROUP BY 1 ORDER BY n_copies""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+      val aug = docs.unionByName(docs.orderBy("doc_id").limit(6)
+        .withColumn("doc_id", col("doc_id") + 800000L))
+        .persist() // feeds the hash groupBy and the join-back
+      val g = aug.groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_copies"))
+      aug.join(g, md5(col("text")) === col("h"))
+        .select(col("n_copies"), col("n_chars").cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("n_copies")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("toks").as("sum_tokens"), min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("n_copies")
+    },
+
+    // Split-document rejoin candidates (Repetition
+    // .splitRejoinCandidates): doc pairs where one's LAST 3 tokens
+    // equal the other's FIRST 3 — the detector for mid-text splits a
+    // chunker introduced, with the q69-style df ≤ 16 boilerplate cap
+    // on the bridge gram (part of the semantics, oracle applies it).
+    QueryDef.sql("q253_split_rejoin",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |tails AS (SELECT doc_id, array_to_string(ts[-3:], ' ') AS bridge FROM t),
+        |heads AS (SELECT doc_id, array_to_string(ts[1:3], ' ') AS bridge FROM t),
+        |tc AS (SELECT bridge FROM tails GROUP BY 1 HAVING count(*) <= 16),
+        |hc AS (SELECT bridge FROM heads GROUP BY 1 HAVING count(*) <= 16)
+        |SELECT a.doc_id AS left_id, b.doc_id AS right_id, a.bridge AS bridge
+        |FROM tails a JOIN tc USING (bridge)
+        |JOIN heads b ON a.bridge = b.bridge AND a.doc_id <> b.doc_id
+        |JOIN hc ON b.bridge = hc.bridge
+        |ORDER BY left_id, right_id""".stripMargin) { (s, d) =>
+      graft.operators.Repetition.splitRejoinCandidates(
+          Tables.documents(s, d), "doc_id", "text", k = 3, maxDf = 16)
+        .orderBy("left_id", "right_id")
+    },
+
+    // Per-source type-token ratio ×1000 — the vocabulary-richness
+    // quality signal (low TTR = templated/spammy source) next to q33's
+    // per-doc stats and q72's tf/df table. All-integer.
+    QueryDef.sql("q254_type_token_ratio",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        |f AS (SELECT source, t FROM tok WHERE t <> '')
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT t) AS BIGINT) AS n_types,
+        |  CAST(count(DISTINCT t) * 1000 // count(*) AS BIGINT) AS ttr_permille
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("t")).as("n_types"))
+        .withColumn("ttr_permille", expr("n_types * 1000 div n_tokens"))
+        .orderBy("source")
+    },
+
     // Sequence-packing efficiency under pad-to-multiple batching: per
     // source — token mass, sequence count at C=32, padded mass, and
     // the permille efficiency Σt·1000 div Σpad (what fraction of every

@@ -112,6 +112,31 @@ class RepetitionSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("splitRejoinCandidates: tail=head bridges, df cap, no self-pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "x y a b c"),       // tail "a b c"
+      (2L, "a b c p q"),       // head "a b c" → (1,2)
+      (3L, "m n a b c"),       // tail "a b c" too → (3,2)
+      (4L, "k k k"),           // tail = head = "k k k" — self only, excluded
+      (5L, "z z"))             // too short
+      .toDF("doc_id", "text")
+    val got = Repetition.splitRejoinCandidates(docs, "doc_id", "text", 3, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (3L, 2L)))
+    // a boilerplate bridge above the df cap contributes nothing
+    val boiler = (10L until 30L).map(i => (i, s"head tag one filler$i body"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((50L, "ends with head tag one")).toDF("doc_id", "text"))
+    // 20 heads share "head tag one"? no — heads are first 3 tokens,
+    // all "head tag one": df=20 > 16 → capped out
+    val none = Repetition.splitRejoinCandidates(boiler, "doc_id", "text", 3, 16)
+    assert(none.count() == 0)
+    val some = Repetition.splitRejoinCandidates(boiler, "doc_id", "text", 3, 32)
+    assert(some.count() == 20) // cap lifted: doc 50's tail joins all 20 heads
+  }
+
   test("referenceCoverage: per-doc known-gram positions vs the ref side") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
