@@ -80,6 +80,11 @@ object Bench {
     // "host weather" from "cache pressure" in slow passes (VERDICT r8:
     // ~35 persist() sites with 2 unpersists meant every cached plan of
     // all 239 queries stayed resident for the whole bench JVM).
+    // Sampling is once per query (post-count, pre-sweep), so caches an
+    // operator releases INSIDE its own body (Aux.share's try/finally)
+    // never register — the line UNDERSTATES transient pressure and is a
+    // triage signal, not a bound; a timer-thread sampler is the upgrade
+    // if precision ever matters (ADVICE r9).
     val passPeakStorage = scala.collection.mutable.ArrayBuffer[Long]()
     val samples: Seq[Seq[Double]] = (1 to runs).map { _ =>
       var peak = 0L
@@ -92,16 +97,12 @@ object Bench {
           spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum)
         // Cache hygiene: drop query-scoped persists so pass n+1 times
         // the same cold-cache work as pass 1 and the storage pool stays
-        // flat across 239 queries. Aux.share/shareBuilt stages are
-        // parquet-backed (write-once memo) and unaffected.
-        // clearCache only empties the CATALOG cache (df.persist);
-        // iterative operators' per-round localCheckpoints are RDD-level
-        // persists it never touches — without the explicit sweep they
-        // accumulated ~90 MB/pass across a bench run (storage-peak
-        // detail, round 9).
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // flat across 239 queries (rule 3 of docs/CACHE_POLICY.md —
+        // catalog cache AND the RDD-level localCheckpoints the catalog
+        // never tracks, which accumulated ~90 MB/pass in round 9).
+        // Aux.share/shareBuilt stages are parquet-backed (write-once
+        // memo) and unaffected.
+        Caches.releaseAll(spark)
         if (ok) sec else -1.0
       }
       passPeakStorage += peak

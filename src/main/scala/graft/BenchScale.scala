@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Bars, Bfs, BloomJoin, Bpe, ChangeCapture,
-  Cooccur, CountMin, Curation, Dedup, Drift, Fifo, Funnel, Fuzzy, GraphStats,
-  Hierarchy, Intervals, IvfIndex, Kcore, Lpa, PageRank, PrefixSum, RangeJoin,
-  QDigestAgg, RankStats, Retrieval, Scd, SetSimJoin, Skyline, SpanDedup, Sssp,
-  Streaks, TableSync, TopKAgg, Triangles, ZOrder}
+import graft.operators.{Apportion, AsofJoin, Bars, Bfs, BloomJoin, Bpe,
+  ChangeCapture, Cooccur, CountMin, Curation, Dedup, Drift, Fifo, Funnel,
+  Fuzzy, GraphStats, Hierarchy, Intervals, IvfIndex, Kcore, Lpa, PageRank,
+  PrefixSum, RangeJoin, QDigestAgg, RankStats, Repetition, Retrieval, Scd,
+  SetSimJoin, Skyline, SpanDedup, Sssp, Streaks, TableSync, TopKAgg,
+  Triangles, ZOrder}
 
 /** Scale-stress harness for the dedup/ANN families: measures how runtime
   * grows with corpus size, so the "candidate cost is Σ df²" / "probe
@@ -763,6 +764,64 @@ object BenchScale {
         graft.operators.Curation.shardBalance(
           dd, "doc_id", "text", "n_chars", 16).count()
       },
+      "minhash_calib" -> { k =>
+        // q243: band-bucket candidates (no all-pairs term) + the
+        // codegen'd sig_agree kernel + an L+1-group final agg
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        Dedup.minhashCalibration(Dedup.minhashSigs(d, "doc_id", "text"),
+          bands = 16, rowsPerBand = 4).count()
+      },
+      "lsh_sweep" -> { k =>
+        // q250: ONE signature store banded three ways; per config the
+        // candidates stay band-bucket-bounded, so three configs cost
+        // three bounded passes over the same sigs (persisted — three
+        // consumers — and released inside the timed body, rule 2 of
+        // docs/CACHE_POLICY.md)
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        val sigs = Dedup.minhashSigs(d, "doc_id", "text").persist()
+        try {
+          val sh = sigs.select(col("id"), col("sh"))
+          Seq((32, 2), (16, 4), (8, 8)).map { case (b, r) =>
+            Dedup.minhashCandidatesFromSigs(sigs, b, r)
+              .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+                Seq("id_a"))
+              .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+                Seq("id_b"))
+              .select(when(size(array_intersect(col("sh_a"), col("sh_b"))) * 2
+                  >= size(array_union(col("sh_a"), col("sh_b"))), 1L)
+                .otherwise(0L).as("hit"))
+              .agg(count(lit(1)).as("n_cands"), sum("hit").as("n_true"))
+          }.reduce(_.unionByName(_)).count()
+        } finally sigs.unpersist(blocking = false)
+      },
+      "split_rejoin" -> { k =>
+        // q253: head/tail bridge keys df-capped ≤16 BOTH sides → join
+        // fan-out ≤ maxDf² per key; word salting keeps copies' bridge
+        // spaces disjoint, so the candidate answer grows ~k, not k²
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        Repetition.splitRejoinCandidates(d, "doc_id", "text",
+          k = 3, maxDf = 16).count()
+      },
+      "admission" -> { k =>
+        // q252: corpus (4/5 of docs) collapses to DISTINCT hashes and
+        // shuffles once on the hash — the append-only ingest gate's
+        // claimed linear path
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        Dedup.admissionFlags(d.filter(col("doc_id") % 5 =!= 0),
+          d.filter(col("doc_id") % 5 === 0), "doc_id", "text").count()
+      },
+      "temperature_mix" -> { k =>
+        // q245: the data-bound stage is the (lang, source) count scan;
+        // the apportionment windows run over #groups rows (fixed 35
+        // here — ids offset by 1e6 preserve %5/%7 group structure)
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        val n = d.groupBy((col("doc_id") % 5).cast("string").as("lang"),
+            (col("doc_id") % 7).cast("string").as("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w",
+            floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long"))
+        Apportion.largestRemainder(n, "lang", "source", "w", 100).count()
+      },
     )
 
     // dev-only family filter (SPARK_GRAFT_SCALE_ONLY=bfs,components_star)
@@ -774,6 +833,7 @@ object BenchScale {
     // warmup: session + codegen
     spark.range(1000000L).selectExpr("sum(id)").collect()
     picked.foreach { case (_, fn) => fn(scales.head) }
+    Caches.releaseAll(spark) // timed runs all start cold-cache
 
     // Locale.ROOT like Bench.f3: the f-interpolator is locale-sensitive
     // and a comma-decimal locale would emit invalid JSON
@@ -781,7 +841,15 @@ object BenchScale {
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
     var worst = ("", 0.0)
     val lines = picked.map { case (name, fn) =>
-      val ts = scales.map { k => k -> median((1 to runs).map(_ => time(fn(k)))) }
+      // same per-run cache hygiene as Bench (docs/CACHE_POLICY.md rule
+      // 3): without the sweep, runs 2..n of a persist-heavy family
+      // reuse run 1's caches (CacheManager dedupes by logical plan)
+      // and the measured growth is the warm path, not the operator's
+      val ts = scales.map { k =>
+        k -> median((1 to runs).map { _ =>
+          val t = time(fn(k)); Caches.releaseAll(spark); t
+        })
+      }
       val a = alpha(ts.map(_._1), ts.map(_._2))
       if (a > worst._2) worst = (name, a)
       val tsJson = ts.map { case (k, t) => s""""k$k":${fmt(t, 3)}""" }.mkString(",")

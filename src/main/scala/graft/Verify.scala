@@ -31,16 +31,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Cache hygiene (VERDICT r8): query-scoped persists otherwise
-      // accumulate across 239 queries in this one JVM until LRU
-      // eviction. Aux.share/shareBuilt stages are parquet-backed and
-      // unaffected (their `written` memo skips the rewrite; readers
-      // re-read from disk). The RDD sweep also frees iterative
-      // operators' per-round localCheckpoints, which the catalog
-      // cache never tracks.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // Cache hygiene (VERDICT r8; rule 3 of docs/CACHE_POLICY.md):
+      // query-scoped persists otherwise accumulate across 255 queries
+      // in this one JVM. Aux.share/shareBuilt stages are parquet-backed
+      // and unaffected (their `written` memo skips the rewrite; readers
+      // re-read from disk). The sweep also frees iterative operators'
+      // per-round localCheckpoints, which the catalog cache never
+      // tracks.
+      Caches.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

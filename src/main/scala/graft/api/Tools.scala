@@ -69,7 +69,19 @@ object Tools {
   private def failure(msg: String): ToolOutput =
     ToolOutput(FetchResult("", 0, Seq.empty, -1, msg), Seq.empty, Seq.empty)
 
-  /** OPTIMADE raw-filter federation (§3.2 lifecycle). */
+  /** OPTIMADE raw-filter federation (§3.2 lifecycle).
+    *
+    * Negative paths mirror the reference's filter guard
+    * (optimade_database/Optimade_Server/server.py:97-100): an
+    * empty/blank filter short-circuits to the −1 envelope with the
+    * reference's exact "Empty filter string" message before any
+    * normalization. A NON-empty malformed filter is where the rebuild
+    * owns what the reference delegates: the reference forwards the
+    * string verbatim to remote providers (each then errors remotely);
+    * here the grammar is evaluated locally, so the compiler's parse
+    * error surfaces as the same −1 envelope with the parse message —
+    * the API-forwarding analog, oracle-pinned by q256 (the q241
+    * judgment-call pattern, CLAUDE.md ground rule). */
   def fetchStructuresWithFilter(spark: SparkSession,
                                 sources: Seq[Federation.Source],
                                 filter: String,
@@ -78,12 +90,19 @@ object Tools {
                                 outputDir: Option[String] = None,
                                 asCif: Boolean = false): ToolOutput =
     try {
-      val canonical = Formulas.normalizeCfrInFilter(filter)
-      val pred = OptimadeCompiler.compileOrThrow(canonical)
-      val fr = Federation.federatedQuery(
-        spark, sources, Some(pred), nResults, idCol, idCol)
-      finish(Mediation.dropAttrs(fr.data), outputDir, canonical,
-        fr.stats, fr.plan, fr.failures, writeCif = asCif, nResults = nResults)
+      if (filter == null || filter.trim.isEmpty)
+        // reference: `if not filt: return {..., "code": -1,
+        //   "message": "Empty filter string"}` (server.py:97-100)
+        failure("Empty filter string")
+      else {
+        val canonical = Formulas.normalizeCfrInFilter(filter)
+        val pred = OptimadeCompiler.compileOrThrow(canonical)
+        val fr = Federation.federatedQuery(
+          spark, sources, Some(pred), nResults, idCol, idCol)
+        finish(Mediation.dropAttrs(fr.data), outputDir, canonical,
+          fr.stats, fr.plan, fr.failures, writeCif = asCif,
+          nResults = nResults)
+      }
     } catch { case e: Exception => failure(e.getMessage) }
 
   /** Space-group tool: canonical space_group_number predicate (mediated

@@ -185,12 +185,19 @@ object Dedup {
     * two hash-keyed joins; at 100 TB the corpus hash set is the only
     * large input and it shuffles once, on the hash). Returns
     * (id, dup_vs_corpus 0/1, dup_in_batch 0/1), both flags raw —
-    * precedence (corpus wins) is the consumer's bucketing. */
+    * precedence (corpus wins) is the consumer's bucketing.
+    *
+    * NULL text hashes as the empty string (md5 of NULL is NULL, and a
+    * null join key would silently drop the row from the inner
+    * first-in-batch join) — so EVERY batch row receives a verdict, and
+    * null-text documents dedup against each other and against
+    * empty-text corpus documents. */
   def admissionFlags(corpus: DataFrame, batch: DataFrame,
                      idCol: String, textCol: String): DataFrame = {
-    val ch = corpus.select(md5(col(textCol)).as("h")).distinct()
-      .withColumn("in_corpus", lit(1L))
-    val bh = batch.select(col(idCol).as("id"), md5(col(textCol)).as("h"))
+    val ch = corpus.select(md5(coalesce(col(textCol), lit(""))).as("h"))
+      .distinct().withColumn("in_corpus", lit(1L))
+    val bh = batch.select(col(idCol).as("id"),
+      md5(coalesce(col(textCol), lit(""))).as("h"))
     val firstIn = bh.groupBy("h").agg(min("id").as("first_id"))
     bh.join(ch, Seq("h"), "left")
       .join(firstIn, Seq("h"))

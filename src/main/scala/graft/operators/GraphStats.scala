@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 /** Neighborhood profiling over an edge list — the degree/2-hop feature
   * family every graph pipeline derives before ML or sampling passes.
   * Pure integer set arithmetic on (src, dst) pairs; all outputs BIGINT.
+  *
+  * Cache ownership: persists internal frames the returned (lazy)
+  * result depends on; the CALLER releases after materializing —
+  * graft.Caches.releaseAll(spark) (docs/CACHE_POLICY.md rule 1).
   */
 object GraphStats {
 

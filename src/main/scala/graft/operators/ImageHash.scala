@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
   * size-invariant, so re-encoded/resized near-duplicates of the same
   * frame still collide — which raw-byte dedup (Multimodal.dedupByContent)
   * can never do.
+  *
+  * Cache ownership: persists internal frames the returned (lazy)
+  * result depends on; the CALLER releases after materializing —
+  * graft.Caches.releaseAll(spark) (docs/CACHE_POLICY.md rule 1).
   */
 object ImageHash {
 

@@ -33,6 +33,10 @@ import org.apache.spark.sql.functions._
   * table; scoring is a broadcast join of the V-row weight table
   * against a second token scan plus one doc-keyed sum — no all-pairs
   * term anywhere, shuffles keyed on token then doc only.
+  *
+  * Cache ownership: persists internal frames the returned (lazy)
+  * result depends on; the CALLER releases after materializing —
+  * graft.Caches.releaseAll(spark) (docs/CACHE_POLICY.md rule 1).
   */
 object Importance {
 

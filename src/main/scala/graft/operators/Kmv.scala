@@ -28,6 +28,10 @@ import org.apache.spark.sql.functions._
   * is the distinct frame, and the kept state is k longs per group.
   * (hash, key) ordering — not hash alone — makes the k-th value
   * deterministic even across hash collisions.
+  *
+  * Cache ownership: persists internal frames the returned (lazy)
+  * result depends on; the CALLER releases after materializing —
+  * graft.Caches.releaseAll(spark) (docs/CACHE_POLICY.md rule 1).
   */
 object Kmv {
 

@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions._
   * pairs, ≤ the token count. No self-joins, no windows over the corpus;
   * the boilerplate set (grams above the doc-frequency threshold) is tiny
   * by construction and broadcast back as a semi-join filter.
+  *
+  * Cache ownership: persists internal frames the returned (lazy)
+  * result depends on; the CALLER releases after materializing —
+  * graft.Caches.releaseAll(spark) (docs/CACHE_POLICY.md rule 1).
   */
 object Repetition {
 

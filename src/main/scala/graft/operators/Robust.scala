@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   * broken by `idCol` for a deterministic ORDER, but the selected
   * median VALUE is tie-invariant (the value at a fixed rank does not
   * depend on how equal values are ordered).
+  *
+  * Cache ownership: persists internal frames the returned (lazy)
+  * result depends on; the CALLER releases after materializing —
+  * graft.Caches.releaseAll(spark) (docs/CACHE_POLICY.md rule 1).
   */
 object Robust {
 

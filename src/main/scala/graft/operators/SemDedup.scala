@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
   * work is Σ_c |c|² ≈ n·(n/k)); the quantized frame and the
   * cluster-tagged frame are persisted because each feeds multiple
   * consumers (the AQE ReuseExchange rule).
+  *
+  * Cache ownership: persists internal frames the returned (lazy)
+  * result depends on; the CALLER releases after materializing —
+  * graft.Caches.releaseAll(spark) (docs/CACHE_POLICY.md rule 1).
   */
 object SemDedup {
 

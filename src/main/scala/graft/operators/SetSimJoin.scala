@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
   * exact and engine-independent — q113's DuckDB oracle states the
   * UNFILTERED all-pairs join and must agree exactly, which is the
   * losslessness theorem checked on real data.
+  *
+  * Cache ownership: persists internal frames the returned (lazy)
+  * result depends on; the CALLER releases after materializing —
+  * graft.Caches.releaseAll(spark) (docs/CACHE_POLICY.md rule 1).
   */
 object SetSimJoin {
 

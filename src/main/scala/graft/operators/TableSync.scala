@@ -29,6 +29,10 @@ import org.apache.spark.sql.types.DecimalType
   * Rows are assigned to buckets by KEY hash only — a changed payload
   * must keep its row in the same bucket for the digest comparison to
   * localize it.
+  *
+  * Cache ownership: persists internal frames the returned (lazy)
+  * result depends on; the CALLER releases after materializing —
+  * graft.Caches.releaseAll(spark) (docs/CACHE_POLICY.md rule 1).
   */
 object TableSync {
 

@@ -33,6 +33,10 @@ import org.apache.spark.sql.functions._
   * one shuffle on zb. The reference's 2-D (pressure, temperature) /
   * (surface_area, heat) scan patterns (mofdbsql_database/mofdb_test/
   * test.py:98-177) are the motivating query shape.
+  *
+  * Cache ownership: persists internal frames the returned (lazy)
+  * result depends on; the CALLER releases after materializing —
+  * graft.Caches.releaseAll(spark) (docs/CACHE_POLICY.md rule 1).
   */
 object ZOrder {
 

@@ -19,6 +19,12 @@ import graft.tables.Tables
   */
 object PipelineQueries {
 
+  /** DuckDB single-quoted string literal with `''` escaping. Word lists
+    * are interpolated into oracle SQL; an apostrophe in a future list
+    * entry (e.g. the French contraction "d'") would otherwise silently
+    * break the oracle at the next edit of TextAnalysis.Stopwords. */
+  private def sqlLit(w: String): String = "'" + w.replace("'", "''") + "'"
+
   /** DuckDB mirror of [[Dedup.cosine]] rounded to 6dp — the identical
     * fold (list order, double ops), so values are bit-identical before
     * rounding and stable after it. */
@@ -73,7 +79,7 @@ object PipelineQueries {
 
     QueryDef.sql("q34_text_langid", {
       def hits(set: Seq[String]) =
-        set.map(w => s"'$w'").mkString("len(list_filter(string_split(text, ' '), t -> list_contains([", ", ", "], t)))")
+        set.map(sqlLit).mkString("len(list_filter(string_split(text, ' '), t -> list_contains([", ", ", "], t)))")
       val en = hits(TA.Stopwords("en")); val de = hits(TA.Stopwords("de"))
       val es = hits(TA.Stopwords("es")); val fr = hits(TA.Stopwords("fr"))
       val zh = hits(TA.Stopwords("zh"))
@@ -111,7 +117,7 @@ object PipelineQueries {
     // rounding modes disagree.
     QueryDef.sql("q68_pipeline_e2e", {
       def hits(set: Seq[String]) =
-        set.map(w => s"'$w'").mkString("len(list_filter(string_split(text, ' '), t -> list_contains([", ", ", "], t)))")
+        set.map(sqlLit).mkString("len(list_filter(string_split(text, ' '), t -> list_contains([", ", ", "], t)))")
       val en = hits(TA.Stopwords("en")); val de = hits(TA.Stopwords("de"))
       val es = hits(TA.Stopwords("es")); val fr = hits(TA.Stopwords("fr"))
       val zh = hits(TA.Stopwords("zh"))
@@ -447,7 +453,7 @@ object PipelineQueries {
 
     // composite quality score — identical arithmetic order both engines
     QueryDef.sql("q52_text_quality", {
-      val hits = TA.Stopwords("en").map(w => s"'$w'")
+      val hits = TA.Stopwords("en").map(sqlLit)
         .mkString("len(list_filter(string_split(text, ' '), t -> list_contains([", ", ", "], t)))")
       s"""SELECT doc_id,
          |  (CAST($hits AS DOUBLE) / len(string_split(text, ' '))) * 0.4
@@ -3602,7 +3608,7 @@ object PipelineQueries {
     // heuristic, different final aggregation.
     QueryDef.sql("q249_langid_confusion", {
       def hits(set: Seq[String]) =
-        set.map(w => s"'$w'").mkString("len(list_filter(string_split(text, ' '), t -> list_contains([", ", ", "], t)))")
+        set.map(sqlLit).mkString("len(list_filter(string_split(text, ' '), t -> list_contains([", ", ", "], t)))")
       val en = hits(TA.Stopwords("en")); val de = hits(TA.Stopwords("de"))
       val es = hits(TA.Stopwords("es")); val fr = hits(TA.Stopwords("fr"))
       val zh = hits(TA.Stopwords("zh"))

@@ -202,6 +202,39 @@ object SqlSurfaceQueries {
       Seq((out.result.code, out.result.nFound,
         out.result.cleanedStructures.size.toLong))
         .toDF("code", "n_found", "n_structs")
+    },
+
+    // S2/P8 negative path: the OPTIMADE filter guard. An empty/blank
+    // filter short-circuits to the reference's exact envelope — code −1,
+    // message "Empty filter string" (Optimade_Server/server.py:97-100) —
+    // and a NON-empty malformed filter ("elements HAS ALL", an
+    // incomplete value list) raises in the locally-owned grammar and
+    // lands in the same −1 envelope with the parser's message (the
+    // API-forwarding analog: the reference forwards the bad string to
+    // remote providers, which each error — see CLAUDE.md ground rule).
+    // Neither case may touch a source; the msg flags pin the message
+    // shape (exact text for empty, nonempty-parse-error for malformed).
+    QueryDef.sql("q256_filter_error_envelope",
+      """SELECT * FROM (VALUES
+        |  ('empty', CAST(-1 AS INT), CAST(0 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('malformed', CAST(-1 AS INT), CAST(0 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(1 AS BIGINT)))
+        |  AS t(kind, code, n_found, msg_empty_filter, msg_nonempty)
+        |ORDER BY kind""".stripMargin) { (s, d) =>
+      val src = Seq(graft.federate.Federation.Source("p1", "part", () =>
+        Tables.part(s, d).select(col("p_partkey").as("id"),
+          col("p_type").as("chemical_formula_descriptive"))))
+      def row(kind: String, filter: String) = {
+        val out = graft.api.Tools.fetchStructuresWithFilter(s, src, filter)
+        (kind, out.result.code, out.result.nFound,
+          if (out.result.message == "Empty filter string") 1L else 0L,
+          if (out.result.message.nonEmpty) 1L else 0L)
+      }
+      import s.implicits._
+      Seq(row("empty", "   "), row("malformed", "elements HAS ALL"))
+        .toDF("kind", "code", "n_found", "msg_empty_filter", "msg_nonempty")
+        .orderBy("kind")
     }
   )
 }

@@ -90,6 +90,22 @@ class ToolsSpec extends AnyFunSuite {
     assert(bad.result.code == -1 && bad.result.nFound == 0)
   }
 
+  test("filter guard: empty → reference message; malformed → parse envelope") {
+    // empty/blank filter → the reference's EXACT envelope
+    // (Optimade_Server/server.py:97-100), before any provider touch
+    val empty = Tools.fetchStructuresWithFilter(spark, structureSources, "   ")
+    assert(empty.result.code == -1 && empty.result.nFound == 0)
+    assert(empty.result.message == "Empty filter string")
+    // non-empty malformed filter → locally-owned grammar raises → same
+    // −1 envelope carrying the parser's message (q256's oracle pins
+    // the shape; CLAUDE.md ground rule records the judgment call)
+    val bad = Tools.fetchStructuresWithFilter(spark, structureSources,
+      "elements HAS ALL")
+    assert(bad.result.code == -1 && bad.result.nFound == 0)
+    assert(bad.result.message.nonEmpty &&
+      bad.result.message != "Empty filter string")
+  }
+
   test("fetch_bohrium_crystals and fetch_mofs parametric tools") {
     import spark.implicits._
     val bohrium = Seq(

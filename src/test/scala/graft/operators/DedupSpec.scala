@@ -254,6 +254,25 @@ class DedupSpec extends AnyFunSuite {
       13L -> ((1L, 0L)), 14L -> ((1L, 1L)), 15L -> ((0L, 0L))))
   }
 
+  test("admissionFlags: null text gets a verdict and hashes as empty string") {
+    import spark.implicits._
+    // corpus holds one EMPTY doc; batch has two null-text rows and one
+    // empty-text row — all three must receive verdicts (no silent drop
+    // through a null join key), null ≡ '' for dedup purposes
+    val corpus = Seq((1L, Some("alpha")), (2L, Some(""))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, None: Option[String]), // null → dup vs corpus '' doc
+      (11L, None: Option[String]), // null → also in-batch dup of 10
+      (12L, Some("")),             // '' → corpus dup + in-batch dup of 10
+      (13L, Some("fresh")))
+      .toDF("doc_id", "text")
+    val got = Dedup.admissionFlags(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      10L -> ((1L, 0L)), 11L -> ((1L, 1L)), 12L -> ((1L, 1L)),
+      13L -> ((0L, 0L))))
+  }
+
   test("minhashCalibration matches a brute-force recomputation per m") {
     val sigs = Dedup.minhashSigs(docs, "doc_id", "text").persist()
     val local = sigs.collect().map(r => (r.getLong(0),

@@ -83,4 +83,34 @@ class CurationStreamsSpec extends AnyFunSuite {
     // rejected = everything beyond the quota
     assert(got.values.count(_ == false) == rows.size - 5)
   }
+
+  test("cross-batch reordering degrades to first-seen-wins (documented)") {
+    import CurationStreams.ScoredDoc
+    import spark.implicits._
+    // MemoryStream pins exact micro-batch boundaries (a file source's
+    // mtime ordering can tie — see the previous test), so this is the
+    // one place the documented degradation is deterministic to assert:
+    // HIGH ids arrive in batch 1, low ids late in batch 2.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[ScoredDoc]
+    val q = CurationStreams.quotaAdmitStream(ms.toDS(), quota = 2)
+      .writeStream.format("memory").queryName("quota_reorder")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(ScoredDoc(9, "en"), ScoredDoc(10, "en"), ScoredDoc(8, "de"))
+      q.processAllAvailable()
+      ms.addData(ScoredDoc(1, "en"), ScoredDoc(3, "en"), ScoredDoc(2, "de"),
+        ScoredDoc(6, "de"), ScoredDoc(4, "zh"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, admitted FROM quota_reorder")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      // first-seen-wins: en's budget was spent on 9/10 in batch 1, so
+      // the late-arriving smaller ids 1/3 are REJECTED (batch first-N
+      // -by-id would answer the opposite); de admits 8 then the
+      // smallest of batch 2 (id order still applies WITHIN a batch).
+      assert(got == Map(9L -> true, 10L -> true, 8L -> true,
+        1L -> false, 3L -> false, 2L -> true, 6L -> false, 4L -> true))
+    } finally q.stop()
+  }
 }

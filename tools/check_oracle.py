@@ -83,6 +83,35 @@ def type_class(t):
         return "int"
     return "other"
 
+def type_sig(t):
+    """Recursive class signature: lists/structs carry their element/field
+    signatures so a nested numeric-class divergence (e.g. a list<decimal>
+    vs list<int64> in an aux-store-backed query) is flagged the same way
+    a top-level one is."""
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or \
+            pa.types.is_fixed_size_list(t):
+        return ("list", type_sig(t.value_type))
+    if pa.types.is_struct(t):
+        return ("struct", tuple(sorted((f.name, type_sig(f.type)) for f in t)))
+    return type_class(t)
+
+def sig_conflict(a, b):
+    """True when the two signatures would hash differently for the
+    driver: numeric classes differ, OR exactly one side is numeric
+    (a string-vs-numeric drift is just as type-sensitive), recursing
+    into list elements and shared struct fields. Two distinct 'other'
+    scalars (e.g. date vs timestamp) are left to value canon."""
+    num = {"decimal", "float", "int"}
+    if isinstance(a, str) and isinstance(b, str):
+        return a != b and (a in num or b in num)
+    if isinstance(a, tuple) and isinstance(b, tuple) and a[0] == b[0]:
+        if a[0] == "list":
+            return sig_conflict(a[1], b[1])
+        bm = dict(b[1])
+        return any(f in bm and sig_conflict(s, bm[f]) for f, s in a[1])
+    # container vs scalar: value canon cannot agree on such shapes anyway
+    return isinstance(a, tuple) != isinstance(b, tuple)
+
 def type_mismatches(spark_tbl, duck_tbl):
     d_by_name = {f.name: f.type for f in duck_tbl.schema}
     bad = []
@@ -90,8 +119,7 @@ def type_mismatches(spark_tbl, duck_tbl):
         dt = d_by_name.get(f.name)
         if dt is None:
             continue  # column-set diff reported separately
-        sc_cls, dk_cls = type_class(f.type), type_class(dt)
-        if sc_cls != dk_cls and {sc_cls, dk_cls} <= {"decimal", "float", "int"}:
+        if sig_conflict(type_sig(f.type), type_sig(dt)):
             bad.append(f"{f.name}: spark={f.type} duck={dt}")
     return bad
 
