@@ -766,10 +766,14 @@ object BenchScale {
       },
       "minhash_calib" -> { k =>
         // q243: band-bucket candidates (no all-pairs term) + the
-        // codegen'd sig_agree kernel + an L+1-group final agg
+        // codegen'd sig_agree kernel + an L+1-group final agg. The sig
+        // frame has THREE consumers inside minhashCalibration
+        // (candidates + sig_a/sig_b join-backs) — persist or the UDF
+        // signature chain recomputes per consumer (CACHE_POLICY rule 2)
         val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
-        Dedup.minhashCalibration(Dedup.minhashSigs(d, "doc_id", "text"),
-          bands = 16, rowsPerBand = 4).count()
+        val sigs = Dedup.minhashSigs(d, "doc_id", "text").persist()
+        try Dedup.minhashCalibration(sigs, bands = 16, rowsPerBand = 4).count()
+        finally sigs.unpersist(blocking = false)
       },
       "lsh_sweep" -> { k =>
         // q250: ONE signature store banded three ways; per config the

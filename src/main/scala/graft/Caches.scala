@@ -31,11 +31,16 @@ object Caches {
     *
     * `blocking = false` (default) marks blocks for async removal — the
     * registry empties immediately, the bytes drain shortly after; pass
-    * `blocking = true` when asserting on [[storageBytes]]. */
+    * `blocking = true` when asserting on [[storageBytes]]. The RDD
+    * sweep runs FIRST so the flag governs every materialized block
+    * (catalog-cached frames included — clearCache itself hard-codes
+    * non-blocking removal and would otherwise deregister them before
+    * the sweep sees them); clearCache then purges the CacheManager
+    * entries so no plan stays marked as cached. */
   def releaseAll(spark: SparkSession, blocking: Boolean = false): Unit = {
-    spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = blocking))
+    spark.catalog.clearCache()
   }
 
   /** Distinct cached RDDs currently registered (catalog-cached Datasets

@@ -67,7 +67,15 @@ object Tools {
   }
 
   private def failure(msg: String): ToolOutput =
-    ToolOutput(FetchResult("", 0, Seq.empty, -1, msg), Seq.empty, Seq.empty)
+    // the envelope contract is a NON-null message — consumers inspect
+    // its shape (q256, ToolsSpec), so never let a null through
+    ToolOutput(FetchResult("", 0, Seq.empty, -1,
+      Option(msg).getOrElse("error")), Seq.empty, Seq.empty)
+
+  /** getMessage can be null (e.g. a bare NPE from plumbing); fall back
+    * to the exception class name so the envelope stays diagnostic. */
+  private def failure(e: Exception): ToolOutput =
+    failure(Option(e.getMessage).getOrElse(e.getClass.getName))
 
   /** OPTIMADE raw-filter federation (§3.2 lifecycle).
     *
@@ -103,7 +111,7 @@ object Tools {
           fr.stats, fr.plan, fr.failures, writeCif = asCif,
           nResults = nResults)
       }
-    } catch { case e: Exception => failure(e.getMessage) }
+    } catch { case e: Exception => failure(e) }
 
   /** Space-group tool: canonical space_group_number predicate (mediated
     * per-source, F5) AND an optional base filter. */
@@ -130,7 +138,7 @@ object Tools {
             baseFilter.fold("")(f => s" AND ($f)"),
           fr.stats, fr.plan, fr.failures, nResults = nResults)
       }
-    } catch { case e: Exception => failure(e.getMessage) }
+    } catch { case e: Exception => failure(e) }
 
   /** Band-gap tool: canonical band_gap range (mediated per-source). */
   def fetchStructuresWithBandgap(spark: SparkSession,
@@ -153,7 +161,7 @@ object Tools {
         SpaceGroups.rangeClause("band_gap", minBg, maxBg) +
           baseFilter.fold("")(f => s" AND ($f)"),
         fr.stats, fr.plan, fr.failures, nResults = nResults)
-    } catch { case e: Exception => failure(e.getMessage) }
+    } catch { case e: Exception => failure(e) }
 
   /** OpenLAM parametric tool over a crystals table. */
   def fetchOpenlamStructures(spark: SparkSession, crystals: DataFrame,
@@ -171,7 +179,7 @@ object Tools {
         s"openlam formula=$formula energy=[$minEnergy,$maxEnergy] " +
           s"time=[$minSubmissionTime,$maxSubmissionTime]",
         nResults = nResults)
-    } catch { case e: Exception => failure(e.getMessage) }
+    } catch { case e: Exception => failure(e) }
 
   /** Bohrium parametric tool over a bohrium_crystals table. */
   def fetchBohriumCrystals(spark: SparkSession, crystals: DataFrame,
@@ -189,7 +197,7 @@ object Tools {
       finish(q.run(crystals), outputDir,
         s"bohrium formula=$formula spg=$spacegroupNumber",
         nResults = nResults)
-    } catch { case e: Exception => failure(e.getMessage) }
+    } catch { case e: Exception => failure(e) }
 
   /** MOFdb parametric tool over a mofs table. */
   def fetchMofs(spark: SparkSession, mofs: DataFrame,
@@ -206,7 +214,7 @@ object Tools {
         vf, lcd, pld, saM2g, nResults = nResults)
       finish(q.run(mofs), outputDir, s"mofs database=$database name=$name",
         nResults = nResults)
-    } catch { case e: Exception => failure(e.getMessage) }
+    } catch { case e: Exception => failure(e) }
 
   /** SQL pass-through tool (guard + LIMIT injection, §3.1).
     *
@@ -245,7 +253,7 @@ object Tools {
       }
     } catch {
       case e: SqlGuard.GuardError => failure(s"SQL security check failed: ${e.message}")
-      case e: Exception => failure(e.getMessage)
+      case e: Exception => failure(e)
     }
 
   /** Photon pricing for a tool invocation (F15). */

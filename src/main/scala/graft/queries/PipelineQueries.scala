@@ -3436,18 +3436,22 @@ object PipelineQueries {
     // WITHOUT rescanning it — per source: new rows, rejected as
     // corpus dup, rejected as earlier-in-batch dup, admitted.
     // Corpus-dup takes precedence in the bucketing (oracle mirrors).
+    // md5(coalesce(text,'')) mirrors admissionFlags' NULL-text contract
+    // (every batch row gets a verdict) — latent today (no NULL text in
+    // any current dataset) but testdata regenerates between rounds.
     QueryDef.sql("q252_incremental_ingest",
       """WITH corpus AS (
-        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+        |  SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents
+        |  WHERE doc_id % 5 <> 0),
         |batch AS (
-        |  SELECT doc_id, source, md5(text) AS h FROM documents
+        |  SELECT doc_id, source, md5(coalesce(text, '')) AS h FROM documents
         |  WHERE doc_id % 5 = 0
         |  UNION ALL
-        |  SELECT doc_id + 600000, source, md5(text) AS h FROM
+        |  SELECT doc_id + 600000, source, md5(coalesce(text, '')) AS h FROM
         |    (SELECT * FROM documents WHERE doc_id % 5 <> 0
         |     ORDER BY doc_id LIMIT 4)
         |  UNION ALL
-        |  SELECT doc_id + 700000, source, md5(text) AS h FROM
+        |  SELECT doc_id + 700000, source, md5(coalesce(text, '')) AS h FROM
         |    (SELECT * FROM documents WHERE doc_id % 5 = 0
         |     ORDER BY doc_id LIMIT 2)),
         |flag AS (

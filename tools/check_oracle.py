@@ -104,7 +104,9 @@ def sig_conflict(a, b):
     num = {"decimal", "float", "int"}
     if isinstance(a, str) and isinstance(b, str):
         return a != b and (a in num or b in num)
-    if isinstance(a, tuple) and isinstance(b, tuple) and a[0] == b[0]:
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        if a[0] != b[0]:
+            return True  # list vs struct: typing-only divergence, flag it
         if a[0] == "list":
             return sig_conflict(a[1], b[1])
         bm = dict(b[1])
