@@ -93,8 +93,7 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         val sec = (System.nanoTime() - t0) / 1e9
-        peak = math.max(peak,
-          spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum)
+        peak = math.max(peak, Caches.storageBytes(spark))
         // Cache hygiene: drop query-scoped persists so pass n+1 times
         // the same cold-cache work as pass 1 and the storage pool stays
         // flat across 239 queries (rule 3 of docs/CACHE_POLICY.md —

@@ -15,11 +15,11 @@ import graft.operators.Dedup
   * Design: each incoming doc is shingled and banded row-locally (the
   * same XXH64 signature + band kernel as the batch path, so streaming
   * and batch bucket keys are bit-identical), then exploded to one row
-  * per band and grouped by (band, bucket). State per bucket is ONE long
-  * — the minimum doc id seen — and is evicted by an event-time timeout
-  * once the watermark passes the bucket's last activity plus the
-  * horizon, so state is O(active buckets within the horizon), not
-  * O(stream history): the near-dup analog of
+  * per band and grouped by (band, bucket). State per bucket is TWO
+  * longs — the minimum doc id seen and the last-activity event time —
+  * and is evicted by an event-time timeout once the watermark passes
+  * that last activity plus the horizon, so state is O(active buckets
+  * within the horizon), not O(stream history): the near-dup analog of
   * `dropDuplicatesWithinWatermark`. Output is a per-(doc, band) verdict;
   * the per-doc flag is a stateless max over a doc's 16 verdicts,
   * applied downstream (DedupStreamsSpec rolls it up and proves
@@ -29,14 +29,16 @@ import graft.operators.Dedup
   * sees ids in arrival order. Verdicts match the batch twin exactly
   * when arrival order respects id order across micro-batches (within a
   * single micro-batch ANY arrival order is fine — each bucket group
-  * computes exact id precedence over prior state plus the whole batch).
-  * Out-of-id-order delivery across batches degrades to first-seen-wins,
-  * which is the semantic a real ingest pipeline wants anyway.
+  * computes exact id precedence over the whole batch). Out-of-id-order
+  * delivery across batches is FIRST-SEEN-WINS — any prior bucket state
+  * suppresses the late arrival, because the earlier keep verdict is
+  * already emitted — which is the semantic a real ingest pipeline
+  * wants anyway (spec'd under a reordered MemoryStream delivery).
   */
 object DedupStreams {
 
   final case class BandedDoc(doc_id: Long, ts: Timestamp, band: Int, bucket: Long)
-  final case class BucketState(minId: Long)
+  final case class BucketState(minId: Long, maxTsMs: Long)
   final case class BandVerdict(doc_id: Long, band: Int, dup_in_band: Boolean)
 
   /** Row-local shingle → signature → band explosion, shared by the
@@ -56,20 +58,11 @@ object DedupStreams {
 
   /** Per-(doc, band) duplicate verdicts with watermark-bounded bucket
     * state (see object scaladoc). `horizon` bounds both the watermark
-    * and the state TTL. */
+    * and the state TTL; any Spark interval string is accepted (the TTL
+    * is set via GroupState's native duration parse). */
   def nearDupSuppressStream(banded: Dataset[BandedDoc],
                             horizon: String = "10 minutes"): Dataset[BandVerdict] = {
     import banded.sparkSession.implicits._
-    val ttlMs = {
-      val Array(n, unit) = horizon.trim.split("\\s+")
-      unit.toLowerCase match {
-        case u if u.startsWith("second") => n.toLong * 1000L
-        case u if u.startsWith("minute") => n.toLong * 60000L
-        case u if u.startsWith("hour")   => n.toLong * 3600000L
-        case u if u.startsWith("day")    => n.toLong * 86400000L
-        case u => throw new IllegalArgumentException(s"horizon unit: $u")
-      }
-    }
     banded
       .withWatermark("ts", horizon)
       .groupByKey(r => (r.band, r.bucket))
@@ -81,21 +74,30 @@ object DedupStreams {
             Iterator.empty
           } else {
             val batch = it.toArray
-            val priorMin = state.getOption.map(_.minId).getOrElse(Long.MaxValue)
-            // exact id precedence over prior state + this whole batch: a
-            // doc is a dup in this band iff a SMALLER id shares the
-            // bucket — i.e. iff min(priorMin, batchMin) < its id (the
-            // batch-min doc itself falls through to priorMin). O(n), not
-            // an O(n²) per-row exists scan: a duplicate storm delivering
-            // a hot bucket is exactly this operator's expected input.
+            // FIRST-SEEN-WINS across batches: ANY prior state in the
+            // bucket flags the arriving doc — an already-emitted keep
+            // verdict cannot be retracted, so the late arrival is the
+            // suppressed one even when its id is smaller (under
+            // id-ordered delivery this equals exact id precedence,
+            // since prior state only ever holds smaller ids). Within
+            // the batch, exact id precedence: a doc is a dup iff a
+            // smaller id shares the bucket. O(n), not an O(n²) per-row
+            // exists scan: a duplicate storm delivering a hot bucket is
+            // exactly this operator's expected input.
+            val hadPrior = state.exists
             val batchMin = batch.iterator.map(_.doc_id).min
-            val floor = math.min(priorMin, batchMin)
             val verdicts = batch.map { r =>
-              BandVerdict(r.doc_id, key._1, floor < r.doc_id)
+              BandVerdict(r.doc_id, key._1, hadPrior || batchMin < r.doc_id)
             }
-            val newMin = floor
-            state.update(BucketState(newMin))
-            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + ttlMs)
+            val prev = state.getOption.getOrElse(
+              BucketState(Long.MaxValue, Long.MinValue))
+            // TTL from the LAST-ACTIVITY event time (max over state +
+            // batch): a late-but-in-watermark row must never move the
+            // eviction EARLIER than already promised
+            val maxTs = math.max(prev.maxTsMs,
+              batch.iterator.map(_.ts.getTime).max)
+            state.update(BucketState(math.min(prev.minId, batchMin), maxTs))
+            state.setTimeoutTimestamp(maxTs, horizon)
             verdicts.iterator
           }
       }

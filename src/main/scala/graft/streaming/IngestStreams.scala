@@ -21,26 +21,26 @@ import java.sql.Timestamp
   *    verdict) as the batch side, so stream and batch verdicts agree
   *    hash-for-hash.
   *  - `dup_in_stream` is the batch `dup_in_batch` with the stream as
-  *    the batch: state per hash is ONE long (the smallest doc id seen),
-  *    evicted by event-time timeout once the watermark passes the
-  *    hash's last activity plus the horizon — state is O(distinct
-  *    hashes within the horizon), not O(stream history), the same
-  *    bound as [[DedupStreams.nearDupSuppressStream]]'s buckets.
+  *    the batch: state per hash is TWO longs (smallest doc id seen +
+  *    last-activity event time), evicted by event-time timeout once
+  *    the watermark passes the last activity plus the horizon — state
+  *    is O(distinct hashes within the horizon), not O(stream history),
+  *    the same bound as [[DedupStreams.nearDupSuppressStream]]'s
+  *    buckets.
   *
-  * Precedence semantics match the other twins: within a micro-batch
-  * verdicts use exact id precedence over prior state plus the whole
-  * batch (the smallest-id doc of a hash falls through to prior state);
-  * across micro-batches admission is arrival-order, equal to the batch
-  * flags whenever delivery respects id order and degrading to
-  * first-seen-wins under reordering — the semantic a live gate wants.
-  * Both flags are raw; corpus-wins precedence is the consumer's
-  * bucketing, as in q252.
+  * Precedence semantics: within a micro-batch verdicts use exact id
+  * precedence; across micro-batches FIRST-SEEN-WINS — any prior state
+  * on a hash flags the arriving row, because an already-emitted
+  * admission cannot be retracted (under id-ordered delivery this is
+  * identical to the batch flags, since prior state only ever holds
+  * smaller ids; the spec exercises both orders). Both flags are raw;
+  * corpus-wins precedence is the consumer's bucketing, as in q252.
   */
 object IngestStreams {
 
   final case class HashedDoc(doc_id: Long, ts: Timestamp, h: String,
                              in_corpus: Boolean)
-  final case class HashState(minId: Long)
+  final case class HashState(minId: Long, maxTsMs: Long)
   final case class AdmitVerdict(doc_id: Long, dup_vs_corpus: Boolean,
                                 dup_in_stream: Boolean)
 
@@ -64,20 +64,11 @@ object IngestStreams {
 
   /** Per-doc admission verdicts with watermark-bounded per-hash state
     * (see object scaladoc). `horizon` bounds both the watermark and the
-    * state TTL. */
+    * state TTL; any Spark interval string is accepted (the TTL is set
+    * via GroupState's native duration parse). */
   def admissionStream(hashed: Dataset[HashedDoc],
                       horizon: String = "10 minutes"): Dataset[AdmitVerdict] = {
     import hashed.sparkSession.implicits._
-    val ttlMs = {
-      val Array(n, unit) = horizon.trim.split("\\s+")
-      unit.toLowerCase match {
-        case u if u.startsWith("second") => n.toLong * 1000L
-        case u if u.startsWith("minute") => n.toLong * 60000L
-        case u if u.startsWith("hour")   => n.toLong * 3600000L
-        case u if u.startsWith("day")    => n.toLong * 86400000L
-        case u => throw new IllegalArgumentException(s"horizon unit: $u")
-      }
-    }
     hashed
       .withWatermark("ts", horizon)
       .groupByKey(_.h)
@@ -89,16 +80,29 @@ object IngestStreams {
             Iterator.empty
           } else {
             val batch = it.toArray
-            val priorMin = state.getOption.map(_.minId).getOrElse(Long.MaxValue)
-            // exact id precedence over prior state + this whole batch
-            // (one O(n) min, not a per-row history scan — a duplicate
-            // storm on one hash is this operator's expected hot input)
-            val floor = math.min(priorMin, batch.iterator.map(_.doc_id).min)
+            // FIRST-SEEN-WINS across batches: ANY prior state flags the
+            // row — an already-emitted verdict cannot be retracted, so a
+            // late-arriving smaller id must be the flagged one. Under
+            // id-ordered delivery this EQUALS batch id precedence (prior
+            // state only ever holds smaller ids). Within the batch,
+            // exact id precedence (one O(n) min, not a per-row history
+            // scan — a duplicate storm on one hash is this operator's
+            // expected hot input).
+            val hadPrior = state.exists
+            val batchMin = batch.iterator.map(_.doc_id).min
             val verdicts = batch.map { r =>
-              AdmitVerdict(r.doc_id, r.in_corpus, floor < r.doc_id)
+              AdmitVerdict(r.doc_id, r.in_corpus,
+                hadPrior || batchMin < r.doc_id)
             }
-            state.update(HashState(floor))
-            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + ttlMs)
+            val prev = state.getOption.getOrElse(
+              HashState(Long.MaxValue, Long.MinValue))
+            // TTL from the LAST-ACTIVITY event time (max over state +
+            // batch): a late-but-in-watermark row must never move the
+            // eviction EARLIER than already promised
+            val maxTs = math.max(prev.maxTsMs,
+              batch.iterator.map(_.ts.getTime).max)
+            state.update(HashState(math.min(prev.minId, batchMin), maxTs))
+            state.setTimeoutTimestamp(maxTs, horizon)
             verdicts.iterator
           }
       }

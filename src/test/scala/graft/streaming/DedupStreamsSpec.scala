@@ -84,4 +84,28 @@ class DedupStreamsSpec extends AnyFunSuite {
     assert(!streamed(1L) && !streamed(2L) && !streamed(5L))
     assert(streamed(3L) && streamed(4L) && streamed(6L))
   }
+
+  test("cross-batch id reordering: first-seen-wins (late smaller id suppressed)") {
+    import DedupStreams.BandedDoc
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[BandedDoc]
+    val q = DedupStreams.nearDupSuppressStream(ms.toDS(), horizon = "10 minutes")
+      .writeStream.format("memory").queryName("nd_reorder")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def ts(i: Long) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+      // batch 1: the larger id claims the bucket and is kept
+      ms.addData(BandedDoc(10L, ts(10), band = 0, bucket = 42L))
+      q.processAllAvailable()
+      // batch 2: a smaller id lands in the same bucket late — IT is
+      // suppressed (the keep verdict for 10 is already emitted)
+      ms.addData(BandedDoc(5L, ts(5), band = 0, bucket = 42L))
+      q.processAllAvailable()
+      val got = spark.table("nd_reorder").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(got == Map(10L -> false, 5L -> true))
+    } finally q.stop()
+  }
 }

@@ -97,4 +97,30 @@ class IngestStreamsSpec extends AnyFunSuite {
     assert(got(2L) == ((true, false)) && got(6L) == ((false, false)))
     assert(got == batchExpected(Seq(1L, 2L, 3L, 4L, 5L, 6L)))
   }
+
+  test("cross-batch id reordering: first-seen-wins (late smaller id flagged)") {
+    import IngestStreams.HashedDoc
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[HashedDoc]
+    val q = IngestStreams.admissionStream(ms.toDS(), horizon = "10 minutes")
+      .writeStream.format("memory").queryName("ingest_reorder")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def ts(i: Long) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+      // batch 1: the LARGER id arrives first and is admitted
+      ms.addData(HashedDoc(10L, ts(10), "H", in_corpus = false))
+      q.processAllAvailable()
+      // batch 2: the smaller id arrives late — its hash already has
+      // state, so IT is the flagged one (the id-10 keep verdict is
+      // already emitted and cannot be retracted); admitting both would
+      // let identical content through the gate twice
+      ms.addData(HashedDoc(5L, ts(5), "H", in_corpus = false))
+      q.processAllAvailable()
+      val got = spark.table("ingest_reorder").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(got == Map(10L -> false, 5L -> true))
+    } finally q.stop()
+  }
 }

@@ -88,6 +88,8 @@ def type_sig(t):
     signatures so a nested numeric-class divergence (e.g. a list<decimal>
     vs list<int64> in an aux-store-backed query) is flagged the same way
     a top-level one is."""
+    if pa.types.is_map(t):
+        return ("map", type_sig(t.key_type), type_sig(t.item_type))
     if pa.types.is_list(t) or pa.types.is_large_list(t) or \
             pa.types.is_fixed_size_list(t):
         return ("list", type_sig(t.value_type))
@@ -106,11 +108,15 @@ def sig_conflict(a, b):
         return a != b and (a in num or b in num)
     if isinstance(a, tuple) and isinstance(b, tuple):
         if a[0] != b[0]:
-            return True  # list vs struct: typing-only divergence, flag it
+            return True  # list vs struct vs map: typing-only divergence
         if a[0] == "list":
             return sig_conflict(a[1], b[1])
-        bm = dict(b[1])
-        return any(f in bm and sig_conflict(s, bm[f]) for f, s in a[1])
+        if a[0] == "map":
+            return sig_conflict(a[1], b[1]) or sig_conflict(a[2], b[2])
+        am, bm = dict(a[1]), dict(b[1])
+        if set(am) != set(bm):
+            return True  # nested field-name drift is typing-only too
+        return any(sig_conflict(s, bm[f]) for f, s in a[1])
     # container vs scalar: value canon cannot agree on such shapes anyway
     return isinstance(a, tuple) != isinstance(b, tuple)
 
