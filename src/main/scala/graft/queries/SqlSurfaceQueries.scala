@@ -235,6 +235,36 @@ object SqlSurfaceQueries {
       Seq(row("empty", "   "), row("malformed", "elements HAS ALL"))
         .toDF("kind", "code", "n_found", "msg_empty_filter", "msg_nonempty")
         .orderBy("kind")
+    },
+
+    // S1/T2 negative path: write statements through the read-only SQL
+    // tool are REJECTED with the reference's security envelope — code
+    // −1, message prefixed "SQL security check failed" (mofdbsql
+    // server.py:93's validate_sql_security; our guard walks the parsed
+    // plan and rejects Command/*Statement nodes, SqlGuard.scala:39, so
+    // DML, DDL and multi-statement injection all land in the same
+    // envelope). Previously spec-only (ToolsSpec); these rows make the
+    // envelope driver-gated like q240/q242/q256.
+    QueryDef.sql("q257_sql_write_rejected",
+      """SELECT * FROM (VALUES
+        |  ('delete', CAST(-1 AS INT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('drop',   CAST(-1 AS INT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('multi',  CAST(-1 AS INT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)))
+        |  AS t(kind, code, n_found, msg_guard)
+        |ORDER BY kind""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      def row(kind: String, sql: String) = {
+        val out = graft.api.Tools.fetchMofsSql(s, sql)
+        (kind, out.result.code, out.result.nFound,
+          if (out.result.message.startsWith("SQL security check failed"))
+            1L else 0L)
+      }
+      import s.implicits._
+      Seq(row("delete", "DELETE FROM orders WHERE o_orderkey = 1"),
+          row("drop", "DROP TABLE orders"),
+          row("multi", "SELECT 1; DROP TABLE orders"))
+        .toDF("kind", "code", "n_found", "msg_guard")
+        .orderBy("kind")
     }
   )
 }
