@@ -189,6 +189,55 @@ object Curation {
       16, 10).cast("long") % shards
   }
 
+  /** Rendezvous (highest-random-weight) shard for `id` among `shards`
+    * buckets: argmax over s of md5("<id>:<s>") — the routing scheme
+    * whose defining property is MINIMAL MOVEMENT under resize (growing
+    * N→N+1 moves only the ~n/(N+1) keys whose new bucket wins the
+    * argmax; [[shardOf]]-style mod hashing reshuffles ~N/(N+1) of the
+    * corpus). Engine-neutral like shardOf: the compared key is the hex
+    * digest with ":<s>" appended, so any SQL engine re-derives the
+    * winner byte-for-byte (all-ASCII keys; the suffix only ever breaks
+    * a 128-bit md5 collision). Row-local — `shards` hashes per row,
+    * zero shuffle. */
+  def rendezvousShard(id: Column, shards: Int): Column = {
+    require(shards >= 1 && shards <= 64, "shards: 1..64 (hashes per row)")
+    val keys = (0 until shards).map(s =>
+      concat(md5(concat(id.cast("string"), lit(s":$s"))), lit(s":$s")))
+    val top = if (keys.size == 1) keys.head else greatest(keys: _*)
+    split(top, ":").getItem(1).cast("long")
+  }
+
+  /** Resize-movement audit for growing a layout `from` → `to` shards:
+    * per current shard, how many docs move under rendezvous routing vs
+    * under mod routing — the before-you-commit readout that justifies a
+    * rendezvous layout at 100 TB (a mod resize rewrites almost the
+    * whole corpus; rendezvous rewrites ~1/(to) of it). Two bounded
+    * aggregations (≤ `from` groups each) over one row-local projection,
+    * joined on the shard id.
+    *
+    * Cache ownership: persists the shared row-local frame (two
+    * consumers — the AQE-reuse rule); the CALLER releases after
+    * materializing — graft.Caches.releaseAll (docs/CACHE_POLICY.md). */
+  def rebalanceAudit(df: DataFrame, idCol: String, from: Int, to: Int): DataFrame = {
+    require(from >= 1 && to >= 1 && from != to, s"from=$from to=$to")
+    val base = df.select(col(idCol).as("_id"))
+      .withColumn("_rv_from", rendezvousShard(col("_id"), from))
+      .withColumn("_rv_to", rendezvousShard(col("_id"), to))
+      .withColumn("_hm",
+        conv(substring(md5(col("_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .persist()
+    val rv = base.groupBy(col("_rv_from").as("shard"))
+      .agg(count(lit(1)).as("rv_docs"),
+        sum(when(col("_rv_from") =!= col("_rv_to"), 1L).otherwise(0L))
+          .as("rv_moved"))
+    val md = base.groupBy((col("_hm") % from).as("shard"))
+      .agg(count(lit(1)).as("mod_docs"),
+        sum(when(col("_hm") % from =!= col("_hm") % to, 1L).otherwise(0L))
+          .as("mod_moved"))
+    rv.join(md, "shard")
+  }
+
   /** Shard-balance audit for a planned `shards`-way layout: per shard,
     * row count, total payload chars, and the id range — the skew
     * readout a writer checks BEFORE committing a partitioning (a fat

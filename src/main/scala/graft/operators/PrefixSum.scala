@@ -80,4 +80,46 @@ object PrefixSum {
         (col("_psum_off") + col("_psum_run")).cast("double"))
       .drop("_psum_chunk", "_psum_v", "_psum_run", "_psum_off")
   }
+
+  /** Integer variant of [[runningTotal]] for LONG values (counts, char
+    * masses, token budgets): the identical two-level scan with BIGINT
+    * accumulation throughout — no DECIMAL round-trip and no double at
+    * the end, so downstream integer arithmetic (`div`, `%`) stays
+    * exact. The caller guarantees the grand total fits a long (char
+    * mass at 100 TB is ~1e14, four decades under 2^63). Same chunk
+    * contract: monotone in the order column, long-castable, non-null,
+    * O(#chunks) driver scan. */
+  def runningTotalLong(df: DataFrame, orderCol: String, tieCol: String,
+                       value: Column, chunk: Column,
+                       runningName: String): DataFrame = {
+    val d = df.withColumn("_psum_chunk", chunk.cast("long"))
+      .withColumn("_psum_v", value.cast("long"))
+
+    val w = Window.partitionBy("_psum_chunk")
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inChunk = d.withColumn("_psum_run", sum(col("_psum_v")).over(w))
+
+    val totals = d.groupBy("_psum_chunk").agg(sum("_psum_v").as("_psum_tot"))
+      .collect()
+      .map { r =>
+        require(!r.isNullAt(0),
+          "PrefixSum: chunk expression produced NULL — filter or default " +
+            "null-order rows before calling runningTotalLong")
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (c, tot) =>
+      val off = acc; acc = Math.addExact(acc, tot); (c, off)
+    }
+
+    val spark = df.sparkSession
+    val offDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("_psum_chunk", "_psum_off")
+
+    inChunk.join(broadcast(offDf), "_psum_chunk")
+      .withColumn(runningName, col("_psum_off") + col("_psum_run"))
+      .drop("_psum_chunk", "_psum_v", "_psum_run", "_psum_off")
+  }
 }

@@ -67,6 +67,32 @@ object Robust {
           .as("n_out"))
   }
 
+  /** Per-group discrete quartile bands: n and the values at ranks
+    * ⌈n/4⌉, ⌈n/2⌉, ⌈3n/4⌉ of the group's (value, id) order — actual
+    * data values, no interpolation, no floats (DuckDB's
+    * percentile_disc(q) selects the identical rank ⌈q·n⌉ — verified on
+    * the orders table before the oracle was written — so q258's oracle
+    * is a genuinely independent formulation). Rank arithmetic is
+    * all-integer: ⌈i·n/4⌉ = (i·n + 3) div 4. Like [[groupMedian]], the
+    * selected VALUES are tie-invariant even though the id tie-break
+    * makes the row order total.
+    *
+    * Scale: one rank window + one aggregation, both hashed on the group
+    * key — a single exchange, group cardinality bounds the widest
+    * shuffle; never a global window. */
+  def quantileBands(df: DataFrame, grpCol: String, valCol: String,
+                    idCol: String): DataFrame = {
+    val w = Window.partitionBy(grpCol).orderBy(col("_v"), col(idCol))
+    df.select(col(grpCol), col(valCol).cast("long").as("_v"), col(idCol))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(grpCol)))
+      .groupBy(grpCol)
+      .agg(first(col("_n")).as("n"),
+        max(when(col("_rn") === expr("(_n + 3) div 4"), col("_v"))).as("q25"),
+        max(when(col("_rn") === expr("(2 * _n + 3) div 4"), col("_v"))).as("q50"),
+        max(when(col("_rn") === expr("(3 * _n + 3) div 4"), col("_v"))).as("q75"))
+  }
+
   /** Rolling discrete (lower) median: for each row, the median of the
     * trailing `lookback`+1 values per key in `ordCols` order — the
     * robust smoother of metric/time-series pipelines (median absorbs

@@ -3766,6 +3766,119 @@ object PipelineQueries {
       graft.operators.Curation.shardBalance(
           Tables.documents(s, d), "doc_id", "text", "n_chars", shards = 16)
         .orderBy("shard")
+    },
+
+    // Interleaved mixing schedule (operators/Mixing.interleave): the
+    // EXECUTION twin of q245's temperature plan — each (lang, source)
+    // allocation's docs placed at the midpoints of its alloc equal
+    // subintervals of a 100-slot epoch, so every schedule prefix is
+    // within one doc of proportional. All-BIGINT (identical Hamilton
+    // chain as q245, then slot = (2r−1)·100 div 2·alloc).
+    QueryDef.sql("q259_mix_schedule",
+      """WITH n AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (SELECT lang, source, n_docs,
+        |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT) AS w FROM n),
+        |t AS (SELECT lang, source, n_docs, w,
+        |  CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS tot,
+        |  100 * w AS num FROM w),
+        |b AS (SELECT lang, source, n_docs, w, num // tot AS base,
+        |  num % tot AS rem FROM t),
+        |r AS (SELECT lang, source, n_docs, w, base,
+        |  row_number() OVER (PARTITION BY lang ORDER BY rem DESC, source) AS rn,
+        |  CAST(sum(base) OVER (PARTITION BY lang) AS BIGINT) AS fsum FROM b),
+        |alloc AS (SELECT lang, source,
+        |  CAST(base + (CASE WHEN rn <= 100 - fsum THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS alloc FROM r),
+        |picked AS (
+        |  SELECT d.lang, d.source, d.doc_id, a.alloc,
+        |    row_number() OVER (PARTITION BY d.lang, d.source
+        |      ORDER BY d.doc_id) AS r
+        |  FROM documents d JOIN alloc a
+        |    ON d.lang = a.lang AND d.source = a.source
+        |  WHERE a.alloc > 0)
+        |SELECT lang, CAST(((2 * r - 1) * 100) // (2 * alloc) AS BIGINT) AS slot,
+        |  source, doc_id, CAST(r AS BIGINT) AS r
+        |FROM picked WHERE r <= alloc
+        |ORDER BY lang, slot, source, doc_id""".stripMargin) { (s, d) =>
+      val n = Tables.documents(s, d).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w",
+          floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long"))
+      val alloc = graft.operators.Apportion
+        .largestRemainder(n, "lang", "source", "w", 100)
+        .select(col("lang"), col("source"), col("alloc"))
+      graft.operators.Mixing.interleave(
+          Tables.documents(s, d), alloc, "lang", "source", "doc_id",
+          "alloc", total = 100)
+        .orderBy("lang", "slot", "source", "doc_id")
+    },
+
+    // Systematic PPS sample by char mass (operators/Sampling +
+    // PrefixSum.runningTotalLong): boundaries at every multiple of
+    // step = Σchars div 256 along the doc_id order — pick count exactly
+    // ∝ weight, no RNG, the weighted companion to q71's uniform
+    // hash-stratified sampler. The engine's prefix sum is the two-level
+    // chunk scan (never a global window); the oracle IS the global
+    // window, so the decomposition itself is what's being checked.
+    QueryDef.sql("q260_pps_sample",
+      """WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot FROM documents),
+        |stp AS (SELECT tot // 256 AS step FROM tot),
+        |cum AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+        |  CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before
+        |  FROM documents)
+        |SELECT doc_id, source, w, cum_before,
+        |  CAST((cum_before + w) // (SELECT step FROM stp)
+        |    - cum_before // (SELECT step FROM stp) AS BIGINT) AS k_picks,
+        |  CAST(cum_before // (SELECT step FROM stp) + 1 AS BIGINT) AS first_slot
+        |FROM cum
+        |WHERE (cum_before + w) // (SELECT step FROM stp)
+        |    - cum_before // (SELECT step FROM stp) >= 1
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.ppsSystematic(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "doc_id", "n_chars", target = 256, chunkWidth = 64L)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("w"), col("cum_before"),
+          col("k_picks"), col("first_slot"))
+        .orderBy("doc_id")
+    },
+
+    // Shard-resize movement audit (Curation.rebalanceAudit): per
+    // current shard, docs that MOVE when growing 8 → 9 shards under
+    // rendezvous routing vs mod routing — the layout decision readout
+    // (rendezvous moves ~n/9; mod reshuffles ~8/9 of the corpus). Both
+    // routings are md5-derived and engine-neutral; the oracle
+    // recomputes the argmax with a per-shard max over range(N).
+    QueryDef.sql("q261_rebalance_audit",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    (SELECT max(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))
+        |       || ':' || CAST(s AS VARCHAR)) FROM range(8) t(s)) AS k8,
+        |    (SELECT max(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))
+        |       || ':' || CAST(s AS VARCHAR)) FROM range(9) t(s)) AS k9,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      AS hm
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CAST(string_split(k8, ':')[2] AS BIGINT) AS rv8,
+        |  CAST(string_split(k9, ':')[2] AS BIGINT) AS rv9,
+        |  hm % 8 AS mod8, hm % 9 AS mod9 FROM h),
+        |rv AS (SELECT rv8 AS shard, CAST(count(*) AS BIGINT) AS rv_docs,
+        |  CAST(sum(CASE WHEN rv8 <> rv9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rv_moved FROM sh GROUP BY 1),
+        |md AS (SELECT mod8 AS shard, CAST(count(*) AS BIGINT) AS mod_docs,
+        |  CAST(sum(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS mod_moved FROM sh GROUP BY 1)
+        |SELECT CAST(shard AS BIGINT) AS shard, rv_docs, rv_moved,
+        |  mod_docs, mod_moved
+        |FROM rv JOIN md USING (shard) ORDER BY shard""".stripMargin) { (s, d) =>
+      graft.operators.Curation.rebalanceAudit(
+          Tables.documents(s, d), "doc_id", from = 8, to = 9)
+        .orderBy("shard")
     }
   )
 

@@ -2012,6 +2012,31 @@ object RelationalQueries {
           col("total").as("total_cents"), col("peak_ord").as("peak_day"),
           col("peak_stat"))
         .orderBy("nation")
+    },
+
+    // Per-group discrete quartile bands (Robust.quantileBands): the
+    // p25/p50/p75 of order value cents per priority as ACTUAL data
+    // values at ranks ⌈i·n/4⌉ — the exact companion to q198's q-digest
+    // approximation and the multi-band generalization of q126's
+    // median/MAD. Oracle = DuckDB's native percentile_disc (verified
+    // rank-identical before writing: first value with cum. dist ≥ q).
+    QueryDef.sql("q258_quantile_bands",
+      """WITH v AS (SELECT o_orderpriority AS prio,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders)
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS BIGINT) AS q25,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) AS q50,
+        |  CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v) AS BIGINT) AS q75
+        |FROM v GROUP BY 1 ORDER BY prio""".stripMargin) { (s, d) =>
+      val cents = orders(s, d).select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("v"),
+        col("o_orderkey"))
+      graft.operators.Robust
+        .quantileBands(cents, "o_orderpriority", "v", "o_orderkey")
+        .select(col("o_orderpriority").as("prio"), col("n"),
+          col("q25"), col("q50"), col("q75"))
+        .orderBy("prio")
     }
   )
 }

@@ -158,4 +158,46 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.keys.forall(s => s >= 0 && s < 8))
   }
+
+  test("rendezvousShard matches a driver-side argmax and stays in range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = (0L until 200L).toDF("id")
+    val got = ids.select(col("id"),
+        Curation.rendezvousShard(col("id"), 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(i: Long, s: Int) =
+      md.digest(s"$i:$s".getBytes("UTF-8")).map("%02x".format(_)).mkString + s":$s"
+    val expect = (0L until 200L).map { i =>
+      i -> (0 until 8).maxBy(key(i, _)).toLong
+    }.toMap
+    assert(got == expect)
+    assert(got.values.forall(s => s >= 0 && s < 8))
+  }
+
+  test("rebalanceAudit: rendezvous movement is only into the new shard " +
+      "and far below mod movement") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = (0L until 500L).toDF("doc_id")
+    val rows = Curation.rebalanceAudit(ids, "doc_id", from = 8, to = 9)
+      .collect()
+    graft.Caches.releaseAll(spark)
+    assert(rows.map(_.getLong(1)).sum === 500L) // rv_docs partitions all
+    assert(rows.map(_.getLong(3)).sum === 500L) // mod_docs partitions all
+    val rvMoved = rows.map(_.getLong(2)).sum
+    val modMoved = rows.map(_.getLong(4)).sum
+    // rendezvous: a key moves iff the NEW bucket (index 8) wins its
+    // argmax — expectation n/9 ≈ 56; mod reshuffles ~8/9 of the keys
+    assert(rvMoved < 120L, s"rendezvous moved $rvMoved of 500")
+    assert(modMoved > 350L, s"mod moved only $modMoved of 500")
+    // every rendezvous-moved key must land on the new shard
+    val movedTo = ids.select(
+        Curation.rendezvousShard(col("doc_id"), 8).as("s8"),
+        Curation.rendezvousShard(col("doc_id"), 9).as("s9"))
+      .filter(col("s8") =!= col("s9"))
+      .collect().map(_.getLong(1)).toSet
+    assert(movedTo == Set(8L))
+  }
 }

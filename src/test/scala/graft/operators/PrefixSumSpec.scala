@@ -68,4 +68,24 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(PrefixSum.runningTotal(empty, "id", "id", col("v"), col("chunk"), "run")
       .count() == 0L)
   }
+
+  test("runningTotalLong ≡ global long window and repartition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = rnd.shuffle((1 to 800).toList).map { i =>
+      (i.toLong, (i / 37).toLong, rnd.nextInt(5000).toLong)
+    }.toDF("id", "chunk", "v")
+    val w = Window.orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("run", sum(col("v")).over(w))
+      .select("id", "run")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    Seq(df, df.repartition(1), df.repartition(9)).foreach { in =>
+      val got = PrefixSum
+        .runningTotalLong(in, "id", "id", col("v"), col("chunk"), "run")
+        .select("id", "run")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == expected)
+    }
+  }
 }

@@ -34,6 +34,34 @@ class RobustSpec extends AnyFunSuite {
       ((8L, 10L, 0L, 2L)))
   }
 
+  test("quantileBands picks the values at ranks ceil(i*n/4)") {
+    // n=7: ranks ceil(7/4)=2, ceil(14/4)=4, ceil(21/4)=6
+    val df = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }.toDF("g", "v", "id")
+    val r = Robust.quantileBands(df, "g", "v", "id").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((7L, 20L, 40L, 60L)))
+  }
+
+  test("quantileBands matches a driver-side ceil-rank reference " +
+      "on random groups incl. ties") {
+    val rnd = new scala.util.Random(13)
+    val rows = for (g <- 0 until 6; i <- 0 until (rnd.nextInt(25) + 1))
+      yield (s"g$g", rnd.nextInt(20).toLong, (g * 1000 + i).toLong)
+    def atRank(xs: Seq[Long], num: Int): Long = {
+      val n = xs.size.toLong
+      xs.sorted.apply(((num * n + 3) / 4 - 1).toInt)
+    }
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      val vs = rs.map(_._2)
+      g -> ((vs.size.toLong, atRank(vs, 1), atRank(vs, 2), atRank(vs, 3)))
+    }
+    val got = Robust.quantileBands(rows.toDF("g", "v", "id"), "g", "v", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expect)
+  }
+
   test("madOutliers matches a driver-side reference on random groups") {
     val rnd = new scala.util.Random(7)
     val rows = for (g <- 0 until 5; i <- 0 until (rnd.nextInt(20) + 1))
