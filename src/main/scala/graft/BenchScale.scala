@@ -826,6 +826,48 @@ object BenchScale {
             floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long"))
         Apportion.largestRemainder(n, "lang", "source", "w", 100).count()
       },
+      "quantile_bands" -> { k =>
+        // q258: one rank window + one agg on the same 5-group key —
+        // pure partition-parallel scan, expect ~linear
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+          .withColumn("g", (col("doc_id") % 5).cast("string"))
+          .withColumn("v", length(col("text")).cast("long"))
+        graft.operators.Robust.quantileBands(d, "g", "v", "doc_id").count()
+      },
+      "mix_schedule" -> { k =>
+        // q259: output is Σ min(alloc, n) ≤ #groups·100 rows at ANY k
+        // — the rank window scans everything once, the join side is
+        // #groups×#sources, expect ~linear in the scan
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+          .withColumn("lang", (col("doc_id") % 5).cast("string"))
+          .withColumn("source", (col("doc_id") % 7).cast("string"))
+        val n = d.groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("w",
+            floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long"))
+        val alloc = Apportion.largestRemainder(n, "lang", "source", "w", 100)
+          .select(col("lang"), col("source"), col("alloc"))
+        graft.operators.Mixing.interleave(
+          d, alloc, "lang", "source", "doc_id", "alloc", 100).count()
+      },
+      "pps_sample" -> { k =>
+        // q260: two-level prefix scan — per-chunk windows + O(#chunks)
+        // driver offsets (chunks grow k×, rows-per-chunk constant)
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+          .withColumn("w", length(col("text")).cast("long"))
+        graft.operators.Sampling.ppsSystematic(
+          d.select(col("doc_id"), col("w")), "doc_id", "w",
+          target = 256, chunkWidth = 512L).count()
+      },
+      "rebalance" -> { k =>
+        // q261: 17 row-local md5s per row + two ≤8-group aggs — the
+        // textbook linear scan (shuffle width is the shard count)
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        val out = graft.operators.Curation.rebalanceAudit(
+          d, "doc_id", from = 8, to = 9)
+        val n = out.count()
+        graft.Caches.releaseAll(spark)
+        n
+      },
     )
 
     // dev-only family filter (SPARK_GRAFT_SCALE_ONLY=bfs,components_star)
