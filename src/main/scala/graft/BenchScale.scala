@@ -868,6 +868,31 @@ object BenchScale {
         graft.Caches.releaseAll(spark)
         n
       },
+      "embedding_drift" -> { k =>
+        // q262: assignment is semdedup_assign's linear stage; the
+        // drift arithmetic runs over a k_seeds-row frame (released
+        // inside the timed body — CACHE_POLICY rule 2)
+        val em = spark.read.parquet(s"$scratch/k$k/embeddings.parquet")
+        val n = graft.operators.SemDedup.clusterDrift(
+          em, 8, col("vec_id") % 2 === 1).count()
+        graft.Caches.releaseAll(spark)
+        n
+      },
+      "linkage" -> { k =>
+        // q263: candidates from the blocking equi-join only — a
+        // SALTED high-cardinality block key keeps block sizes O(1) as
+        // the corpus grows (the production blocking discipline), so
+        // pairs grow ~k
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+          .select(col("doc_id").as("id"),
+            (col("doc_id") % (2000L * k)).as("blk"),
+            substring(col("text"), 1, 16).as("name"),
+            length(col("text")).as("phone"))
+        graft.operators.Linkage.scorePairs(
+          d, d.withColumn("id", col("id") + 10000000L),
+          Seq("blk"), "id",
+          Seq(("name", 10L, 5L), ("phone", 10L, 5L)), 0L, 15L).count()
+      },
     )
 
     // dev-only family filter (SPARK_GRAFT_SCALE_ONLY=bfs,components_star)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SemDeDup-style semantic deduplication (public method: Abbas et al.,
@@ -68,6 +68,44 @@ object SemDedup {
   def assignments(emb: DataFrame, k: Int): DataFrame = {
     val qv = quantized(emb).persist() // feeds seed projection + assignment
     assignTo(qv, seedTable(emb, qv, k))
+  }
+
+  /** Embedding-distribution drift between two corpus snapshots, read in
+    * the quantized seed-cell space: assign EVERY vector (both
+    * snapshots) to its nearest of the k smallest-id seed centroids,
+    * then per cell compare the two sides' occupancy. Output per
+    * cluster: n_a, n_b, each side's permille share, and the exact
+    * cross-multiplied rate-difference numerator |n_a·N_b − n_b·N_a| as
+    * a digit string — the drift ranking key, integer-exact at any
+    * scale (DECIMAL(38,0) BEFORE the multiply: at 1e10 vectors a side
+    * the product overflows BIGINT and ANSI throws — the q184/q185
+    * pre-cast rule). The monitor a retrain pipeline runs between
+    * snapshot N and N+1: a cell whose share moved is where the new
+    * corpus differs semantically.
+    *
+    * Scale: assignment is the linear stage (explode + broadcast
+    * centroid join + map-side-combined aggs); everything after is a
+    * k-row frame. Side totals are driver scalars over that k-row frame
+    * (bounded by contract). Persists the cell frame (two consumers);
+    * caller releases (docs/CACHE_POLICY.md rule 1).
+    *
+    * @param sideB boolean column over `emb` marking snapshot-B rows. */
+  def clusterDrift(emb: DataFrame, k: Int, sideB: Column): DataFrame = {
+    val cell = assignments(emb, k)
+      .join(emb.select(col("vec_id"), sideB.as("_b")), "vec_id")
+      .groupBy("cluster")
+      .agg(sum(when(col("_b"), 0L).otherwise(1L)).as("n_a"),
+        sum(when(col("_b"), 1L).otherwise(0L)).as("n_b"))
+      .persist()
+    val tot = cell.agg(sum("n_a"), sum("n_b")).head()
+    val (na, nb) = (tot.getLong(0), tot.getLong(1))
+    require(na > 0 && nb > 0, s"both snapshots must be non-empty: $na/$nb")
+    cell
+      .withColumn("sh_a_permille", expr(s"n_a * 1000 div ${na}L"))
+      .withColumn("sh_b_permille", expr(s"n_b * 1000 div ${nb}L"))
+      .withColumn("drift_num",
+        abs(col("n_a").cast("decimal(38,0)") * lit(nb) -
+          col("n_b").cast("decimal(38,0)") * lit(na)).cast("string"))
   }
 
   /** Two-round integer Lloyd iteration: round-1 assignment to the k

@@ -3879,6 +3879,94 @@ object PipelineQueries {
       graft.operators.Curation.rebalanceAudit(
           Tables.documents(s, d), "doc_id", from = 8, to = 9)
         .orderBy("shard")
+    },
+
+    // Embedding-distribution drift between snapshots (SemDedup
+    // .clusterDrift): every vector assigned to its nearest of 8 seed
+    // centroids (the shared q221/q224 quantized core), sides = even/odd
+    // vec_id; per cell — occupancy, permille shares, and the exact
+    // cross-multiplied |n_a·N_b − n_b·N_a| drift numerator carried as
+    // DECIMAL(38,0)→string (pre-cast BEFORE the multiply — q184 rule;
+    // at 1e10 vectors a side the product overflows BIGINT).
+    QueryDef.sql("q262_embedding_drift",
+      """WITH x AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS seed FROM embeddings ORDER BY vec_id LIMIT 8),
+        |sq AS (SELECT s.seed, x.d, x.q AS sq FROM x JOIN seeds s ON x.vec_id = s.seed),
+        |dist AS (
+        |  SELECT x.vec_id, sq.seed, sum((x.q - sq.sq) * (x.q - sq.sq)) AS dist
+        |  FROM x JOIN sq ON x.d = sq.d GROUP BY 1, 2),
+        |md AS (SELECT vec_id, min(dist) AS m FROM dist GROUP BY 1),
+        |asg AS (SELECT d.vec_id, min(d.seed) AS cluster FROM dist d
+        |        JOIN md ON d.vec_id = md.vec_id AND d.dist = md.m GROUP BY 1),
+        |cell AS (SELECT cluster,
+        |  CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM asg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS na,
+        |  CAST(sum(n_b) AS BIGINT) AS nb FROM cell)
+        |SELECT cluster, n_a, n_b,
+        |  CAST(n_a * 1000 // na AS BIGINT) AS sh_a_permille,
+        |  CAST(n_b * 1000 // nb AS BIGINT) AS sh_b_permille,
+        |  CAST(abs(CAST(n_a AS HUGEINT) * nb - CAST(n_b AS HUGEINT) * na)
+        |    AS VARCHAR) AS drift_num
+        |FROM cell, tot ORDER BY cluster""".stripMargin) { (s, d) =>
+      graft.operators.SemDedup.clusterDrift(
+          Tables.embeddings(s, d), k = 8, col("vec_id") % 2 === 1)
+        .orderBy("cluster")
+    },
+
+    // Fellegi–Sunter record linkage (operators/Linkage.scorePairs):
+    // parts vs a perturbed re-ingest (ids +1e6; every 5th name
+    // suffixed, every 11th price cent bumped), blocked on
+    // (brand, type, size) — additive integer evidence over full name /
+    // first token / price cents, classified link ≥ 40 / nonlink ≤ 0.
+    // All three verdict classes populated at every sf.
+    QueryDef.sql("q263_record_linkage",
+      """WITH clean AS (
+        |  SELECT p_partkey AS id, p_brand, p_type, p_size, p_name AS name,
+        |    string_split(p_name, ' ')[1] AS first_tok,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM part),
+        |dirty AS (
+        |  SELECT id + 1000000 AS id, p_brand, p_type, p_size,
+        |    CASE WHEN id % 5 = 0 THEN name || ' xx' ELSE name END AS name,
+        |    first_tok,
+        |    CASE WHEN id % 11 = 0 THEN cents + 1 ELSE cents END AS cents
+        |  FROM clean),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    (CASE WHEN a.name = b.name THEN 30 ELSE -20 END
+        |     + CASE WHEN a.first_tok = b.first_tok THEN 10 ELSE -5 END
+        |     + CASE WHEN a.cents = b.cents THEN 20 ELSE -25 END) AS score
+        |  FROM clean a JOIN dirty b
+        |    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        |      AND a.p_size = b.p_size)
+        |SELECT id_a, id_b, CAST(score AS BIGINT) AS score,
+        |  CASE WHEN score >= 40 THEN 'link' WHEN score <= 0 THEN 'nonlink'
+        |       ELSE 'possible' END AS verdict
+        |FROM pairs ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val clean = Tables.part(s, d).select(col("p_partkey").as("id"),
+        col("p_brand"), col("p_type"), col("p_size"),
+        col("p_name").as("name"),
+        split(col("p_name"), " ").getItem(0).as("first_tok"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val dirty = clean.select((col("id") + 1000000L).as("id"),
+        col("p_brand"), col("p_type"), col("p_size"),
+        when(col("id") % 5 === 0, concat(col("name"), lit(" xx")))
+          .otherwise(col("name")).as("name"),
+        col("first_tok"),
+        when(col("id") % 11 === 0, col("cents") + 1).otherwise(col("cents"))
+          .as("cents"))
+      graft.operators.Linkage.scorePairs(clean, dirty,
+          Seq("p_brand", "p_type", "p_size"), "id",
+          Seq(("name", 30L, 20L), ("first_tok", 10L, 5L),
+            ("cents", 20L, 25L)),
+          tLower = 0L, tUpper = 40L)
+        .orderBy("id_a", "id_b")
     }
   )
 

@@ -175,4 +175,35 @@ class SemDedupSpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got == expected)
   }
+
+  test("clusterDrift matches a driver-side occupancy reference") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(47)
+    val vs = (0L until 80L).map { i =>
+      (i, Seq.fill(4)((rnd.nextDouble() - 0.5).toFloat))
+    }
+    val k = 4
+    val q = vs.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * SemDedup.Scale).toLong)
+    }.toMap
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cl = q.map { case (id, e) =>
+      id -> (0L until k.toLong).minBy(s => (d2(e, q(s)), s))
+    }
+    val cells = cl.groupBy(_._2).map { case (c, m) =>
+      val ids = m.keys.toSeq
+      c -> ((ids.count(_ % 2 == 0).toLong, ids.count(_ % 2 == 1).toLong))
+    }
+    val (na, nb) = (cells.values.map(_._1).sum, cells.values.map(_._2).sum)
+    val expected = cells.map { case (c, (a, b)) =>
+      c -> ((a, b, a * 1000 / na, b * 1000 / nb,
+        (BigInt(a) * nb - BigInt(b) * na).abs.toString))
+    }
+    val got = SemDedup.clusterDrift(df(vs), k, col("vec_id") % 2 === 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    graft.Caches.releaseAll(spark)
+    assert(got == expected)
+  }
 }
