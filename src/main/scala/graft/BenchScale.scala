@@ -868,6 +868,51 @@ object BenchScale {
         graft.Caches.releaseAll(spark)
         n
       },
+      "ktruss" -> { k =>
+        // disjoint K4s over the k×-user id space: every edge support 2,
+        // peel depth constant (one round + confirm), each round's
+        // oriented wedge join grows with the edge count — linear
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val nodes = e.select(col("user_id").as("n")).distinct()
+          .withColumn("b", expr("n div 4"))
+        val edges = nodes.as("a")
+          .join(nodes.withColumnRenamed("n", "m").as("bb"), Seq("b"))
+          .filter(col("n") < col("m"))
+          .select(col("n").as("u"), col("m").as("v"))
+        graft.operators.Truss.ktruss(edges, k = 4).count()
+      },
+      "interarrival" -> { k =>
+        // q265: per-user lag window + profile agg + median rank pass,
+        // all partitioned by user_id (users grow k×) — linear
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+        val gaps = e.select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_id"))
+          .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+          .filter(col("gap").isNotNull)
+          .persist()
+        try {
+          val prof = gaps.groupBy("user_id")
+            .agg(count(lit(1)).as("n_gaps"), min("gap").as("mn"),
+              max("gap").as("mx"))
+          val med = graft.operators.Robust
+            .groupMedian(gaps, "user_id", "gap", "event_id")
+          prof.join(med, "user_id").count()
+        } finally gaps.unpersist(blocking = false)
+      },
+      "constraints" -> { k =>
+        // q266: every row rule in ONE map-side-combined agg + a
+        // count-distinct — two scans regardless of rule count
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        graft.operators.Constraints.rowAudit(d, Seq(
+            ("text_not_null", col("text").isNull),
+            ("text_nonempty", length(col("text")) === 0),
+            ("id_positive", col("doc_id") < 0)))
+          .unionByName(graft.operators.Constraints.uniqueAudit(
+            d, "doc_id_unique", Seq("doc_id")))
+          .count()
+      },
       "embedding_drift" -> { k =>
         // q262: assignment is semdedup_assign's linear stage; the
         // drift arithmetic runs over a k_seeds-row frame (released

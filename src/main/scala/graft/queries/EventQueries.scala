@@ -1355,6 +1355,50 @@ object EventQueries {
       lagErr(7, "n7", "abs_err7")
         .join(lagErr(1, "n1", "abs_err1"), "event_type")
         .orderBy("event_type")
+    },
+
+    // Per-user inter-arrival gap profile: consecutive-event gaps in µs
+    // (lag over (ts, event_id) — equal-µs pairs gap 0 either way, the
+    // q78 truncation rule), then n_gaps / min / max / discrete median
+    // (Robust.groupMedian, ≡ percentile_disc) / bursts (< 1 hour) —
+    // the traffic-shape readout behind session gap and rate-limit
+    // choices. Windows and aggs all partition by user_id.
+    QueryDef.sql("q265_interarrival_profile",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+        |g AS (SELECT user_id, event_id,
+        |  tus - lag(tus) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS gap
+        |  FROM e),
+        |g2 AS (SELECT user_id, gap, event_id FROM g WHERE gap IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(min(gap) AS BIGINT) AS min_gap_us,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+        |    AS med_gap_us,
+        |  CAST(sum(CASE WHEN gap < 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bursts
+        |FROM g2 GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"))
+        .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        // two consumers (profile agg + median rank pass) — persist or
+        // the lag window chain runs twice (the AQE-reuse rule)
+        .persist()
+      val prof = gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), min("gap").as("min_gap_us"),
+          max("gap").as("max_gap_us"),
+          sum(when(col("gap") < 3600000000L, 1L).otherwise(0L)).as("bursts"))
+      val med = graft.operators.Robust
+        .groupMedian(gaps, "user_id", "gap", "event_id")
+        .select(col("user_id"), col("med").as("med_gap_us"))
+      prof.join(med, "user_id")
+        .select(col("user_id"), col("n_gaps"), col("min_gap_us"),
+          col("max_gap_us"), col("med_gap_us"), col("bursts"))
+        .orderBy("user_id")
     }
   )
 }

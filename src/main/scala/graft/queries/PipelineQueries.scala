@@ -3967,6 +3967,22 @@ object PipelineQueries {
             ("cents", 20L, 25L)),
           tLower = 0L, tUpper = 40L)
         .orderBy("id_a", "id_b")
+    },
+
+    // 4-truss of the q102 order-adjacency graph (operators/Truss):
+    // edges surviving the support-≥2 peel, with their truss-induced
+    // triangle counts — the edge-analog of q134's k-core and a strictly
+    // stronger cohesion filter. Oracle = 3 unrolled peel rounds over
+    // the id-ordered triangle join (the Kcore.oracleSql technique;
+    // engine fixpoint early-exits, so extra rounds are idempotent).
+    QueryDef.sql("q264_ktruss",
+      graft.operators.Truss.oracleSql(
+        orderAdjSql + ",\ne0 AS MATERIALIZED (SELECT a AS u, b AS v FROM e)",
+        k = 4, rounds = 3)) { (s, d) =>
+      graft.operators.Truss.ktruss(
+          orderAdjEdges(s, d).select(col("a").as("u"), col("b").as("v")),
+          k = 4)
+        .orderBy("u", "v")
     }
   )
 

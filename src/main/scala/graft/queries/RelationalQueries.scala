@@ -2037,6 +2037,70 @@ object RelationalQueries {
         .select(col("o_orderpriority").as("prio"), col("n"),
           col("q25"), col("q50"), col("q75"))
         .orderBy("prio")
+    },
+
+    // Declarative data-quality constraint audit (operators/Constraints
+    // — the Deequ shape): 4 lineitem row rules in ONE aggregation pass
+    // + 2 orders row rules + key uniqueness + referential integrity,
+    // unioned into a (rule, n_rows, violations, pass) report — the
+    // pre-publish snapshot gate. One rule (quantity ≤ 25) fails by
+    // construction so nonzero counting is exercised.
+    QueryDef.sql("q266_constraint_audit",
+      """WITH li AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |    CAST(sum(CASE WHEN l_discount < CAST(0 AS DOUBLE)
+        |      OR l_discount > CAST(0.1 AS DOUBLE) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_disc,
+        |    CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_q25,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_ship
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_price,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uniq
+        |  FROM orders),
+        |fk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey),
+        |rep AS (
+        |  SELECT 'l_quantity_in_1_50' AS rule, n, v_qty AS violations FROM li
+        |  UNION ALL SELECT 'l_discount_in_0_0.1', n, v_disc FROM li
+        |  UNION ALL SELECT 'l_quantity_le_25', n, v_q25 FROM li
+        |  UNION ALL SELECT 'l_shipdate_not_null', n, v_ship FROM li
+        |  UNION ALL SELECT 'o_totalprice_positive', n, v_price FROM o
+        |  UNION ALL SELECT 'o_orderstatus_domain', n, v_status FROM o
+        |  UNION ALL SELECT 'o_orderkey_unique', n, v_uniq FROM o
+        |  UNION ALL SELECT 'lineitem_orderkey_fk', n, v FROM fk)
+        |SELECT rule, n AS n_rows, violations, violations = 0 AS pass
+        |FROM rep ORDER BY rule""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d)
+      val o = orders(s, d)
+      graft.operators.Constraints.rowAudit(li, Seq(
+          ("l_quantity_in_1_50",
+            col("l_quantity") < 1 || col("l_quantity") > 50),
+          ("l_discount_in_0_0.1",
+            col("l_discount") < 0d || col("l_discount") > 0.1d),
+          ("l_quantity_le_25", col("l_quantity") > 25),
+          ("l_shipdate_not_null", col("l_shipdate").isNull)))
+        .unionByName(graft.operators.Constraints.rowAudit(o, Seq(
+          ("o_totalprice_positive", col("o_totalprice") <= 0),
+          ("o_orderstatus_domain",
+            !col("o_orderstatus").isin("O", "F", "P")))))
+        .unionByName(graft.operators.Constraints.uniqueAudit(
+          o, "o_orderkey_unique", Seq("o_orderkey")))
+        .unionByName(graft.operators.Constraints.fkAudit(
+          li, "l_orderkey", o, "o_orderkey", "lineitem_orderkey_fk"))
+        .orderBy("rule")
     }
   )
 }
