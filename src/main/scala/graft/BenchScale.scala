@@ -913,6 +913,34 @@ object BenchScale {
             d, "doc_id_unique", Seq("doc_id")))
           .count()
       },
+      "incremental_audit" -> { k =>
+        // q267: row rules additive (one agg pass per side), uniqueness
+        // via the standing DISTINCT-key index + delta anti join — the
+        // q252 append-only shape, linear in the corpus
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        val snap = d.filter(col("doc_id") % 10 =!= 0)
+        val delta = d.filter(col("doc_id") % 10 === 0)
+        val rules = Seq(("nonempty", length(col("text")) === 0))
+        val sc = snap.agg(count(lit(1)), count_distinct(col("text"))).head()
+        graft.operators.Constraints.mergeReports(
+            graft.operators.Constraints.rowAudit(snap, rules),
+            graft.operators.Constraints.rowAudit(delta, rules))
+          .unionByName(graft.operators.Constraints.uniqueMerge(
+            snap.select("text").distinct(), sc.getLong(0), sc.getLong(1),
+            delta, "text", "uniq"))
+          .count()
+      },
+      "theil_sen" -> { k =>
+        // q268: pairs are months² — CONSTANT as rows grow (ord is
+        // calendar-granular by contract); the k× cost is the monthly
+        // pre-aggregation scan
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val monthly = e.groupBy(col("event_type").as("g"),
+            (col("event_id") % 64).as("oi"))
+          .agg(sum(col("user_id") % 1000).as("vi"))
+        graft.operators.Robust.theilSenScaled(monthly, "g", "oi", "vi",
+          scale = 1000L, shift = 1000000000L).count()
+      },
       "embedding_drift" -> { k =>
         // q262: assignment is semdedup_assign's linear stage; the
         // drift arithmetic runs over a k_seeds-row frame (released

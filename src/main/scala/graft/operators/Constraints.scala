@@ -51,6 +51,45 @@ object Constraints {
       .withColumn("pass", col("violations") === 0L)
   }
 
+  /** Additive merge of ROW-rule reports: audit(S ∪ D) = audit(S) +
+    * audit(D) rule by rule — the incremental-maintenance identity that
+    * lets an append-only ingest keep the quality gate current without
+    * rescanning the standing snapshot (q100's merge ≡ rescan, applied
+    * to the audit). VALID FOR ROW RULES ONLY: uniqueness and
+    * referential rules are not additive — use [[uniqueMerge]]. */
+  def mergeReports(reports: DataFrame*): DataFrame = {
+    require(reports.nonEmpty, "need at least one report")
+    reports.reduce(_.unionByName(_))
+      .groupBy("rule")
+      .agg(sum("n_rows").as("n_rows"), sum("violations").as("violations"))
+      .withColumn("pass", col("violations") === 0L)
+  }
+
+  /** Incremental uniqueness: violations(S ∪ D) = (nS + nD) − (dS +
+    * |keys(D) \ keys(S)|). The standing side contributes only its
+    * precomputed scalars (nS, dS) and its DISTINCT-key frame — the
+    * same standing-index shape as the q252 admission gate, so an
+    * append-only ingest never rescans or rewrites the snapshot; the
+    * delta-side distinct + one key-shuffled anti join is all new work.
+    * The two delta counts are driver scalars (bounded: one row each —
+    * the q236 fill pattern). */
+  def uniqueMerge(standingKeys: DataFrame, nS: Long, dS: Long,
+                  delta: DataFrame, keyCol: String, name: String): DataFrame = {
+    require(nS >= dS && dS >= 0, s"nS=$nS dS=$dS")
+    val spark = delta.sparkSession
+    val dk = delta.select(col(keyCol).as("_k")).distinct()
+      .persist() // two consumers: nNew anti join is derived from it
+    val nD = delta.count()
+    val dNew = dk.join(
+      standingKeys.select(col(standingKeys.columns.head).as("_k")),
+      Seq("_k"), "left_anti").count()
+    dk.unpersist(blocking = false)
+    val viol = nS + nD - (dS + dNew)
+    import spark.implicits._
+    Seq((name, nS + nD, viol, viol == 0L))
+      .toDF("rule", "n_rows", "violations", "pass")
+  }
+
   /** violations = child rows whose `fkCol` has no match in the parent's
     * DISTINCT `pkCol` (NULL fks are orphans too — a null reference
     * still dangles). One left join, one agg. */

@@ -211,4 +211,54 @@ object Robust {
       .groupBy(grpCol)
       .agg(min(col("_v")).as("wmedian"), max(col("_tot")).as("total_w"))
   }
+
+  /** Theil–Sen robust trend per group, at fixed integer resolution: the
+    * lower-median pairwise slope over the group's (ord, value) points,
+    * with each slope carried as the SHIFT-SCALED integer
+    *
+    *   sc = ((dv + shift·dd) · scale) div dd        (dv = vj−vi, dd = oj−oi > 0)
+    *
+    * so the reported `slope_scaled` = sc − shift·scale ≈ scale·dv/dd.
+    * The shift keeps every div operand non-negative — Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, and they agree
+    * only there (the q219/q224 div-bridge rule); the caller must pick
+    * `shift` > max|dv|/min dd (asserted per pair). Slopes are ORDERED
+    * by (sc, dv, dd, oi, oj) — a total, engine-neutral order that is
+    * the true rational order up to 1/scale quantization; the median is
+    * therefore Theil–Sen at `scale` resolution (document the
+    * quantization; RobustSpec pins an exact case and the tie rule).
+    * Median slope is outlier-resistant where OLS is not: one corrupted
+    * month moves ~n of the n² pairwise slopes, not the fit.
+    *
+    * Scale: the caller pre-aggregates to one row per (group, ord) —
+    * pairs are group-size², BOUNDED BY CONTRACT because ord is
+    * calendar-granular (84 months → 3.5k pairs), never raw rows. One
+    * equi join on the group key + one group-partitioned rank window.
+    * Output per group: n_pairs, the median pair's (dv, dd), and
+    * slope_scaled. */
+  def theilSenScaled(df: DataFrame, grpCol: String, ordCol: String,
+                     valCol: String, scale: Long, shift: Long): DataFrame = {
+    require(scale >= 1 && shift >= 1, s"scale=$scale shift=$shift")
+    val a = df.select(col(grpCol), col(ordCol).cast("long").as("oi"),
+      col(valCol).cast("long").as("vi"))
+    val b = a.select(col(grpCol), col("oi").as("oj"), col("vi").as("vj"))
+    val pairs = a.join(b, Seq(grpCol))
+      .filter(col("oj") > col("oi"))
+      .withColumn("dv", col("vj") - col("vi"))
+      .withColumn("dd", col("oj") - col("oi"))
+      .withColumn("sc", expr(
+        s"""CASE WHEN dv + ${shift}L * dd >= 0
+           |  THEN ((dv + ${shift}L * dd) * ${scale}L) div dd
+           |  ELSE raise_error('theilSenScaled: shift too small for this
+           |    dv range — pick shift > max|dv|/min dd')
+           |END""".stripMargin))
+    val w = Window.partitionBy(grpCol)
+      .orderBy(col("sc"), col("dv"), col("dd"), col("oi"), col("oj"))
+    pairs
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_np", count(lit(1)).over(Window.partitionBy(grpCol)))
+      .filter(col("_rn") === expr("(_np + 1) div 2"))
+      .select(col(grpCol), col("_np").as("n_pairs"), col("dv"), col("dd"),
+        (col("sc") - lit(shift * scale)).as("slope_scaled"))
+  }
 }

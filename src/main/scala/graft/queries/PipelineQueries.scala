@@ -3983,6 +3983,63 @@ object PipelineQueries {
           orderAdjEdges(s, d).select(col("a").as("u"), col("b").as("v")),
           k = 4)
         .orderBy("u", "v")
+    },
+
+    // Incremental quality-gate maintenance (Constraints.mergeReports +
+    // uniqueMerge): snapshot S (ids % 10 ≠ 0) audited once, delta D
+    // (ids % 10 = 0, + 3 cross-corpus dup plants + an internal dup
+    // pair) merged in — row rules are additive, uniqueness via the
+    // standing DISTINCT-key index (nS + nD − dS − |keys(D) \ keys(S)|,
+    // the q252 append-only shape). The ORACLE is the full rescan of
+    // S ∪ D, so merge ≡ rescan is exactly what the row proves.
+    QueryDef.sql("q267_incremental_audit",
+      """WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |base3 AS (SELECT doc_id, text FROM s ORDER BY doc_id LIMIT 3),
+        |base1 AS (SELECT text FROM s ORDER BY doc_id LIMIT 1),
+        |d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 300000, text FROM base3
+        |  UNION ALL SELECT 400000 + g, (SELECT text FROM base1) || ' zzz'
+        |    FROM range(2) t(g)),
+        |u AS (SELECT * FROM s UNION ALL SELECT * FROM d),
+        |rep AS (
+        |  SELECT 'len_le_400' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN len(text) > 400 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS violations FROM u
+        |  UNION ALL
+        |  SELECT 'text_not_null', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM u
+        |  UNION ALL
+        |  SELECT 'text_unique', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT text) AS BIGINT) FROM u)
+        |SELECT rule, n_rows, violations, violations = 0 AS pass
+        |FROM rep ORDER BY rule""".stripMargin) { (s, d) =>
+      import graft.operators.Constraints
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // standing snapshot: three consumers (report, key index, plant
+      // derivations) — persist or the scan+filter runs per consumer
+      val sSnap = docs.filter(col("doc_id") % 10 =!= 0).persist()
+      val base3 = sSnap.orderBy("doc_id").limit(3)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+      val base1 = sSnap.orderBy("doc_id").limit(1)
+      def internal(id: Long) = base1.select(lit(id).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text"))
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+        .unionByName(base3)
+        .unionByName(internal(400000L)).unionByName(internal(400001L))
+        .persist() // consumers: row audit + delta key distinct + count
+      val rules = Seq(
+        ("len_le_400", length(col("text")) > 400),
+        ("text_not_null", col("text").isNull))
+      val sc = sSnap.agg(count(lit(1)), count_distinct(col("text"))).head()
+      Constraints.mergeReports(
+          Constraints.rowAudit(sSnap, rules),
+          Constraints.rowAudit(delta, rules))
+        .unionByName(Constraints.uniqueMerge(
+          sSnap.select("text").distinct(), sc.getLong(0), sc.getLong(1),
+          delta, "text", "text_unique"))
+        .orderBy("rule")
     }
   )
 

@@ -2101,6 +2101,56 @@ object RelationalQueries {
         .unionByName(graft.operators.Constraints.fkAudit(
           li, "l_orderkey", o, "o_orderkey", "lineitem_orderkey_fk"))
         .orderBy("rule")
+    },
+
+    // Theil–Sen robust revenue trend per nation (Robust.theilSenScaled):
+    // lower-median pairwise slope of MONTHLY cents (pairs bounded by
+    // months², calendar-granular by contract), slopes shift-scaled to
+    // keep every div operand non-negative (the q219/q224 div-bridge
+    // rule) and ordered at permille-of-cent resolution — the
+    // outlier-resistant trend next to q212's CUSUM changepoint.
+    QueryDef.sql("q268_theil_sen_trend",
+      """WITH monthly AS (
+        |  SELECT n.n_name AS g,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS oi,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS vi
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.g, a.oi, b.oi AS oj, b.vi - a.vi AS dv, b.oi - a.oi AS dd
+        |  FROM monthly a JOIN monthly b ON a.g = b.g AND b.oi > a.oi),
+        |sc AS (
+        |  SELECT g, oi, oj, dv, dd,
+        |    ((dv + 1000000000000 * dd) * 1000) // dd AS sc
+        |  FROM pairs),
+        |rk AS (
+        |  SELECT g, dv, dd, sc,
+        |    row_number() OVER (PARTITION BY g ORDER BY sc, dv, dd, oi, oj)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY g) AS np
+        |  FROM sc)
+        |SELECT g AS nation, CAST(np AS BIGINT) AS n_pairs,
+        |  CAST(dv AS BIGINT) AS dv, CAST(dd AS BIGINT) AS dd,
+        |  CAST(sc - 1000000000000000 AS BIGINT) AS slope_scaled
+        |FROM rk WHERE rn = (np + 1) // 2
+        |ORDER BY nation""".stripMargin) { (s, d) =>
+      val monthly = orders(s, d)
+        .join(broadcast(customer(s, d)
+          .join(nation(s, d), col("n_nationkey") === col("c_nationkey"))
+          .select(col("c_custkey"), col("n_name"))),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("n_name"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("mi"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+      graft.operators.Robust.theilSenScaled(monthly, "n_name", "mi",
+          "cents", scale = 1000L, shift = 1000000000000L)
+        .select(col("n_name").as("nation"), col("n_pairs"), col("dv"),
+          col("dd"), col("slope_scaled"))
+        .orderBy("nation")
     }
   )
 }

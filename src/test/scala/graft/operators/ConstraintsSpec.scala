@@ -45,6 +45,33 @@ class ConstraintsSpec extends AnyFunSuite {
       (("fk_ok", 4L, 2L, false)))
   }
 
+  test("mergeReports: row-rule audit of a union ≡ sum of part audits") {
+    val a = Seq((1L, 5L), (2L, 200L)).toDF("id", "v")
+    val b = Seq((3L, 300L), (4L, 7L), (5L, 400L)).toDF("id", "v")
+    val rules = Seq(("v_under_100", col("v") > 100))
+    val merged = Constraints.mergeReports(
+        Constraints.rowAudit(a, rules), Constraints.rowAudit(b, rules))
+      .collect().head
+    val rescan = Constraints.rowAudit(a.unionByName(b), rules).collect().head
+    assert((merged.getLong(1), merged.getLong(2), merged.getBoolean(3)) ===
+      ((rescan.getLong(1), rescan.getLong(2), rescan.getBoolean(3))))
+    assert(merged.getLong(2) === 3L)
+  }
+
+  test("uniqueMerge ≡ rescan uniqueness on the union") {
+    // standing keys a,b,c (nS=4: one internal dup); delta d,b,b
+    val standing = Seq("a", "b", "b", "c").toDF("k")
+    val delta = Seq("d", "b", "b").toDF("k")
+    val merged = Constraints.uniqueMerge(
+        standing.distinct(), nS = 4L, dS = 3L, delta, "k", "k_unique")
+      .collect().head
+    val rescan = Constraints.uniqueAudit(
+      standing.unionByName(delta), "k_unique", Seq("k")).collect().head
+    assert((merged.getLong(1), merged.getLong(2)) ===
+      ((rescan.getLong(1), rescan.getLong(2))))
+    assert(merged.getLong(2) === 3L) // dup b in standing + 2 delta b's
+  }
+
   test("empty input: zero rows, zero violations, rules pass") {
     val df = Seq.empty[(Long, Long)].toDF("id", "v")
     val got = Constraints.rowAudit(df, Seq(("r", col("v") > 0)))

@@ -62,6 +62,49 @@ class RobustSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("theilSenScaled: exact slope on a clean trend, resists one outlier") {
+    import org.apache.spark.sql.functions.col
+    // y = 5x except one corrupted point; median pairwise slope stays 5
+    val pts = Seq(1L -> 5L, 2L -> 10L, 3L -> 15L, 4L -> 1000L, 5L -> 25L)
+      .map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val r = Robust.theilSenScaled(pts, "g", "x", "y",
+      scale = 1000L, shift = 100000L).collect().head
+    assert(r.getLong(1) === 10L)            // C(5,2) pairs
+    assert(r.getLong(4) === 5000L)          // slope 5.000
+  }
+
+  test("theilSenScaled matches a driver-side quantized reference") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(53)
+    val scale = 1000L; val shift = 100000L
+    val rows = for (g <- 0 until 4; x <- 1 to 20)
+      yield (s"g$g", x.toLong, (x * (g + 2) + rnd.nextInt(40) - 20).toLong)
+    val expect = rows.groupBy(_._1).map { case (g, ps) =>
+      val pairs = for {
+        (_, oi, vi) <- ps; (_, oj, vj) <- ps if oj > oi
+      } yield {
+        val (dv, dd) = (vj - vi, oj - oi)
+        (((dv + shift * dd) * scale) / dd, dv, dd, oi, oj)
+      }
+      val sorted = pairs.sortBy(p => (p._1, p._2, p._3, p._4, p._5))
+      val m = sorted(((sorted.size + 1) / 2 - 1).toInt)
+      g -> ((sorted.size.toLong, m._2, m._3, m._1 - shift * scale))
+    }
+    val got = Robust.theilSenScaled(rows.toDF("g", "x", "y"), "g", "x", "y",
+        scale, shift)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expect)
+  }
+
+  test("theilSenScaled raises when the shift cannot cover the dv range") {
+    val pts = Seq(("g", 1L, 1000000L), ("g", 2L, 0L)).toDF("g", "x", "y")
+    val ex = intercept[Exception] {
+      Robust.theilSenScaled(pts, "g", "x", "y", 1000L, 10L).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("madOutliers matches a driver-side reference on random groups") {
     val rnd = new scala.util.Random(7)
     val rows = for (g <- 0 until 5; i <- 0 until (rnd.nextInt(20) + 1))
