@@ -966,6 +966,53 @@ object BenchScale {
           Seq("blk"), "id",
           Seq(("name", 10L, 5L), ("phone", 10L, 5L)), 0L, 15L).count()
       },
+      "bigram_lm" -> { k =>
+        // q269: model tables grow with the salted vocabulary (~k), the
+        // pair stream ~k, both joins gram-keyed equi — linear
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        graft.operators.Retrieval.bigramLmScores(d, "doc_id", "text")
+          .count()
+      },
+      "attribution" -> { k =>
+        // q270: users are CLONED (timestamps unchanged), so per-user
+        // touch×conversion structure is constant and chunked-range-join
+        // candidates grow ~k; windows partition by conv_id
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+          .withColumn("ts", col("ts").cast("timestamp"))
+        graft.operators.Attribution.positionCredits(
+          e, horizonMs = 604800000L).count()
+      },
+      "decayed_counts" -> { k =>
+        // q271: row-local shift ladder + 1-row max broadcast + one
+        // 5-group agg — the textbook linear scan
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+          .withColumn("ts", col("ts").cast("timestamp"))
+        graft.operators.Decay.halfLifeWeights(e, Seq("event_type"))
+          .groupBy("event_type").agg(sum("wt").as("d")).count()
+      },
+      "quantile_norm" -> { k =>
+        // q273: two rank-window passes (5-lang partitions grow k×
+        // rows each) + the union-tag as-of shuffle + one join back —
+        // all lang/source-partitioned, expect ~linear
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+          .withColumn("lang", (col("doc_id") % 5).cast("string"))
+          .withColumn("v", length(col("text")).cast("long"))
+        graft.operators.Robust.quantileNormalize(
+          d, "lang", "source", "v", "doc_id").count()
+      },
+      "pseudo_diameter" -> { k =>
+        // q274: disjoint K4s over the k×-user id space — constant
+        // depth (2 sweeps × 2 rounds), per-round frontier join grows
+        // with the edge count
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val nodes = e.select(col("user_id").as("n")).distinct()
+          .withColumn("b", expr("n div 4"))
+        val edges = nodes.as("a")
+          .join(nodes.withColumnRenamed("n", "m").as("bb"), Seq("b"))
+          .filter(col("n") =!= col("m"))
+          .select(col("n").as("src"), col("m").as("dst"))
+        graft.operators.GraphStats.pseudoDiameter(edges).count()
+      },
     )
 
     // dev-only family filter (SPARK_GRAFT_SCALE_ONLY=bfs,components_star)

@@ -205,6 +205,35 @@ object GraphStats {
     * (cn asc, a, b). Same hub-capped machinery and cost bound as link
     * prediction (the cap is part of the semantics). Input must be
     * symmetric (feed both directions). */
+  /** Double-sweep pseudo-diameter (Magnien/Latapy/Habib's BFS
+    * double sweep): BFS from the minimum node id, re-BFS from the
+    * farthest node found (ties to the smaller id), and report that
+    * second sweep's distance histogram — its max row is the classic
+    * lower bound on the graph diameter, and the histogram is the
+    * eccentricity profile audit for partition-depth planning (how many
+    * frontier rounds a traversal of this graph costs at scale).
+    *
+    * Scale: two frontier-bounded BFS fixpoints ([[Bfs.distances]] —
+    * per-round localCheckpoint, never a transitive-closure join); the
+    * seed is a 1-row min aggregate and the far-node pick is a 1-row
+    * TakeOrdered collect (bounded by contract). The edge frame feeds
+    * both sweeps, so it is persisted for the call and released before
+    * return (docs/CACHE_POLICY.md rule 2 — both sweeps' frontiers are
+    * checkpoint-materialized, so the release is safe). */
+  def pseudoDiameter(edges: DataFrame, maxDepth: Int = 40): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).persist()
+    try {
+      val d1 = Bfs.distances(e, e.agg(min("src").as("node")), maxDepth)
+      val far = d1.orderBy(col("dist").desc, col("node")).limit(1)
+        .collect()(0).getLong(0)
+      val d2 = Bfs.distances(e, Seq(far).toDF("node"), maxDepth)
+      d2.groupBy("dist").agg(count(lit(1)).as("n_nodes")).orderBy("dist")
+    } finally e.unpersist(blocking = false)
+  }
+
   def edgeEmbeddedness(edges: DataFrame, hubCap: Long, topK: Int): DataFrame = {
     val (e, deg, pairs) = witnessFrames(edges, hubCap)
     e.filter(col("src") < col("dst"))

@@ -244,4 +244,67 @@ object Retrieval {
       .filter(col("rn") <= topN)
       .select(col("doc"), col("term"), col("tf"), col("df"), col("rn"))
   }
+
+  /** Integer scale for [[bigramLmScores]] probabilities (permille·10⁶). */
+  val LmScale = 1000000000L
+
+  /** Add-one-smoothed bigram language-model scoring of a held-out split
+    * against a model trained on the rest of the corpus — the CCNet/
+    * Gopher-style "LM quality filter" re-expressed with exact integer
+    * arithmetic (the reference's quality surface is keyword relevance,
+    * optimade_database/Optimade_Server/server.py:106-120; perplexity
+    * filtering is the training-pipeline extension of it).
+    *
+    * Model: p(w2|w1) = (c(w1 w2)+1) / (c(w1)+V) over the TRAIN split
+    * (docs with id % holdoutMod ≠ holdoutRem), V = train unigram
+    * vocabulary size. No logs anywhere (ln differs in the last ulp
+    * across engines): each pair contributes the SCALED probability
+    * ⌊p·LmScale⌋ computed as `(c+1)·LmScale div (c(w1)+V)` with the
+    * numerator in DECIMAL(38,0) BEFORE the multiply (at 100-TB corpus
+    * scale a bigram count ×10⁹ overflows BIGINT — the q184/q219
+    * headroom rule; `div` on non-negative decimals ≡ DuckDB HUGEINT
+    * `//`). A document's score is the pair mass Σ⌊p·S⌋ plus the
+    * discrete mean mass div n — a monotone proxy for the (geometric)
+    * per-token likelihood that stays hash-exact cross-engine.
+    *
+    * Scale: two count aggregations over the train token/bigram streams
+    * (map-side combined — the shuffle carries distinct grams, not
+    * tokens), two equi joins keyed on the gram strings (model tables
+    * are corpus-vocabulary-sized, deliberately NOT broadcast), and a
+    * 1-row vocabulary-size broadcast (J4 stat pattern, plan-audited).
+    * The pair stream is a single `transform` over the materialized
+    * token array — no positional self-join (the bigramsOf contract).
+    *
+    * Output: (idCol, n_pairs, mass_scaled, avg_scaled) for every
+    * holdout doc with ≥2 tokens, ordered by the caller. */
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String,
+                     holdoutMod: Int = 5, holdoutRem: Int = 0): DataFrame = {
+    require(holdoutMod >= 2, s"holdoutMod must be >= 2: $holdoutMod")
+    val toks = docs.select(col(idCol), cleanTokens(col(textCol)).as("toks"))
+    val train = toks.filter(col(idCol) % holdoutMod =!= holdoutRem)
+    val uc = train.select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cw"))
+    val vsz = uc.agg(count(lit(1)).as("vsz"))
+    val bc = train.filter(size(col("toks")) >= 2)
+      .select(explode(bigramsOf(col("toks"))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cb"))
+    val pairs = toks
+      .filter(col(idCol) % holdoutMod === holdoutRem && size(col("toks")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)).as("b")))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.b").as("b"))
+    pairs
+      .join(bc, Seq("b"), "left")
+      .join(uc, Seq("w1"), "left")
+      .crossJoin(broadcast(vsz))
+      .withColumn("p_scaled",
+        expr(s"cast(cast(coalesce(cb, 0) + 1 as decimal(38,0)) * $LmScale" +
+          " div (coalesce(cw, 0) + vsz) as bigint)"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_pairs"), sum("p_scaled").as("mass_scaled"))
+      .withColumn("avg_scaled", expr("mass_scaled div n_pairs"))
+  }
 }

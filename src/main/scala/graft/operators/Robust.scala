@@ -261,4 +261,51 @@ object Robust {
       .select(col(grpCol), col("_np").as("n_pairs"), col("dv"), col("dd"),
         (col("sc") - lit(shift * scale)).as("slope_scaled"))
   }
+
+  /** Discrete quantile normalization across sub-distributions: each
+    * (group, subgroup) row's value is replaced by the GROUP-pooled
+    * distribution's value at the same rank-permille — the cross-source
+    * calibration step that puts per-source quality/length scores on one
+    * comparable scale before mixing (the microarray quantile-normalize
+    * recipe, made exact: permille = rank·1000 div n over the (value,
+    * id) total order, mapped via an as-of match to the greatest pooled
+    * permille ≤ it; a match always exists because the pooled min
+    * permille 1000 div N ≤ any subgroup's 1000 div n).
+    *
+    * All windows partition by (group) or (group, subgroup) — nothing
+    * global; the permille as-of is [[AsofJoin.asofMatch]]'s union-tag
+    * single-shuffle plan keyed on the group. Ranks go through LONG
+    * before ·1000 (an int rank overflows at 2.1M rows/group at corpus
+    * scale). Ties on value break by id on BOTH sides, so the mapping
+    * is total-order deterministic.
+    *
+    * Output: one row per input row — (group, subgroup, id, value, p,
+    * norm_v). */
+  def quantileNormalize(df: DataFrame, grpCol: String, subCol: String,
+                        valCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(grpCol), col(subCol), col(idCol),
+      col(valCol).cast("long").as("_v"))
+    val wSub = Window.partitionBy(grpCol, subCol)
+      .orderBy(col("_v"), col(idCol))
+    val nSub = Window.partitionBy(grpCol, subCol)
+    val src = base
+      .withColumn("_rk", row_number().over(wSub).cast("long"))
+      .withColumn("_n", count(lit(1)).over(nSub))
+      .withColumn("p", expr("_rk * 1000 div _n"))
+    val wPool = Window.partitionBy(grpCol).orderBy(col("_v"), col(idCol))
+    val nPool = Window.partitionBy(grpCol)
+    val pooled = base
+      .withColumn("_rk", row_number().over(wPool).cast("long"))
+      .withColumn("_n", count(lit(1)).over(nPool))
+      .select(col(grpCol), expr("_rk * 1000 div _n").as("pp"), col("_v"))
+    val mapped = AsofJoin.asofMatch(
+      src.select(col(grpCol), col(idCol), col("p")), pooled,
+      keyCol = grpCol, leftTs = "p", rightTs = "pp",
+      leftIdCol = idCol, rightIdCol = "_v")
+    mapped
+      .join(base.select(col(subCol), col(idCol).cast("long").as("left_id"),
+        col("_v")), Seq("left_id"))
+      .select(col(grpCol), col(subCol), col("left_id").as(idCol),
+        col("_v").as(valCol), col("p"), col("right_id").as("norm_v"))
+  }
 }

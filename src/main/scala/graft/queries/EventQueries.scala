@@ -1399,6 +1399,144 @@ object EventQueries {
         .select(col("user_id"), col("n_gaps"), col("min_gap_us"),
           col("max_gap_us"), col("med_gap_us"), col("bursts"))
         .orderBy("user_id")
+    },
+
+    // Multi-touch position-based attribution (operators/Attribution):
+    // every purchase distributes exactly 1000 permille across its
+    // preceding 7-day touches (first 400+rem / last 400 / middles
+    // 200 div (n−2)). The engine's candidates come from the CHUNKED
+    // range join (user, time-chunk — RangeJoin.pointInInterval); the
+    // oracle uses the plain user equi-join + BETWEEN residual —
+    // different machinery, identical pairs. ms floors on both sides
+    // (epoch_ms ∘ any-precision ts = floor∘floor, the safe class).
+    QueryDef.sql("q270_multitouch_attribution",
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id, epoch_ms(ts) AS conv_ms
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT event_id AS touch_id, user_id, epoch_ms(ts) AS touch_ms,
+        |    event_type
+        |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        |cand AS (
+        |  SELECT c.conv_id, t.touch_id, t.event_type, t.touch_ms
+        |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+        |  WHERE t.touch_ms >= c.conv_ms - 604800000
+        |    AND t.touch_ms <= c.conv_ms - 1),
+        |ranked AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY touch_ms, touch_id) AS pos,
+        |    count(*) OVER (PARTITION BY conv_id) AS n
+        |  FROM cand),
+        |credited AS (
+        |  SELECT event_type,
+        |    CASE WHEN n = 1 THEN 1000
+        |         WHEN n = 2 THEN 500
+        |         WHEN pos = 1 THEN 400 + 200 % (n - 2)
+        |         WHEN pos = n THEN 400
+        |         ELSE 200 // (n - 2) END AS credit
+        |  FROM ranked)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(credit) AS BIGINT) AS credit_total
+        |FROM credited GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+        graft.operators.Attribution
+          .positionCredits(Tables.events(s, d), horizonMs = 604800000L)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_touches"),
+            sum("credit").as("credit_total"))
+          .orderBy("event_type")
+    },
+
+    // Half-life decayed popularity (operators/Decay): weight =
+    // 10⁹ div 2^age_days behind the latest event, capped at 40
+    // halvings — exact integer decay, no exp(). The oracle rebuilds
+    // the identical shift ladder in SQL (`<<` on BIGINT ≡ shiftleft).
+    QueryDef.sql("q271_decayed_counts",
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |mx AS (SELECT max(us) AS ref_us FROM e),
+        |aged AS (
+        |  SELECT event_type,
+        |    least((ref_us - us) // 86400000000, 40) AS age_b
+        |  FROM e CROSS JOIN mx)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(1000000000 // (CAST(1 AS BIGINT) << CAST(age_b AS INTEGER)))
+        |    AS BIGINT) AS decayed_scaled,
+        |  CAST(max(age_b) AS BIGINT) AS max_age_b
+        |FROM aged GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+        graft.operators.Decay
+          .halfLifeWeights(Tables.events(s, d), keep = Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("wt").as("decayed_scaled"),
+            max("age_b").as("max_age_b"))
+          .orderBy("event_type")
+    },
+
+    // Daily-count dispersion (Fano/burstiness audit): per event type the
+    // exact integer triple (n_days, Σc, Σc²) determines the index of
+    // dispersion Var/Mean — the float is left to the consumer (the
+    // q184/q185 rule: no avg over computed doubles). Σc² goes through
+    // DECIMAL(38,0) BEFORE the square — at 100-TB daily counts the
+    // square overflows BIGINT and ANSI throws — and is emitted as a
+    // string (HUGEINT ≡ decimal string canon, the q185/SemDedup
+    // pattern). Two map-side-combined aggs, nothing global.
+    QueryDef.sql("q276_daily_dispersion",
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(c) AS BIGINT) AS sum_c,
+        |  CAST(sum(CAST(c AS HUGEINT) * c) AS VARCHAR) AS sum_c2
+        |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000L").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"), sum("c").as("sum_c"),
+            // decimal cast BEFORE the square (q185): (19,0)×(19,0) →
+            // DECIMAL(38,0) on both engines; emitted as digit string
+            sum(col("c").cast("decimal(19,0)") *
+              col("c").cast("decimal(19,0)"))
+              .cast("string").as("sum_c2"))
+          .orderBy("event_type")
+    },
+
+    // DAU/WAU rolling distinct actives: WAU(d) = distinct users in
+    // [d−6, d]. Spark has no DISTINCT-over-range window; the engine
+    // fans each (user, day) pair out to its ≤7 target days (BOUNDED
+    // explode — never a per-day rescan or a range self-join) and
+    // count-distincts per day; the oracle uses the BETWEEN join over
+    // the same day grid — different machinery, same counts.
+    QueryDef.sql("q277_active_users",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |wau AS (
+        |  SELECT d.day, count(DISTINCT u.user_id) AS wau
+        |  FROM dau d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day)
+        |SELECT d.day AS day, CAST(d.dau AS BIGINT) AS dau,
+        |  CAST(w.wau AS BIGINT) AS wau
+        |FROM dau d JOIN wau w ON d.day = w.day
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000L").as("day"))
+        .distinct()
+        .persist() // feeds the per-day count AND the 7-day fanout
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .withColumn("tday", explode(sequence(col("day"), col("day") + 6)))
+        .groupBy("tday").agg(count_distinct(col("user_id")).as("wau"))
+      dau.join(wau, dau("day") === wau("tday"))
+        .select(col("day"), col("dau"), col("wau"))
+        .orderBy("day")
     }
   )
 }

@@ -4040,6 +4040,197 @@ object PipelineQueries {
           sSnap.select("text").distinct(), sc.getLong(0), sc.getLong(1),
           delta, "text", "text_unique"))
         .orderBy("rule")
+    },
+
+    // Add-one bigram LM scoring of the id%5=0 holdout against a model
+    // trained on the rest (Retrieval.bigramLmScores) — the perplexity-
+    // filter shape with exact integer probabilities: each pair scores
+    // ⌊(c(b)+1)·10⁹ / (c(w1)+V)⌋, numerator in DECIMAL(38,0) before the
+    // multiply (100-TB headroom), div ≡ DuckDB `//` on non-negative
+    // operands. The oracle retrains the identical model in SQL.
+    QueryDef.sql("q269_bigram_lm_score",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |train AS (SELECT t FROM toks WHERE doc_id % 5 <> 0),
+        |uc AS (SELECT w, count(*) AS cw
+        |  FROM (SELECT unnest(t) AS w FROM train) GROUP BY w),
+        |v AS (SELECT count(*) AS vsz FROM uc),
+        |bc AS (SELECT b, count(*) AS cb FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)),
+        |                                 i -> t[i] || ' ' || t[i+1])) AS b
+        |    FROM train WHERE len(t) >= 2) GROUP BY b),
+        |pairs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS b
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE doc_id % 5 = 0 AND len(t) >= 2)),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    (COALESCE(bc.cb, 0) + 1) * 1000000000
+        |      // (COALESCE(uc.cw, 0) + v.vsz) AS p_scaled
+        |  FROM pairs p LEFT JOIN bc ON p.b = bc.b
+        |    LEFT JOIN uc ON p.w1 = uc.w CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(p_scaled) AS BIGINT) AS mass_scaled,
+        |  CAST(sum(p_scaled) // count(*) AS BIGINT) AS avg_scaled
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Retrieval
+        .bigramLmScores(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Rank-biased overlap between two source rankings (by doc count vs
+    // by total chars) at p = 1/2 — RankCompare.rboDepthTable. The
+    // engine consumes TOP-K PREFIXES via TakeOrderedAndProject (driver
+    // step bounded by K, the q229 pattern — never a global rank
+    // window); the oracle ranks the full 20-row stats frame with
+    // window functions and restates the same two nested floor
+    // divisions.
+    QueryDef.sql("q272_rank_overlap_rbo",
+      """WITH stats AS (
+        |  SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |  FROM documents GROUP BY source),
+        |ra AS (SELECT source,
+        |  row_number() OVER (ORDER BY n_docs DESC, source) AS rk FROM stats),
+        |rb AS (SELECT source,
+        |  row_number() OVER (ORDER BY sum_chars DESC, source) AS rk FROM stats),
+        |depths AS (SELECT unnest(range(1, 11)) AS d),
+        |ov AS (
+        |  SELECT d.d,
+        |    (SELECT count(*) FROM ra a JOIN rb b ON a.source = b.source
+        |     WHERE a.rk <= d.d AND b.rk <= d.d) AS overlap
+        |  FROM depths d)
+        |SELECT CAST(d AS INTEGER) AS d, CAST(overlap AS BIGINT) AS overlap,
+        |  CAST((overlap * 1000000000000 // d)
+        |    // (CAST(1 AS BIGINT) << CAST(d - 1 AS INTEGER)) AS BIGINT)
+        |    AS contrib_scaled
+        |FROM ov ORDER BY d""".stripMargin) { (s, d) =>
+      val stats = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      graft.operators.RankCompare.rboDepthTable(
+        stats, "source", "n_docs", "sum_chars", k = 10)
+    },
+
+    // Discrete quantile normalization (Robust.quantileNormalize):
+    // within each lang, every source's n_chars distribution is mapped
+    // onto the lang-pooled distribution at the same rank-permille —
+    // the engine's as-of permille match (union-tag single shuffle) vs
+    // the oracle's native ASOF JOIN over the same reduced pooled
+    // table: different machinery, identical mapping.
+    QueryDef.sql("q273_quantile_normalize",
+      """WITH src AS (
+        |  SELECT lang, source, doc_id, n_chars,
+        |    (row_number() OVER (PARTITION BY lang, source
+        |       ORDER BY n_chars, doc_id) * 1000)
+        |      // (count(*) OVER (PARTITION BY lang, source)) AS p
+        |  FROM documents),
+        |pooled AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    (row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |       * 1000) // (count(*) OVER (PARTITION BY lang)) AS p
+        |  FROM documents),
+        |pdist AS (SELECT lang, p, max(n_chars) AS pooled_v
+        |  FROM pooled GROUP BY lang, p),
+        |mapped AS (
+        |  SELECT s.lang, s.source, s.n_chars, pd.pooled_v
+        |  FROM src s ASOF JOIN pdist pd
+        |    ON s.lang = pd.lang AND pd.p <= s.p)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_raw,
+        |  CAST(sum(pooled_v) AS BIGINT) AS sum_norm,
+        |  CAST(min(pooled_v) AS BIGINT) AS min_norm,
+        |  CAST(max(pooled_v) AS BIGINT) AS max_norm
+        |FROM mapped GROUP BY lang, source ORDER BY lang, source""".stripMargin) {
+      (s, d) =>
+        graft.operators.Robust.quantileNormalize(
+            Tables.documents(s, d), "lang", "source", "n_chars", "doc_id")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_raw"),
+            sum("norm_v").as("sum_norm"), min("norm_v").as("min_norm"),
+            max("norm_v").as("max_norm"))
+          .orderBy("lang", "source")
+    },
+
+    // Double-sweep pseudo-diameter over the q110 customer–supplier
+    // bipartite graph (GraphStats.pseudoDiameter): BFS from the min
+    // node, re-BFS from the farthest node found, report the second
+    // sweep's distance histogram (max row = the diameter lower
+    // bound). Oracle: two recursive CTEs chained through the same
+    // deterministic (dist DESC, node) pick.
+    QueryDef.sql("q274_pseudo_diameter",
+      """WITH RECURSIVE pair AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE l_quantity < 3),
+        |edges AS (SELECT c*2 AS src, s*2+1 AS dst FROM pair
+        |  UNION ALL SELECT s*2+1 AS src, c*2 AS dst FROM pair),
+        |seed AS (SELECT min(src) AS node FROM edges),
+        |bfs1 AS (
+        |  SELECT node, 0 AS dist FROM seed
+        |  UNION
+        |  SELECT e.dst, b.dist + 1 FROM bfs1 b JOIN edges e ON e.src = b.node
+        |  WHERE b.dist < 40),
+        |d1 AS (SELECT node, min(dist) AS dist FROM bfs1 GROUP BY node),
+        |far AS (SELECT node FROM d1 ORDER BY dist DESC, node LIMIT 1),
+        |bfs2 AS (
+        |  SELECT node, 0 AS dist FROM far
+        |  UNION
+        |  SELECT e.dst, b.dist + 1 FROM bfs2 b JOIN edges e ON e.src = b.node
+        |  WHERE b.dist < 40),
+        |d2 AS (SELECT node, min(dist) AS dist FROM bfs2 GROUP BY node)
+        |SELECT CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM d2 GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
+      val pair = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_quantity") < 3)
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+      val edges = pair
+        .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+        .unionByName(pair
+          .select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      graft.operators.GraphStats.pseudoDiameter(edges).orderBy("dist")
+    },
+
+    // Vocabulary-growth (Heaps-law) curve over hash-nested subcorpora:
+    // S_k = docs with id mod 10 < k gives a NESTED subset ladder that is
+    // sf-independent (the hash-subsampling growth curve — how fast does
+    // the bigram vocabulary grow as the corpus doubles?). vocab_k needs
+    // only each bigram's MIN first-mod (one gram-keyed agg — never a
+    // global order); the ≤10-row mod histograms are prefix-summed
+    // DRIVER-SIDE (bounded by contract, the q229 pattern).
+    QueryDef.sql("q275_vocab_growth",
+      """WITH toks AS (
+        |  SELECT doc_id % 10 AS m,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT m, unnest(list_transform(range(1, len(t)),
+        |                                  i -> t[i] || ' ' || t[i+1])) AS b
+        |  FROM toks WHERE len(t) >= 2),
+        |fm AS (SELECT b, min(m) AS fm FROM bg GROUP BY b),
+        |ladder AS (SELECT unnest([2, 4, 6, 8, 10]) AS k)
+        |SELECT CAST(k AS INTEGER) AS k,
+        |  CAST((SELECT count(*) FROM fm WHERE fm < k) AS BIGINT) AS vocab,
+        |  CAST((SELECT count(*) FROM bg WHERE m < k) AS BIGINT) AS occ
+        |FROM ladder ORDER BY k""".stripMargin) { (s, d) =>
+      import graft.operators.Retrieval
+      val bg = Tables.documents(s, d)
+        .select((col("doc_id") % 10).as("m"),
+          Retrieval.cleanTokens(col("text")).as("toks"))
+        .select(col("m"), explode(Retrieval.bigramsOf(col("toks"))).as("b"))
+        .persist() // feeds the first-mod agg AND the per-mod occurrence agg
+      val vocabByFm = bg.groupBy("b").agg(min("m").as("fm"))
+        .groupBy("fm").agg(count(lit(1)).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val occByMod = bg.groupBy("m").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rows = Seq(2, 4, 6, 8, 10).map { k =>
+        (k, (0 until k).map(m => vocabByFm.getOrElse(m.toLong, 0L)).sum,
+          (0 until k).map(m => occByMod.getOrElse(m.toLong, 0L)).sum)
+      }
+      import s.implicits._
+      rows.toDF("k", "vocab", "occ").orderBy("k")
     }
   )
 

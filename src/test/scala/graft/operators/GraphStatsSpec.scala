@@ -138,4 +138,44 @@ class GraphStatsSpec extends AnyFunSuite {
       assert(got === expect, s"trial=$trial")
     }
   }
+
+  private def histo(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val sym = edges ++ edges.map(_.swap)
+    GraphStats.pseudoDiameter(sym.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pseudoDiameter: path graph — second sweep spans the full diameter") {
+    // 1-2-3-4-5: sweep 1 from node 1 finds far node 5; sweep 2 from 5
+    // reaches one node at each distance 0..4
+    val got = histo(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("pseudoDiameter: mid-path seed still lands the true path diameter") {
+    // min node 1 sits mid-path (3-1-2-4-5 relabeled): first sweep from 1
+    // must pick the FARTHER end before the second sweep measures 4
+    val got = histo(Seq((3L, 1L), (1L, 2L), (2L, 4L), (4L, 5L)))
+    assert(got.keys.max === 4L)
+    assert(got.values.sum === 5L)
+  }
+
+  test("pseudoDiameter: star graph has eccentricity 2 from any leaf") {
+    val got = histo((2L to 6L).map(i => (1L, i)))
+    assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 4L))
+  }
+
+  test("pseudoDiameter: only the seed's component is profiled") {
+    // component {1,2} (contains min node) + far component {10,11,12}
+    val got = histo(Seq((1L, 2L), (10L, 11L), (11L, 12L)))
+    assert(got === Map(0L -> 1L, 1L -> 1L))
+  }
+
+  test("pseudoDiameter: far-node tie breaks to the smaller node id") {
+    // star from 1: leaves 2..4 all at dist 1; far node must be 2 —
+    // pin by checking the histogram equals BFS-from-2's profile
+    val got = histo(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 2L))
+  }
 }

@@ -205,4 +205,40 @@ class RetrievalSpec extends AnyFunSuite {
         ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got === expect)
   }
+
+  test("bigramLmScores: hand add-one probabilities, OOV floor, holdout split") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c"),  // holdout (id % 5 == 0)
+      (1L, "a b a"),  // train: unigrams a2 b1; bigrams "a b","b a"
+      (2L, "b c"),    // train: unigrams b1 c1; bigram "b c"
+      (5L, "z q"),    // holdout: fully OOV pair
+      (10L, "a"),     // holdout, <2 tokens: no row
+      (15L, null.asInstanceOf[String]) // holdout, null text: no row
+    ).toDF("doc_id", "text")
+    // train model: c(a)=2, c(b)=2, c(c)=1 → V=3;
+    // c("a b")=1, c("b a")=1, c("b c")=1
+    val got = Retrieval.bigramLmScores(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 0 pairs: ("a","a b") → (1+1)·1e9 div (2+3) = 400000000
+    //             ("b","b c") → (1+1)·1e9 div (2+3) = 400000000
+    // doc 5 pair: ("z","z q") → (0+1)·1e9 div (0+3) = 333333333
+    assert(got === Array(
+      (0L, 2L, 800000000L, 400000000L),
+      (5L, 1L, 333333333L, 333333333L)))
+  }
+
+  test("bigramLmScores: train docs never score, holdout never trains") {
+    import spark.implicits._
+    // the only holdout doc repeats a bigram that appears once in train;
+    // if holdout leaked into training, c("x y") would be 3 not 1
+    val docs = Seq((0L, "x y x y"), (1L, "x y")).toDF("doc_id", "text")
+    // train: c(x)=1, c(y)=1, V=2; c("x y")=1
+    // doc0 pairs: ("x","x y")→2e9 div 3=666666666, ("y","y x")→1e9 div 3
+    //             =333333333, ("x","x y")→666666666
+    val got = Retrieval.bigramLmScores(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array((0L, 3L, 666666666L + 333333333L + 666666666L)))
+  }
 }

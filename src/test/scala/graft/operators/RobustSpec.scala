@@ -259,4 +259,83 @@ class RobustSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("a" -> 1L))
   }
+
+  private def qnorm(rows: Seq[(String, String, Long, Long)]) = {
+    import spark.implicits._
+    Robust.quantileNormalize(rows.toDF("g", "s", "id", "v"),
+        "g", "s", "v", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(4), r.getLong(5))))
+      .toMap
+  }
+
+  test("quantileNormalize: a lone source maps onto itself (distinct values)") {
+    val rows = Seq(("g", "s", 1L, 10L), ("g", "s", 2L, 20L), ("g", "s", 3L, 30L))
+    val got = qnorm(rows)
+    // src permilles 333/666/1000 = pooled permilles; self-mapping
+    assert(got === Map(
+      ("g", "s", 1L) -> ((333L, 10L)),
+      ("g", "s", 2L) -> ((666L, 20L)),
+      ("g", "s", 3L) -> ((30L * 100 / 3, 30L))))
+  }
+
+  test("quantileNormalize: two sources calibrate onto the pooled ladder") {
+    // pooled (g): values 1,2,3,4 at permilles 250/500/750/1000
+    val rows = Seq(
+      ("g", "a", 1L, 1L), ("g", "a", 2L, 3L),   // a permilles 500, 1000
+      ("g", "b", 3L, 2L), ("g", "b", 4L, 4L))   // b permilles 500, 1000
+    val got = qnorm(rows)
+    // p=500 → pooled value 2 (greatest pooled permille ≤ 500);
+    // p=1000 → pooled value 4 — both sources land on the SAME scale
+    assert(got === Map(
+      ("g", "a", 1L) -> ((500L, 2L)), ("g", "a", 2L) -> ((1000L, 4L)),
+      ("g", "b", 3L) -> ((500L, 2L)), ("g", "b", 4L) -> ((1000L, 4L))))
+  }
+
+  test("quantileNormalize: a 1-row source maps to the pooled max") {
+    val rows = Seq(
+      ("g", "big", 1L, 10L), ("g", "big", 2L, 20L), ("g", "big", 3L, 30L),
+      ("g", "tiny", 9L, 15L)) // rank 1 of 1 → permille 1000
+    val got = qnorm(rows)
+    assert(got(("g", "tiny", 9L)) === ((1000L, 30L)))
+  }
+
+  test("quantileNormalize: groups are independent") {
+    val rows = Seq(
+      ("g1", "s", 1L, 5L), ("g1", "s", 2L, 6L),
+      ("g2", "s", 3L, 500L))
+    val got = qnorm(rows)
+    assert(got(("g2", "s", 3L)) === ((1000L, 500L)))
+    assert(got(("g1", "s", 2L)) === ((1000L, 6L)))
+  }
+
+  test("quantileNormalize: matches a driver reference on random groups") {
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      g <- Seq("g1", "g2"); s <- Seq("a", "b", "c")
+      i <- 1 to (3 + rnd.nextInt(6))
+    } yield (g, s, rnd.nextLong().abs % 100000, rnd.nextInt(50).toLong)
+    val byId = rows.zipWithIndex.map { case ((g, s, _, v), i) =>
+      (g, s, i.toLong * 7 + 1, v) // unique ids
+    }
+    val expect = byId.groupBy(_._1).flatMap { case (g, grp) =>
+      val pooled = grp.map(t => (t._4, t._3)).sortBy(identity)
+      val n = pooled.size
+      val pdist = pooled.zipWithIndex
+        .map { case ((v, _), i) => ((i + 1).toLong * 1000 / n, v) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).max }
+      val ps = pdist.keys.toSeq.sorted
+      grp.groupBy(_._2).flatMap { case (s, sub) =>
+        val ordered = sub.map(t => (t._4, t._3)).sortBy(identity)
+        val m = ordered.size
+        ordered.zipWithIndex.map { case ((v, id), i) =>
+          val p = (i + 1).toLong * 1000 / m
+          val pick = ps.filter(_ <= p).max
+          (g, s, id) -> ((p, pdist(pick)))
+        }
+      }
+    }
+    assert(qnorm(byId) === expect)
+  }
 }

@@ -43,7 +43,9 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "q139_assoc_rules",       // pair rows × 1-row basket-total broadcast
     "q140_contingency",       // cells × 1-row grand-total broadcast
     "q222_discriminative_tokens", // token dfs × 1-row (A, B) doc totals
-    "q232_source_signature_tokens") // source dfs × 1-row corpus total
+    "q232_source_signature_tokens", // source dfs × 1-row corpus total
+    "q269_bigram_lm_score",   // holdout pairs × 1-row vocab-size broadcast
+    "q271_decayed_counts")    // events × 1-row max-timestamp broadcast
 
   private lazy val optimized: Map[String, LogicalPlan] =
     graft.SparkEntry.queries.map { case (name, fn) =>
