@@ -162,6 +162,25 @@ object Curation {
       .filter(col("n") < k)
   }
 
+  /** l-diversity audit — [[kAnonymityAudit]]'s companion for ATTRIBUTE
+    * disclosure: a QI cell can be k-large yet still leak if (almost)
+    * every member shares the same sensitive value, so each cell reports
+    * its DISTINCT sensitive-value count against l. Report shape (every
+    * cell + pass flag, never a possibly-empty violation filter — the
+    * q266 constraint-audit convention): (qi..., n, n_sens,
+    * pass = n_sens ≥ l). One QI-keyed aggregation with a partial
+    * distinct; cell cardinality is the QI domain product, never rows.
+    * `sensCol` is a COLUMN the caller derives; keep its arithmetic
+    * non-negative when it buckets a numeric (div ≠ DuckDB `//` on
+    * negatives — the oracle-mirroring ground rule). */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String], sensCol: Column,
+                      l: Long): DataFrame = {
+    require(qiCols.nonEmpty && l >= 2, s"need QI columns and l >= 2 (got $l)")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), count_distinct(sensCol).as("n_sens"))
+      .withColumn("pass", col("n_sens") >= l)
+  }
+
   def goldenRecords(records: DataFrame, clusterCol: String,
                     prioCol: String, idCol: String): DataFrame = {
     val byCluster = Window.partitionBy(clusterCol)

@@ -1537,6 +1537,38 @@ object EventQueries {
       dau.join(wau, dau("day") === wau("tday"))
         .select(col("day"), col("dau"), col("wau"))
         .orderBy("day")
+    },
+
+    // Native session_window sessionization (streaming/SessionStreams —
+    // the MERGING-window engine surface; q45 gates the lag-islands
+    // formulation of the same sessions). The oracle re-derives the
+    // identical sessions via the q45 island chain with end = last
+    // event + gap, session_window's end convention. The same function
+    // body runs as a streaming query (SessionStreamsSpec proves
+    // streaming ≡ batch incl. cross-micro-batch session merges).
+    QueryDef.sql("q279_session_window",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sidx
+        |  FROM flagged)
+        |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+        |  epoch_ms(max(ts)) + 1800000 AS session_end_ms,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM numbered GROUP BY user_id, sidx
+        |ORDER BY user_id, session_start_ms""".stripMargin) { (s, d) =>
+      graft.streaming.SessionStreams
+        .sessionAgg(Tables.events(s, d), gapMinutes = 30)
+        .orderBy("user_id", "session_start_ms")
     }
   )
 }

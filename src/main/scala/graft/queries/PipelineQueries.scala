@@ -4231,6 +4231,32 @@ object PipelineQueries {
       }
       import s.implicits._
       rows.toDF("k", "vocab", "occ").orderBy("k")
+    },
+
+    // l-diversity audit (Curation.lDiversityAudit) — q145's companion
+    // for ATTRIBUTE disclosure: per (nation, segment) QI cell, the
+    // distinct count of $2000 account-balance bands vs l=5. Bands are
+    // INTEGER cents shifted non-negative, then `div` — DuckDB `//` is
+    // only floor division on INTEGERS (on DECIMAL it is true division
+    // returning DOUBLE — found by this query's first red run), and
+    // Spark div ≡ // only on non-negative integers (the ground rule).
+    // Report shape: every cell + pass flag (26/125 cells fail at
+    // sf0.01 — never a possibly-empty violation filter).
+    QueryDef.sql("q278_ldiversity",
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT
+        |      (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)
+        |        // 200000) AS BIGINT) AS n_sens,
+        |  count(DISTINCT
+        |      (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)
+        |        // 200000) >= 5 AS pass
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (s, d) =>
+      graft.operators.Curation.lDiversityAudit(
+          Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"),
+          expr("(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)" +
+            " + 100000L) div 200000L"), l = 5L)
+        .orderBy("c_nationkey", "c_mktsegment")
     }
   )
 

@@ -200,4 +200,30 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet
     assert(movedTo == Set(8L))
   }
+
+  test("lDiversityAudit: distinct sensitive counts + pass flag per QI cell") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x"), ("a", "y"), ("a", "x"),   // 2 distinct of 3 rows
+      ("b", "x"), ("b", "x"),               // 1 distinct — fails l=2
+      ("c", "p"), ("c", "q"), ("c", "r"))   // 3 distinct
+      .toDF("qi", "sens")
+    val got = Curation.lDiversityAudit(df, Seq("qi"), col("sens"), l = 2L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got === Map(
+      "a" -> ((3L, 2L, true)),
+      "b" -> ((2L, 1L, false)),
+      "c" -> ((3L, 3L, true))))
+  }
+
+  test("lDiversityAudit: null sensitive values don't count as diversity") {
+    import spark.implicits._
+    val df = Seq(("a", Some("x")), ("a", None), ("a", None))
+      .toDF("qi", "sens")
+    val got = Curation.lDiversityAudit(df, Seq("qi"), col("sens"), l = 2L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3))).head
+    assert(got === ((3L, 1L, false)))
+  }
 }
