@@ -996,9 +996,22 @@ object BenchScale {
         // all lang/source-partitioned, expect ~linear
         val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
           .withColumn("lang", (col("doc_id") % 5).cast("string"))
+          .withColumn("source", (col("doc_id") % 7).cast("string"))
           .withColumn("v", length(col("text")).cast("long"))
         graft.operators.Robust.quantileNormalize(
           d, "lang", "source", "v", "doc_id").count()
+      },
+      "active_users" -> { k =>
+        // q277: (user, day) distinct + BOUNDED 7-day explode + one
+        // count-distinct per day — fanout is a constant 7×, linear
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+          .withColumn("ts", col("ts").cast("timestamp"))
+        val ud = e.select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000L").as("day")).distinct()
+        ud.withColumn("tday",
+            explode(sequence(col("day"), col("day") + 6)))
+          .groupBy("tday")
+          .agg(count_distinct(col("user_id")).as("wau")).count()
       },
       "pseudo_diameter" -> { k =>
         // q274: disjoint K4s over the k×-user id space — constant

@@ -283,8 +283,12 @@ object Robust {
     * norm_v). */
   def quantileNormalize(df: DataFrame, grpCol: String, subCol: String,
                         valCol: String, idCol: String): DataFrame = {
+    // three consumers (subgroup ranks, pooled ranks, attribute join-back)
+    // — persist or the upstream scan runs per consumer (AQE-reuse rule);
+    // the RESULT depends on this frame, so the session-level sweep owns
+    // the release (docs/CACHE_POLICY.md rule 1)
     val base = df.select(col(grpCol), col(subCol), col(idCol),
-      col(valCol).cast("long").as("_v"))
+      col(valCol).cast("long").as("_v")).persist()
     val wSub = Window.partitionBy(grpCol, subCol)
       .orderBy(col("_v"), col(idCol))
     val nSub = Window.partitionBy(grpCol, subCol)
