@@ -1001,6 +1001,40 @@ object BenchScale {
         graft.operators.Robust.quantileNormalize(
           d, "lang", "source", "v", "doc_id").count()
       },
+      "interval_overlap" -> { k =>
+        // q280: both sides explode to ≤2 chunks, join on (user, chunk)
+        // with the first-shared-chunk residual; cloned users keep
+        // per-key density constant → candidates ~k
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+          .withColumn("ms", expr("unix_micros(cast(ts as timestamp)) div 1000"))
+        val a = e.filter(col("event_type") === "view")
+          .select(col("user_id").as("kk"), col("event_id").as("aid"),
+            col("ms").as("s"), (col("ms") + 600000L).as("e"))
+        val b = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("kk"), col("event_id").as("bid"),
+            col("ms").as("s2"), (col("ms") + 600000L).as("e2"))
+        graft.operators.RangeJoin.intervalOverlap(
+          a, b, "kk", "s", "e", "s2", "e2", chunkWidth = 600000L).count()
+      },
+      "weighted_jaccard" -> { k =>
+        // q281: df-capped bigram posting join (Σ df² contract) + one
+        // per-doc size agg; salted copies keep posting spaces disjoint
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        graft.operators.SparseSim.weightedJaccardComponents(
+          d, "doc_id", "text", maxDf = 16L, minShared = 2L).count()
+      },
+      "densest_peel" -> { k =>
+        // q282: disjoint K4s — constant peel depth, per-round degree
+        // count + semi joins scan the k×-growing edge list
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val nodes = e.select(col("user_id").as("n")).distinct()
+          .withColumn("b", expr("n div 4"))
+        val edges = nodes.as("a")
+          .join(nodes.withColumnRenamed("n", "m").as("bb"), Seq("b"))
+          .filter(col("n") =!= col("m"))
+          .select(col("n").as("src"), col("m").as("dst"))
+        graft.operators.Densest.peelProfile(edges).count()
+      },
       "active_users" -> { k =>
         // q277: (user, day) distinct + BOUNDED 7-day explode + one
         // count-distinct per day — fanout is a constant 7×, linear

@@ -57,4 +57,41 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_chunk")
   }
+
+  /** Interval×interval overlap join per key: every pair of intervals
+    * (one from `a`, one from `b`, same key) with a non-empty
+    * intersection, inclusive bounds — the temporal-alignment shape
+    * (SCD2 segment intersection, booking-conflict detection) that
+    * [[pointInInterval]]'s point probe can't express. Same chunked
+    * plan: both sides explode to the chunks they cover and join on
+    * (key, chunk), so candidate cost is per-chunk density, never the
+    * per-key |A|·|B| quadratic.
+    *
+    * An overlapping pair shares every chunk of its intersection; the
+    * join would emit it once per shared chunk, so the residual keeps
+    * ONLY the intersection's FIRST chunk (chunk of max(aStart, bStart)
+    * — a chunk both sides cover by construction): exactly-once output
+    * with no distinct. Output: all a/b columns (minus helpers). */
+  def intervalOverlap(a: DataFrame, b: DataFrame, keyCol: String,
+                      aStart: String, aEnd: String,
+                      bStart: String, bEnd: String,
+                      chunkWidth: Long,
+                      maxChunksPerInterval: Int = 4096): DataFrame = {
+    require(chunkWidth > 0, "chunkWidth must be positive")
+    def chunked(df: DataFrame, s: String, e: String): DataFrame = {
+      val sc = expr(s"$s div $chunkWidth")
+      val ec = expr(s"$e div $chunkWidth")
+      val safeEnd = when(ec - sc < lit(maxChunksPerInterval.toLong), ec)
+        .otherwise(raise_error(concat(
+          lit(s"intervalOverlap: interval spans ≥$maxChunksPerInterval chunks ("),
+          col(s).cast("string"), lit(".."), col(e).cast("string"),
+          lit(") — raise chunkWidth/maxChunksPerInterval or clean the interval"))))
+      df.withColumn("_chunk", explode(sequence(sc, safeEnd)))
+    }
+    chunked(a, aStart, aEnd)
+      .join(chunked(b, bStart, bEnd), Seq(keyCol, "_chunk"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+        col("_chunk") === expr(s"greatest($aStart, $bStart) div $chunkWidth"))
+      .drop("_chunk")
+  }
 }

@@ -1569,6 +1569,54 @@ object EventQueries {
       graft.streaming.SessionStreams
         .sessionAgg(Tables.events(s, d), gapMinutes = 30)
         .orderBy("user_id", "session_start_ms")
+    },
+
+    // Cohort LTV curve: q91's weekly cohorts (Monday-aligned both
+    // engines) carrying MONEY — cumulative purchase revenue per
+    // (cohort week, age) with cohort size. Cents through
+    // DECIMAL(18,2)·100 → BIGINT (exact, order-independent); the
+    // cumulative window partitions by cohort (ages per cohort are
+    // calendar-bounded). One purchase scan + per-user min + two aggs.
+    QueryDef.sql("q284_cohort_ltv",
+      """WITH p AS (
+        |  SELECT user_id, epoch_ms(time_bucket(INTERVAL '7 days', ts)) AS w,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, min(w) AS cw FROM p GROUP BY user_id),
+        |sz AS (SELECT cw, count(*) AS n_users FROM c GROUP BY cw),
+        |rev AS (
+        |  SELECT c.cw, (p.w - c.cw) // 604800000 AS age_weeks,
+        |    sum(p.cents) AS cents
+        |  FROM p JOIN c ON p.user_id = c.user_id GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cw, age_weeks,
+        |    CAST(sum(cents) OVER (PARTITION BY cw ORDER BY age_weeks
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |  FROM rev)
+        |SELECT cum.cw AS cohort_week_ms, CAST(cum.age_weeks AS BIGINT)
+        |    AS age_weeks,
+        |  CAST(sz.n_users AS BIGINT) AS n_users, cum.cum_cents
+        |FROM cum JOIN sz ON cum.cw = sz.cw
+        |ORDER BY cohort_week_ms, age_weeks""".stripMargin) { (s, d) =>
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          unix_millis(date_trunc("week", col("ts"))).as("w"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .persist() // feeds the cohort min AND the revenue join
+      val c = p.groupBy("user_id").agg(min("w").as("cw"))
+      val sz = c.groupBy("cw").agg(count(lit(1)).as("n_users"))
+      val rev = p.join(c, "user_id")
+        .groupBy(col("cw"), expr("(w - cw) div 604800000").as("age_weeks"))
+        .agg(sum("cents").as("cents"))
+      val byCohort = org.apache.spark.sql.expressions.Window
+        .partitionBy("cw").orderBy("age_weeks")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      rev.withColumn("cum_cents", sum("cents").over(byCohort))
+        .join(sz, "cw")
+        .select(col("cw").as("cohort_week_ms"), col("age_weeks"),
+          col("n_users"), col("cum_cents"))
+        .orderBy("cohort_week_ms", "age_weeks")
     }
   )
 }

@@ -4257,6 +4257,102 @@ object PipelineQueries {
           expr("(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)" +
             " + 100000L) div 200000L"), l = 5L)
         .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // Interval×interval overlap join (RangeJoin.intervalOverlap): each
+    // order's 30-day fulfilment window vs its lines' ship windows
+    // (ship + quantity days) — the temporal-alignment shape q79's
+    // point-in-interval probe can't express. The engine joins on
+    // (key, chunk) with the FIRST-shared-chunk residual (exactly-once,
+    // no distinct); the oracle is the plain overlap join. Integer day
+    // arithmetic both sides.
+    QueryDef.sql("q280_interval_overlap",
+      """WITH a AS (
+        |  SELECT o_orderkey AS k, o_orderpriority,
+        |    datediff('day', DATE '1970-01-01', o_orderdate) AS s,
+        |    datediff('day', DATE '1970-01-01', o_orderdate) + 30 AS e
+        |  FROM orders),
+        |b AS (
+        |  SELECT l_orderkey AS k,
+        |    datediff('day', DATE '1970-01-01', l_shipdate) AS s2,
+        |    datediff('day', DATE '1970-01-01', l_shipdate)
+        |      + CAST(l_quantity AS INTEGER) AS e2
+        |  FROM lineitem),
+        |ov AS (
+        |  SELECT a.o_orderpriority,
+        |    least(a.e, b.e2) - greatest(a.s, b.s2) + 1 AS days
+        |  FROM a JOIN b ON a.k = b.k AND a.s <= b.e2 AND b.s2 <= a.e)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(days) AS BIGINT) AS sum_overlap_days
+        |FROM ov GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val epoch = lit("1970-01-01")
+      val a = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_orderpriority"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("s"),
+        (datediff(col("o_orderdate"), epoch) + 30).cast("long").as("e"))
+      val b = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("k"),
+        datediff(col("l_shipdate"), epoch).cast("long").as("s2"),
+        (datediff(col("l_shipdate"), epoch) +
+          col("l_quantity").cast("int")).cast("long").as("e2"))
+      graft.operators.RangeJoin
+        .intervalOverlap(a, b, "k", "s", "e", "s2", "e2", chunkWidth = 64L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(least(col("e"), col("e2")) - greatest(col("s"), col("s2")) + 1)
+            .as("sum_overlap_days"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Weighted (multiset) Jaccard similarity join
+    // (SparseSim.weightedJaccardComponentsOfTf): tf-weighted overlap
+    // that q69's SET Jaccard flattens — Σmin over shared df-capped
+    // bigrams; Σmax = sz_a + sz_b − Σmin needs no union join. Exact
+    // integer components + permille; df ≤ 16, Σmin ≥ 2.
+    QueryDef.sql("q281_weighted_jaccard",
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT id, b AS term, count(*) AS tf FROM (
+        |    SELECT id, unnest(list_transform(range(1, len(t)),
+        |                                     i -> t[i] || ' ' || t[i+1])) AS b
+        |    FROM toks WHERE len(t) >= 2) GROUP BY 1, 2),
+        |sz AS (SELECT id, sum(tf) AS sz FROM tf GROUP BY id),
+        |rare AS (SELECT term FROM tf GROUP BY term HAVING count(*) <= 16),
+        |r AS (SELECT tf.* FROM tf JOIN rare USING (term)),
+        |num AS (
+        |  SELECT x.id AS id_a, y.id AS id_b, sum(least(x.tf, y.tf)) AS wj_num
+        |  FROM r x JOIN r y ON x.term = y.term AND x.id < y.id
+        |  GROUP BY 1, 2 HAVING sum(least(x.tf, y.tf)) >= 2)
+        |SELECT n.id_a, n.id_b, CAST(n.wj_num AS BIGINT) AS wj_num,
+        |  CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+        |  CAST(n.wj_num * 1000 // (sa.sz + sb.sz - n.wj_num) AS BIGINT)
+        |    AS wj_permille
+        |FROM num n JOIN sz sa ON sa.id = n.id_a JOIN sz sb ON sb.id = n.id_b
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      graft.operators.SparseSim
+        .weightedJaccardComponents(Tables.documents(s, d), "doc_id", "text",
+          maxDf = 16L, minShared = 2L)
+        .withColumn("wj_permille",
+          expr("wj_num * 1000 div (sz_a + sz_b - wj_num)"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Densest-subgraph peel profile (operators/Densest, Bahmani
+    // round-synchronous Charikar peel, ε=1/2) over the q134 trade
+    // graph: per-round (n, e) — the max-density round 3-approximates
+    // the densest subgraph. Oracle = the same peel unrolled as
+    // materialized CTEs with the HUGEINT cross-product threshold
+    // (the Kcore.oracleSql technique); engine maxRounds = the
+    // oracle's unroll depth, so a deeper-than-unrolled peel raises
+    // instead of silently diverging.
+    QueryDef.sql("q282_densest_peel",
+      graft.operators.Densest.oracleSql(tradeEdgesSql, rounds = 12)) { (s, d) =>
+      Aux.shareBuilt(s, d, "q282_densest") {
+        graft.operators.Densest.peelProfile(tradeEdges(s, d), maxRounds = 12)
+      }.orderBy("round")
     }
   )
 

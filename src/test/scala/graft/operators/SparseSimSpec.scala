@@ -74,4 +74,58 @@ class SparseSimSpec extends AnyFunSuite {
     assert(runTf(rows, maxDf, minDot) === expect)
     assert(expect.nonEmpty)
   }
+
+  private def runWj(rows: Seq[(Long, String, Long)], maxDf: Long,
+                    minShared: Long) = {
+    import spark.implicits._
+    SparseSim.weightedJaccardComponentsOfTf(
+        rows.toDF("id", "term", "tf"), maxDf, minShared)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+  }
+
+  test("weightedJaccard: hand case — Σmin over shared, sizes over full vocab") {
+    val rows = Seq(
+      (1L, "x", 3L), (1L, "y", 1L), (1L, "z", 2L),   // sz 6
+      (2L, "x", 1L), (2L, "y", 4L),                  // sz 5
+      (3L, "q", 9L))                                 // sz 9, no shared
+    val got = runWj(rows, maxDf = 16L, minShared = 1L)
+    // pair (1,2): min(3,1) + min(1,4) = 2; J_w = 2/(6+5-2) = 2/9
+    assert(got === Map((1L, 2L) -> ((2L, 6L, 5L))))
+  }
+
+  test("weightedJaccard: the df cap drops the numerator term, never the sizes") {
+    val rows = Seq(
+      (1L, "common", 5L), (1L, "rare", 2L),
+      (2L, "common", 5L), (2L, "rare", 3L),
+      (3L, "common", 5L))
+    val got = runWj(rows, maxDf = 2L, minShared = 1L) // "common" df=3 > 2
+    // only "rare" joins: num = min(2,3) = 2; sizes keep "common"
+    assert(got === Map((1L, 2L) -> ((2L, 7L, 8L))))
+  }
+
+  test("weightedJaccard: matches a driver reference on a random tf corpus") {
+    val rnd = new scala.util.Random(23)
+    val vocab = ('a' to 'j').map(_.toString)
+    val tfs = (1L to 12L).map { id =>
+      id -> vocab.filter(_ => rnd.nextBoolean())
+        .map(w => w -> (1L + rnd.nextInt(5))).toMap
+    }.toMap
+    val rows = tfs.toSeq.flatMap { case (id, m) =>
+      m.toSeq.map { case (w, tf) => (id, w, tf) } }
+    val dfOf = vocab.map(w =>
+      w -> tfs.values.count(_.contains(w)).toLong).toMap
+    val maxDf = 7L
+    val expect = (for {
+      a <- tfs.keys.toSeq.sorted; b <- tfs.keys.toSeq.sorted if a < b
+      num = tfs(a).keySet.intersect(tfs(b).keySet).toSeq
+        .filter(w => dfOf(w) <= maxDf)
+        .map(w => math.min(tfs(a)(w), tfs(b)(w))).sum
+      if num >= 2L
+    } yield (a, b) -> ((num, tfs(a).values.sum, tfs(b).values.sum))).toMap
+    assert(runWj(rows, maxDf, 2L) === expect)
+    assert(expect.nonEmpty)
+  }
 }
