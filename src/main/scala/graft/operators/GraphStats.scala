@@ -226,11 +226,17 @@ object GraphStats {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).persist()
     try {
-      val d1 = Bfs.distances(e, e.agg(min("src").as("node")), maxDepth)
-      val far = d1.orderBy(col("dist").desc, col("node")).limit(1)
-        .collect()(0).getLong(0)
-      val d2 = Bfs.distances(e, Seq(far).toDF("node"), maxDepth)
-      d2.groupBy("dist").agg(count(lit(1)).as("n_nodes")).orderBy("dist")
+      val seed = e.agg(min("src").as("node")).filter(col("node").isNotNull)
+      val d1 = Bfs.distances(e, seed, maxDepth)
+      val farRow = d1.orderBy(col("dist").desc, col("node")).limit(1).collect()
+      if (farRow.isEmpty) {
+        // empty edge frame: empty profile, not a crash
+        Seq.empty[(Long, Long)].toDF("dist", "n_nodes")
+      } else {
+        val d2 = Bfs.distances(e, Seq(farRow(0).getLong(0)).toDF("node"),
+          maxDepth)
+        d2.groupBy("dist").agg(count(lit(1)).as("n_nodes")).orderBy("dist")
+      }
     } finally e.unpersist(blocking = false)
   }
 

@@ -172,6 +172,10 @@ class GraphStatsSpec extends AnyFunSuite {
     assert(got === Map(0L -> 1L, 1L -> 1L))
   }
 
+  test("pseudoDiameter: empty edge frame yields an empty profile") {
+    assert(histo(Nil) === Map.empty)
+  }
+
   test("pseudoDiameter: far-node tie breaks to the smaller node id") {
     // star from 1: leaves 2..4 all at dist 1; far node must be 2 —
     // pin by checking the histogram equals BFS-from-2's profile
