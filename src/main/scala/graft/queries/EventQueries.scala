@@ -1617,6 +1617,78 @@ object EventQueries {
         .select(col("cw").as("cohort_week_ms"), col("age_weeks"),
           col("n_users"), col("cum_cents"))
         .orderBy("cohort_week_ms", "age_weeks")
+    },
+
+    // Conversion-latency percentile trend: per Monday-aligned week, the
+    // discrete p50/p90/max of purchase-minus-latest-view age. The
+    // engine composes AsofJoin.asofMatchBounded (union-tag single
+    // shuffle, match on RAW event time, age from ms floors) with
+    // explicit rank picks — p50 at rank (n+1) div 2 (the lower-median
+    // convention), p90 at ⌈0.9n⌉ = (9n+9) div 10, both restated
+    // identically in the oracle (no percentile_disc — its rank
+    // definition stays out of the contract). Oracle matches via the
+    // µs-truncating CTE + max-per-conversion (different machinery);
+    // week = ((ms div 86400000) + 3) div 7, Monday-aligned integer.
+    QueryDef.sql("q285_conversion_latency",
+      """WITH ev AS (
+        |  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id,
+        |    event_type
+        |  FROM events),
+        |conv AS (SELECT event_id AS cid, user_id, ts AS cts FROM ev
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts AS vts FROM ev WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT c.cid, c.cts, max(v.vts) AS mvts
+        |  FROM conv c JOIN v ON c.user_id = v.user_id AND v.vts <= c.cts
+        |  GROUP BY 1, 2),
+        |aged AS (
+        |  SELECT cid, epoch_ms(cts) AS cms,
+        |    epoch_ms(cts) - epoch_ms(mvts) AS age_ms
+        |  FROM m WHERE epoch_ms(cts) - epoch_ms(mvts) <= 604800000),
+        |wk AS (SELECT cid, age_ms, ((cms // 86400000) + 3) // 7 AS week_idx
+        |  FROM aged),
+        |ranked AS (
+        |  SELECT week_idx, age_ms,
+        |    row_number() OVER (PARTITION BY week_idx
+        |      ORDER BY age_ms, cid) AS rn,
+        |    count(*) OVER (PARTITION BY week_idx) AS n
+        |  FROM wk)
+        |SELECT week_idx, CAST(max(n) AS BIGINT) AS n_conv,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN age_ms END) AS BIGINT)
+        |    AS p50_ms,
+        |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN age_ms END)
+        |    AS BIGINT) AS p90_ms,
+        |  CAST(max(age_ms) AS BIGINT) AS max_ms
+        |FROM ranked GROUP BY week_idx ORDER BY week_idx""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts"), col("user_id"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("ts"), col("user_id"))
+        val aged = graft.operators.AsofJoin
+          .asofMatchBounded(conv, views, keyCol = "user_id",
+            leftTs = "ts", rightTs = "ts", leftIdCol = "event_id",
+            rightIdCol = "event_id", horizonMs = 604800000L)
+          .filter(col("age_ms").isNotNull)
+          .select(col("left_id").as("cid"),
+            expr("((unix_millis(ts) div 86400000) + 3) div 7").as("week_idx"),
+            col("age_ms"))
+        val byWeek = org.apache.spark.sql.expressions.Window
+          .partitionBy("week_idx").orderBy(col("age_ms"), col("cid"))
+        val nWeek = org.apache.spark.sql.expressions.Window
+          .partitionBy("week_idx")
+        aged
+          .withColumn("rn", row_number().over(byWeek).cast("long"))
+          .withColumn("n", count(lit(1)).over(nWeek))
+          .groupBy("week_idx")
+          .agg(max("n").as("n_conv"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("age_ms")))
+              .as("p50_ms"),
+            max(when(col("rn") === expr("(9 * n + 9) div 10"), col("age_ms")))
+              .as("p90_ms"),
+            max("age_ms").as("max_ms"))
+          .orderBy("week_idx")
     }
   )
 }
