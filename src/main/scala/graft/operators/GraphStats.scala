@@ -198,13 +198,6 @@ object GraphStats {
       Seq("a", "b"), "left_anti")
   }
 
-  /** Edge embeddedness (Easley–Kleinberg tie strength): for each
-    * EXISTING edge (a < b), its shared-low-degree-neighbor count next
-    * to the endpoint degrees — cn = 0 flags a LOCAL BRIDGE, the edges
-    * community detection must not cut. Output the topK weakest ties
-    * (cn asc, a, b). Same hub-capped machinery and cost bound as link
-    * prediction (the cap is part of the semantics). Input must be
-    * symmetric (feed both directions). */
   /** Double-sweep pseudo-diameter (Magnien/Latapy/Habib's BFS
     * double sweep): BFS from the minimum node id, re-BFS from the
     * farthest node found (ties to the smaller id), and report that
@@ -240,6 +233,13 @@ object GraphStats {
     } finally e.unpersist(blocking = false)
   }
 
+  /** Edge embeddedness (Easley–Kleinberg tie strength): for each
+    * EXISTING edge (a < b), its shared-low-degree-neighbor count next
+    * to the endpoint degrees — cn = 0 flags a LOCAL BRIDGE, the edges
+    * community detection must not cut. Output the topK weakest ties
+    * (cn asc, a, b). Same hub-capped machinery and cost bound as link
+    * prediction (the cap is part of the semantics). Input must be
+    * symmetric (feed both directions). */
   def edgeEmbeddedness(edges: DataFrame, hubCap: Long, topK: Int): DataFrame = {
     val (e, deg, pairs) = witnessFrames(edges, hubCap)
     e.filter(col("src") < col("dst"))

@@ -306,9 +306,13 @@ object Robust {
       src.select(col(grpCol), col(idCol), col("p")), pooled,
       keyCol = grpCol, leftTs = "p", rightTs = "pp",
       leftIdCol = idCol, rightIdCol = "_v")
+    // join-back on (group, id): idCol only needs to be unique PER GROUP —
+    // joining on left_id alone would duplicate rows for a caller whose
+    // ids repeat across groups
     mapped
-      .join(base.select(col(subCol), col(idCol).cast("long").as("left_id"),
-        col("_v")), Seq("left_id"))
+      .join(base.select(col(grpCol), col(subCol),
+        col(idCol).cast("long").as("left_id"), col("_v")),
+        Seq(grpCol, "left_id"))
       .select(col(grpCol), col(subCol), col("left_id").as(idCol),
         col("_v").as(valCol), col("p"), col("right_id").as("norm_v"))
   }

@@ -1546,11 +1546,15 @@ object EventQueries {
     // event + gap, session_window's end convention. The same function
     // body runs as a streaming query (SessionStreamsSpec proves
     // streaming ≡ batch incl. cross-micro-batch session merges).
+    // Gap test is in MICROSECONDS: session_window compares raw µs
+    // instants, and an oracle on ms floors would merge a sub-ms-over-
+    // the-gap pair the engine splits (q45/q79 mirror ms floors because
+    // THEIR engine, sessionizeBatch, computes gaps on ms floors).
     QueryDef.sql("q279_session_window",
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

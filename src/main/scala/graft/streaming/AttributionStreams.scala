@@ -92,7 +92,13 @@ object AttributionStreams {
             // evict touches no future in-order conversion can credit
             val kept = buf.filter(_.ms >= maxTs - horizonMs).sortBy(t => (t.ms, t.id))
             state.update(TouchState(kept.toSeq, maxTs))
-            state.setTimeoutTimestamp(maxTs, watermark)
+            // TTL = last activity + FULL horizon (+ watermark slack): a touch
+            // at maxTs is creditable by a conversion up to maxTs + horizonMs,
+            // so state must outlive the horizon even while other users advance
+            // the global watermark. (maxTs alone + watermark delay evicted
+            // idle users' touches before their in-horizon conversions — the
+            // DedupStreams/IngestStreams last-activity+horizon pattern.)
+            state.setTimeoutTimestamp(maxTs + horizonMs, watermark)
             out.iterator
           }
       }

@@ -310,6 +310,21 @@ class RobustSpec extends AnyFunSuite {
     assert(got(("g1", "s", 2L)) === ((1000L, 6L)))
   }
 
+  test("quantileNormalize: ids unique only PER GROUP do not duplicate rows") {
+    import spark.implicits._
+    // ids 1 and 2 appear in BOTH groups — the join-back must key on
+    // (group, id), not id alone
+    val rows = Seq(
+      ("g1", "s", 1L, 5L), ("g1", "s", 2L, 6L),
+      ("g2", "s", 1L, 50L), ("g2", "s", 2L, 60L))
+    val out = Robust.quantileNormalize(rows.toDF("g", "s", "id", "v"),
+      "g", "s", "v", "id")
+    assert(out.count() === 4L)
+    val got = qnorm(rows)
+    assert(got(("g1", "s", 1L)) === ((500L, 5L)))
+    assert(got(("g2", "s", 2L)) === ((1000L, 60L)))
+  }
+
   test("quantileNormalize: matches a driver reference on random groups") {
     val rnd = new scala.util.Random(7)
     val rows = for {

@@ -47,11 +47,12 @@ class AttributionStreamsSpec extends AnyFunSuite {
   }
 
   private def streamCredits(slices: Seq[Seq[(Long, Long, Long, String)]],
-                            name: String): Set[Credit] = {
+                            name: String,
+                            horizonMs: Long = Horizon): Set[Credit] = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
-    val q = AttributionStreams.creditStream(ms.toDS(), horizonMs = Horizon)
+    val q = AttributionStreams.creditStream(ms.toDS(), horizonMs = horizonMs)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append).start()
     try {
@@ -94,6 +95,24 @@ class AttributionStreamsSpec extends AnyFunSuite {
       Seq((901L, 6000L, 9L, "purchase"))), "attr_reorder")
     // the late touch DOES credit the next conversion it precedes
     assert(got === Set(Credit(901L, 1L, "click", 1, 1L, 1000L)))
+  }
+
+  test("idle user's touches survive the full horizon while other users " +
+      "advance the watermark past last touch + watermark delay") {
+    // horizon (7 days) >> watermark delay (10 min, the creditStream
+    // default). User 9 touches at t=0 and goes idle; user 8's events push
+    // the global watermark far past t=0 + 10 min — with the old
+    // TTL (last activity + watermark delay) user 9's state timed out and
+    // the in-horizon conversion at t=60 min emitted nothing.
+    val sevenDays = 7L * 24 * 3600 * 1000
+    val got = streamCredits(Seq(
+      Seq((1L, 0L, 9L, "click")),
+      Seq((50L, 1500000L, 8L, "click")),  // watermark → 15 min
+      Seq((51L, 3000000L, 8L, "click")),  // extra batch: lets any pending
+                                          // event-time timeout actually fire
+      Seq((900L, 3600000L, 9L, "purchase"))), "attr_idle_horizon",
+      horizonMs = sevenDays)
+    assert(got === Set(Credit(900L, 1L, "click", 1, 1L, 1000L)))
   }
 
   test("touches beyond the horizon are evicted and never credited") {
