@@ -709,13 +709,25 @@ object BenchScale {
       "semdedup_assign" -> { k =>
         // the linear stage of SemDeDup: one explode + fixed-8-seed
         // broadcast join + two map-side-combined aggs. The within-
-        // cluster pair join is deliberately NOT in this family: its
-        // cost is the paper's intended budget with k_seeds ∝ n as the
-        // knob, and the k× fixture clones vectors VERBATIM, which
-        // would measure the degenerate all-identical worst case, not
-        // the operator
+        // cluster pair join is measured by semdedup_pairs below with
+        // k_seeds ∝ n (the paper's intended budget); at FIXED seeds
+        // the verbatim-clone fixture would measure the degenerate
+        // all-identical worst case, not the operator
         val em = spark.read.parquet(s"$scratch/k$k/embeddings.parquet")
         graft.operators.SemDedup.assignments(em, 8).count()
+      },
+      "semdedup_pairs" -> { k =>
+        // the PAIR stage under the scaladoc's "k_seeds is the scale
+        // knob" claim, measured: seeds grow with the corpus (8·k over
+        // k× vectors), so expected cluster size is constant — the
+        // verbatim clones of an original vector all assign to its
+        // cluster, and with seeds = 8·k the per-cluster DISTINCT
+        // membership shrinks 1/k while copies multiply ×k, holding
+        // |cluster| ≈ n₁/8. Total pair rows Σ|c|² ≈ (8k)·(n₁/8)² ∝ n.
+        // Full report(): assignment + one-row-per-pair kernel join +
+        // near-dup filter + the per-cluster rollup
+        val em = spark.read.parquet(s"$scratch/k$k/embeddings.parquet")
+        graft.operators.SemDedup.report(em, 8 * k, 9, 10).count()
       },
       "linkpred" -> { k =>
         // bfs's k×-users / fixed-hubs bipartite graph: hubs outgrow

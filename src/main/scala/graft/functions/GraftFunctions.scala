@@ -93,6 +93,16 @@ object GraftFunctions {
     call_function("sig_agree", a, b)
   }
 
+  def int_dot(a: Column, b: Column): Column = {
+    ensureVectorRegistered(SparkSession.active)
+    call_function("int_dot", a, b)
+  }
+
+  def int_sqdist(a: Column, b: Column): Column = {
+    ensureVectorRegistered(SparkSession.active)
+    call_function("int_sqdist", a, b)
+  }
+
   private def ensureVectorRegistered(spark: SparkSession): Unit = {
     if (vectorRegistered.containsKey(spark)) return
     vectorRegistered.synchronized {
@@ -119,6 +129,10 @@ object GraftFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sig_agree", exprs => SigAgreeExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int_dot", exprs => IntDotExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int_sqdist", exprs => IntSqdistExpr(exprs(0), exprs(1)), "scala_udf")
   }
 
   // F4 — space-group number → short HM / unicode symbol via map literals

@@ -360,3 +360,105 @@ object SigAgreeExpr {
     m
   }
 }
+
+/** Integer dot product of two quantized array&lt;long&gt; vectors — the
+  * row-per-pair form of the SemDeDup family's exploded
+  * `join on d → sum(a.q * b.q)` (one row per pair instead of one per
+  * pair·dimension — the 64× shuffle cut). Bit-identity contract with
+  * the exploded aggregate (asserted in VectorExprsSpec/SemDedupSpec):
+  * positions pair by index over the common prefix (posexplode d =
+  * array index); a position where EITHER side is null contributes
+  * nothing (the null product is skipped by SQL sum); if NO position
+  * contributes the result is NULL (sum over an empty set), not 0 —
+  * integer addition is exactly commutative, so any shuffle order of
+  * the exploded sum equals this left-to-right loop. Long arithmetic is
+  * overflow-safe by the caller's quantization contract (|q| ≤ ~2^21,
+  * D ≤ 2^10 → |dot| ≤ 2^53). */
+case class IntDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntDotExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Long ${ev.value}_r = graft.functions.IntDotExpr.compute($a, $b);
+         |${ev.isNull} = (${ev.value}_r == null);
+         |${ev.value} = ${ev.isNull} ? -1L : ${ev.value}_r.longValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntDotExpr {
+  /** Boxed return: null = no contributing position (empty-set sum). */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        s += a.getLong(i) * b.getLong(i)
+        any = true
+      }
+      i += 1
+    }
+    if (any) java.lang.Long.valueOf(s) else null
+  }
+}
+
+/** Integer squared-L2 distance of two quantized array&lt;long&gt;
+  * vectors — the row-per-pair form of the exploded
+  * `join on d → sum((a.q − b.q)²)`. Same pairing, null-skip,
+  * empty-set-NULL, and overflow contract as [[IntDotExpr]]. */
+case class IntSqdistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int_sqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntSqdistExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Long ${ev.value}_r = graft.functions.IntSqdistExpr.compute($a, $b);
+         |${ev.isNull} = (${ev.value}_r == null);
+         |${ev.value} = ${ev.isNull} ? -1L : ${ev.value}_r.longValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntSqdistExpr {
+  /** Boxed return: null = no contributing position (empty-set sum). */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val d = a.getLong(i) - b.getLong(i)
+        s += d * d
+        any = true
+      }
+      i += 1
+    }
+    if (any) java.lang.Long.valueOf(s) else null
+  }
+}

@@ -45,6 +45,21 @@ object SemDedup {
       .select(col("vec_id"), col("d").cast("long").as("d"),
         floor(col("x").cast("double") * Scale.toDouble).cast("long").as("q"))
 
+  /** (vec_id, qa): the SAME floor quantization as [[quantized]], kept as
+    * ONE row per vector (array index = d). The pair stage joins THIS
+    * frame so each candidate pair shuffles one row, not D — dots and
+    * distances then come from the codegen'd int_dot/int_sqdist kernels,
+    * bit-identical to the exploded join-on-d aggregates (integer
+    * addition is exactly commutative; SemDedupSpec asserts equality
+    * against the exploded formulation including null-element and
+    * length-mismatch edges). The transform lambda captures only
+    * literals, so the interpreted-HOF captured-expression trap
+    * (CLAUDE.md ground rule) does not apply. */
+  def quantizedArr(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * Scale.toDouble).cast("long")).as("qa"))
+
   /** Nearest-centroid assignment of a quantized frame against a
     * (seed, d, sq) centroid table: n·|seeds|·D join rows map-side
     * combined down to n·|seeds| before the shuffle; argmin with ties
@@ -141,26 +156,31 @@ object SemDedup {
     * by anchor; vectors whose cluster holds no other label are absent.
     *
     * Scale: same within-cluster pair join and k-as-the-knob budget as
-    * [[report]]; the pair distance frame is persisted because the
-    * two-step argmin (min join-back) consumes it twice. */
+    * [[report]] — one row per candidate pair (the [[quantizedArr]]
+    * form), argmin as a single lexicographic struct-min agg. */
   def hardNegatives(emb: DataFrame, k: Int): DataFrame = {
+    import graft.functions.GraftFunctions.int_sqdist
     val qv = quantized(emb).persist()
     val asg = assignTo(qv, seedTable(emb, qv, k))
-    val av = qv.join(asg, "vec_id")
+    // row-per-vector array frame: each candidate pair shuffles ONE row
+    // (not D), and the distance is the codegen'd kernel — bit-identical
+    // to the exploded join-on-d sum (SemDedupSpec)
+    val av = quantizedArr(emb).join(asg, "vec_id")
       .join(emb.select(col("vec_id"), col("label")), "vec_id").persist()
     val cd = av.as("a").join(av.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.d") === col("b.d") &&
+        col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") =!= col("b.vec_id") &&
           col("a.label") =!= col("b.label"))
-      .groupBy(col("a.vec_id").as("anchor"), col("b.vec_id").as("cand"))
-      .agg(sum((col("a.q") - col("b.q")) * (col("a.q") - col("b.q"))).as("d2"))
-      .persist()
-    val mn = cd.groupBy("anchor").agg(min("d2").as("m"))
-    cd.join(mn, Seq("anchor"))
-      .filter(col("d2") === col("m"))
-      .groupBy("anchor", "d2")
-      .agg(min("cand").as("negative"))
-      .select(col("anchor"), col("negative"), col("d2"))
+      .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("cand"),
+        int_sqdist(col("a.qa"), col("b.qa")).as("d2"))
+      // a null d2 (no overlapping non-null dims) was never selectable in
+      // the exploded form (min skips nulls, d2 = m fails) — drop it here
+      .filter(col("d2").isNotNull)
+    // argmin with ties to the smallest cand = lexicographic struct min:
+    // ONE agg replaces the old min + join-back + filter (and its persist)
+    cd.groupBy("anchor")
+      .agg(min(struct(col("d2"), col("cand"))).as("m"))
+      .select(col("anchor"), col("m.cand").as("negative"), col("m.d2").as("d2"))
       .orderBy("anchor")
   }
 
@@ -173,45 +193,53 @@ object SemDedup {
     * applies it identically). A vector alone in its cluster
     * contributes no row. All-integer. */
   def knnLabelAgreement(emb: DataFrame, k: Int): DataFrame = {
+    import graft.functions.GraftFunctions.int_sqdist
     val qv = quantized(emb).persist()
     val asg = assignTo(qv, seedTable(emb, qv, k))
-    val av = qv.join(asg, "vec_id")
+    val av = quantizedArr(emb).join(asg, "vec_id")
       .join(emb.select(col("vec_id"), col("label")), "vec_id").persist()
     val cd = av.as("a").join(av.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.d") === col("b.d") &&
+        col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("anchor"), col("a.label").as("la"),
-        col("b.vec_id").as("cand"), col("b.label").as("lb"))
-      .agg(sum((col("a.q") - col("b.q")) * (col("a.q") - col("b.q"))).as("d2"))
-      .persist() // feeds the min, the argmin filter, and the label join-back
-    val mn = cd.groupBy("anchor").agg(min("d2").as("m"))
-    val nn = cd.join(mn, Seq("anchor"))
-      .filter(col("d2") === col("m"))
-      .groupBy("anchor", "la").agg(min("cand").as("nnid"))
-    nn.join(cd.select(col("anchor"), col("cand").as("nnid"), col("lb")),
-        Seq("anchor", "nnid"))
+      .select(col("a.vec_id").as("anchor"), col("a.label").as("la"),
+        col("b.vec_id").as("cand"), col("b.label").as("lb"),
+        int_sqdist(col("a.qa"), col("b.qa")).as("d2"))
+      .filter(col("d2").isNotNull) // mirror: null d2 was never the argmin
+    // nearest = lexicographic min of (d2, cand, lb): cand is unique per
+    // anchor so (d2, cand) picks the old ties-to-smallest-cand winner and
+    // lb rides along — no min + join-back + label join-back (3 consumers
+    // of a persisted pair frame collapse into one agg)
+    cd.groupBy(col("anchor"), col("la"))
+      .agg(min(struct(col("d2"), col("cand"), col("lb"))).as("m"))
       .groupBy(col("la").as("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_same"))
+        sum(when(col("la") === col("m.lb"), 1L).otherwise(0L)).as("n_same"))
   }
 
   /** The near-dup pair frame (cluster, va, vb, na, nb, dot) plus the
-    * assignment it was built against. */
+    * assignment it was built against. Pair side is the row-per-vector
+    * [[quantizedArr]] frame: norms are the row-local int_dot(qa, qa)
+    * (no norms shuffle) and each candidate pair carries ONE row with
+    * dot computed by the codegen'd kernel — the exploded join-on-d
+    * form paid D shuffled rows per pair into the dot groupBy. A pair
+    * sharing no non-null dimension has dot NULL here where the
+    * exploded join emitted no row at all; both fail the dot &gt; 0
+    * near-dup test, so downstream semantics are unchanged. */
   private def pairFrames(emb: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    // quantized frame feeds the seed projection, the assignment join,
-    // the norms agg, and the pair join — persist once
-    val qv = quantized(emb).persist()
+    import graft.functions.GraftFunctions.int_dot
+    val qv = quantized(emb).persist() // seed projection + assignment
     val assign = assignTo(qv, seedTable(emb, qv, k))
-    val norms = qv.groupBy("vec_id").agg(sum(col("q") * col("q")).as("nrm"))
-    // cluster-tagged quantized frame: both sides of the pair join
-    val av = qv.join(assign, "vec_id").join(norms, "vec_id").persist()
+    // cluster-tagged array frame: both sides of the pair join
+    val av = quantizedArr(emb).join(assign, "vec_id")
+      .withColumn("nrm", int_dot(col("qa"), col("qa")))
+      .persist()
     val dots = av.as("a").join(av.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.d") === col("b.d") &&
+        col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.cluster").as("cluster"),
+      .select(col("a.cluster").as("cluster"),
         col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        col("a.nrm").as("na"), col("b.nrm").as("nb"))
-      .agg(sum(col("a.q") * col("b.q")).as("dot"))
+        col("a.nrm").as("na"), col("b.nrm").as("nb"),
+        int_dot(col("a.qa"), col("b.qa")).as("dot"))
     (assign, dots)
   }
 

@@ -192,4 +192,41 @@ class VectorExprsSpec extends AnyFunSuite {
       .collect().head
     assert(pr.getInt(0) == 3 && pr.getInt(1) == 0 && pr.isNullAt(2))
   }
+
+  test("int_dot / int_sqdist match the exploded join-on-d aggregates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // null elements (skip), one all-null side (empty-set sum → NULL),
+    // and length mismatches (pair over the common prefix)
+    def vec(dim: Int, allNull: Boolean): Seq[java.lang.Long] =
+      Seq.fill(dim)(
+        if (allNull || rnd.nextInt(10) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(2000001).toLong - 1000000L))
+    val rows = (1 to 300).map { i =>
+      (i.toLong, vec(8, allNull = i == 7), vec(8 + rnd.nextInt(3), allNull = false))
+    }
+    val df = rows.toDF("id", "a", "b")
+    def cell(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val kern = df.select(col("id"),
+        GraftFunctions.int_dot(col("a"), col("b")).as("dot"),
+        GraftFunctions.int_sqdist(col("a"), col("b")).as("d2"))
+      .collect().map(r => r.getLong(0) -> ((cell(r, 1), cell(r, 2)))).toMap
+    val ea = df.select(col("id"), posexplode(col("a")).as(Seq("d", "qa")))
+    val eb = df.select(col("id"), posexplode(col("b")).as(Seq("d", "qb")))
+    val ref = ea.join(eb, Seq("id", "d"))
+      .groupBy("id")
+      .agg(sum(col("qa") * col("qb")).as("dot"),
+        sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("d2"))
+      .collect().map(r => r.getLong(0) -> ((cell(r, 1), cell(r, 2)))).toMap
+    assert(kern.keySet === ref.keySet)
+    assert(kern === ref)
+    assert(kern(7L) === ((None, None))) // all-null side → NULL, never 0
+    // null ARRAY input → null (nullSafeEval), matching sum-over-nothing
+    val ni = df.limit(1).select(
+        GraftFunctions.int_dot(lit(null).cast("array<bigint>"), col("b")),
+        GraftFunctions.int_sqdist(col("a"), lit(null).cast("array<bigint>")))
+      .collect().head
+    assert(ni.isNullAt(0) && ni.isNullAt(1))
+  }
 }

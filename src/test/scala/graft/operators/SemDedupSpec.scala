@@ -176,6 +176,98 @@ class SemDedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("kernel pair stage ≡ the exploded join-on-d formulation " +
+      "(report / hardNegatives / knnLabelAgreement, incl. null elements)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(53)
+    // null elements exercise the null-skip edge; vec 7 is ALL-null so its
+    // pairs have NULL dot/d2 (excluded from near-dup and argmin on both
+    // formulations — the exploded form emits null sums for it too, since
+    // posexplode keeps null elements as join rows with null q)
+    val vs: Seq[(Long, Seq[java.lang.Float], Int)] = (0L until 70L).map { i =>
+      (i, Seq.fill(6)(
+        if (i == 7L || rnd.nextInt(12) == 0) null
+        else java.lang.Float.valueOf((rnd.nextDouble() - 0.5).toFloat)),
+        (i % 3).toInt)
+    }
+    val emb = vs.toDF("vec_id", "embedding", "label")
+    val k = 4
+    val (tauNum, tauDen) = (8L, 10L)
+
+    // the pre-round-11 exploded pipeline, rebuilt inline
+    val qv = SemDedup.quantized(emb)
+    val assign = SemDedup.assignments(emb, k)
+    val norms = qv.groupBy("vec_id").agg(sum(col("q") * col("q")).as("nrm"))
+    val avN = qv.join(assign, "vec_id").join(norms, "vec_id")
+    val oldDots = avN.as("a").join(avN.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.d") === col("b.d") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.cluster").as("cluster"), col("a.vec_id").as("va"),
+        col("b.vec_id").as("vb"), col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .agg(sum(col("a.q") * col("b.q")).as("dot"))
+    val dotDec = col("dot").cast("decimal(38,0)")
+    val oldDroppedIds = oldDots.filter(col("dot") > 0 &&
+        lit(tauDen * tauDen) * dotDec * dotDec >=
+          lit(tauNum * tauNum) * col("na").cast("decimal(38,0)") *
+            col("nb").cast("decimal(38,0)"))
+      .select(col("vb").as("vec_id")).distinct()
+    val oldDropAgg = oldDroppedIds.join(assign, "vec_id").groupBy("cluster")
+      .agg(count(lit(1)).as("n_dropped"), sum("vec_id").as("idsum"))
+    val oldReport = assign.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+      .join(oldDropAgg, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("idsum"), lit(0L)).as("dropped_idsum"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val newReport = SemDedup.report(emb, k, tauNum, tauDen)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(newReport === oldReport)
+
+    val avL = qv.join(assign, "vec_id")
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val oldCdHn = avL.as("a").join(avL.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.d") === col("b.d") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          col("a.label") =!= col("b.label"))
+      .groupBy(col("a.vec_id").as("anchor"), col("b.vec_id").as("cand"))
+      .agg(sum((col("a.q") - col("b.q")) * (col("a.q") - col("b.q"))).as("d2"))
+    val oldMn = oldCdHn.groupBy("anchor").agg(min("d2").as("m"))
+    val oldHn = oldCdHn.join(oldMn, Seq("anchor"))
+      .filter(col("d2") === col("m"))
+      .groupBy("anchor", "d2").agg(min("cand").as("negative"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(1)))).toMap
+    val newHn = SemDedup.hardNegatives(emb, k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(newHn === oldHn)
+    assert(newHn.nonEmpty && !newHn.contains(7L)) // all-null vec excluded
+
+    val oldCdKnn = avL.as("a").join(avL.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.d") === col("b.d") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("anchor"), col("a.label").as("la"),
+        col("b.vec_id").as("cand"), col("b.label").as("lb"))
+      .agg(sum((col("a.q") - col("b.q")) * (col("a.q") - col("b.q"))).as("d2"))
+    val oldMn2 = oldCdKnn.groupBy("anchor").agg(min("d2").as("m"))
+    val oldNn = oldCdKnn.join(oldMn2, Seq("anchor"))
+      .filter(col("d2") === col("m"))
+      .groupBy("anchor", "la").agg(min("cand").as("nnid"))
+    val oldKnn = oldNn.join(
+        oldCdKnn.select(col("anchor"), col("cand").as("nnid"), col("lb")),
+        Seq("anchor", "nnid"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_same"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val newKnn = SemDedup.knnLabelAgreement(emb, k)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(newKnn === oldKnn)
+    assert(newKnn.nonEmpty)
+    graft.Caches.releaseAll(spark)
+  }
+
   test("clusterDrift matches a driver-side occupancy reference") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(47)
