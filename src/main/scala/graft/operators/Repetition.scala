@@ -33,7 +33,19 @@ object Repetition {
     * array is bound to an attribute before the transform (interpreted
     * HOFs re-evaluate captured non-attribute expressions per element —
     * see Dedup.minhashSigOf), and the generator is bound to a column
-    * before explode (a generator cannot nest inside an expression). */
+    * before explode (a generator cannot nest inside an expression).
+    *
+    * explode_OUTER + isNotNull, not inner explode: an inner Generate
+    * makes InferFiltersFromGenerate synthesize `size(grams) > 0 AND
+    * isnotnull(grams)`, and predicate pushdown then substitutes the
+    * WHOLE gram expression — split included — below the Project,
+    * recreating the captured-split-per-lambda-element trap the toks
+    * binding exists to avoid (found by GlobalPlanAuditSpec's
+    * captured-array detector; the filter re-tokenized per element, an
+    * O(tokens²) pass per doc). The outer generate infers no filter;
+    * the null row an empty gram array produces is dropped on the
+    * GENERATED attribute, which nothing can push below. Short docs
+    * (< n tokens) are absent either way. */
   def grams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
       .withColumn("grams", expr(
@@ -41,7 +53,8 @@ object Repetition {
            |  THEN transform(sequence(0, size(toks) - $n),
            |                 i -> array_join(slice(toks, i + 1, $n), ' '))
            |  ELSE slice(toks, 1, 0) END""".stripMargin))
-      .select(col("id"), explode(col("grams")).as("gram"))
+      .select(col("id"), explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
 
   /** Per-doc repetition stats: token count, the most frequent 2-gram's
     * occurrence count (`top2_cnt` — Gopher's "top n-gram fraction"

@@ -104,4 +104,51 @@ class QuotaPlannerSpec extends AnyFunSuite {
     // 'z' listed first gets the extra unit despite sorting after 'a'
     assert(p("z")("u1") == 3 && p("a")("u2") == 2)
   }
+
+  test("adversarial scale: thousands of URLs, one giant + many zero caps " +
+      "(r10 VERDICT item 8)") {
+    // 2000 clauses / ~4000 URLs: clause 0 is one giant URL (cap 10^6),
+    // 999 clauses have tiny caps with zero-cap URLs mixed in, 1000
+    // clauses are entirely zero-capacity. n large enough that the
+    // clause-level water-fill must route tens of thousands of units
+    // into the giant after every small clause saturates.
+    val rnd = new Random(7)
+    val giant = Seq("giant" -> Seq("g_u0" -> 1000000))
+    val small = (1 to 999).map { i =>
+      s"s$i" -> (0 until 1 + rnd.nextInt(3)).map { j =>
+        s"s${i}_u$j" -> rnd.nextInt(4) // 0..3, many zeros
+      }
+    }
+    val dead = (1 to 1000).map { i => s"z$i" -> Seq(s"z${i}_u0" -> 0) }
+    val stats: QuotaPlanner.Stats = giant ++ small ++ dead
+    val n = 50000
+    val t0 = System.nanoTime()
+    val p = QuotaPlanner.distributeQuotaFair(stats, n)
+    val secs = (System.nanoTime() - t0) / 1e9
+    // cost guard: O(providers·urls + n·active) — a quadratic-in-URLs
+    // or non-terminating water-fill regression blows far past this
+    assert(secs < 60.0, s"planner took ${secs}s on 2000 clauses / ~4000 urls")
+
+    val totalCap = stats.flatMap(_._2.map(_._2)).sum
+    assert(QuotaPlanner.planTotal(p) == math.min(n, totalCap))
+    val caps = stats.flatMap { case (c, us) =>
+      us.map { case (u, cap) => (c, u) -> cap } }.toMap
+    p.foreach { case (c, us) => us.foreach { case (u, q) =>
+      assert(q >= 0 && q <= caps((c, u)), s"cap violated for $c/$u")
+    }}
+    // every small clause is capacity-bound; the giant absorbs the rest
+    val totals = p.map { case (c, us) => c -> us.map(_._2).sum }.toMap
+    val capByClause = stats.map { case (c, us) => c -> us.map(_._2).sum }.toMap
+    small.foreach { case (c, _) => assert(totals(c) == capByClause(c)) }
+    dead.foreach { case (c, _) => assert(totals(c) == 0) }
+    assert(totals("giant") == n - small.map(s => capByClause(s._1)).sum)
+    // ±1 fairness among unconstrained clauses (here only the giant, so
+    // run a second shape with TWO giants to exercise the comparison)
+    val p2 = QuotaPlanner.distributeQuotaFair(
+      Seq("g1" -> Seq("u1" -> 1000000), "g2" -> Seq("u2" -> 1000000)) ++ dead,
+      99999)
+    val t2 = p2.map { case (c, us) => c -> us.map(_._2).sum }.toMap
+    assert(math.abs(t2("g1") - t2("g2")) <= 1 &&
+      t2("g1") + t2("g2") == 99999)
+  }
 }

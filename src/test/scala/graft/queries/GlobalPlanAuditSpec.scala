@@ -124,4 +124,86 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"q07 5-way chain shows no broadcast join:\n${plan.take(2000)}")
   }
+
+  /** The 700s-CPU-at-500-rows bug class (CLAUDE.md ground rule;
+    * Dedup.minhashSigOf scaladoc), machine-checked: an interpreted
+    * higher-order function re-evaluates a CAPTURED non-attribute
+    * expression once per element, so a computed ARRAY captured inside a
+    * lambda body (e.g. a nested aggregate over a derived shingle array
+    * after projection collapse inlines it) turns O(n) into O(n·L²).
+    * Detector: inside every HOF lambda body, take the MAXIMAL subtrees
+    * referencing no lambda variable (inner or outer — a nested HOF over
+    * a captured array descends to the captured argument itself); flag
+    * any that is array/map-typed, non-foldable, and not a bare
+    * attribute. Attribute captures are row-slot reads (cheap);
+    * foldables are constant-folded once. */
+  private def capturedArrayOffenders(
+      plan: LogicalPlan): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Attribute, Expression, HigherOrderFunction, LambdaFunction,
+      NamedLambdaVariable}
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def maximalCaptured(e: Expression): Seq[Expression] =
+      if (!e.exists(_.isInstanceOf[NamedLambdaVariable])) {
+        if (e.foldable) Nil else Seq(e)
+      } else e.children.flatMap(maximalCaptured)
+    def visit(e: Expression): Unit = {
+      e match {
+        case h: HigherOrderFunction =>
+          h.functions.foreach {
+            case LambdaFunction(body, _, _) =>
+              maximalCaptured(body).foreach { c =>
+                // flag if the captured computation CONTAINS a computed
+                // array/map anywhere (the cost driver may sit under a
+                // scalar head like size(split(...)))
+                val hasComputedArray = c.exists { s =>
+                  (s.dataType.isInstanceOf[ArrayType] ||
+                    s.dataType.isInstanceOf[MapType]) &&
+                    !s.isInstanceOf[Attribute] && !s.foldable
+                }
+                if (hasComputedArray)
+                  out += ((h.prettyName, c.sql.take(160)))
+              }
+            case _ =>
+          }
+        case _ =>
+      }
+      e.children.foreach(visit)
+    }
+    plan.foreach(_.expressions.foreach(visit))
+    out.toSeq
+  }
+
+  test("no HOF lambda captures a computed array (per-element re-eval trap)") {
+    val offenders = optimized.toSeq.flatMap { case (name, plan) =>
+      capturedArrayOffenders(plan).map { case (hof, cap) =>
+        s"$name: $hof captures $cap"
+      }
+    }
+    assert(offenders.isEmpty,
+      "computed arrays captured inside HOF lambdas (materialize them to " +
+        s"a column first):\n  ${offenders.sorted.mkString("\n  ")}")
+  }
+
+  test("the captured-array detector fires on a deliberate regression") {
+    import org.apache.spark.sql.functions._
+    // split(...) over a column is a COMPUTED array captured inside the
+    // transform lambda — the exact minhashSigOf bug shape
+    val bad = spark.range(3).select(
+      transform(sequence(lit(1), lit(4)),
+        i => i + size(split(concat(col("id").cast("string"), lit(" x")), " ")))
+        .as("a"))
+    val hits = capturedArrayOffenders(bad.queryExecution.optimizedPlan)
+    assert(hits.nonEmpty, "detector missed the planted captured array")
+    // a withColumn binding is NOT enough — CollapseProject inlines a
+    // single-reference alias straight back into the lambda (verified:
+    // the withColumn form of `bad` is flagged identically). The safe
+    // shape is a real ATTRIBUTE the optimizer cannot collapse — a scan
+    // column, or a value materialized behind an agg/exchange barrier.
+    val good = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(transform(sequence(lit(1), lit(4)),
+        i => i + size(col("embedding"))).as("a"))
+    assert(capturedArrayOffenders(good.queryExecution.optimizedPlan).isEmpty)
+  }
 }

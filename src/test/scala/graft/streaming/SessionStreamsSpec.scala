@@ -86,6 +86,33 @@ class SessionStreamsSpec extends AnyFunSuite {
     assert(streamSessions(slices, "sess_merge") === batchSessions(fixture))
   }
 
+  test("a session SPANS three micro-batches (r10 VERDICT item 5)") {
+    // one event per batch, each ≤ gap after the previous: the open
+    // session must extend through batch 1 → 2 → 3 into ONE window,
+    // then a fourth batch's sentinel closes it
+    val all = Seq(ev(1, 5, 0, 1.0), ev(2, 5, 20, 2.0), ev(3, 5, 40, 4.0),
+      ev(9, Flush, 600, 0.0))
+    val slices = all.map(Seq(_))
+    val got = streamSessions(slices, "sess_span3")
+    assert(got === Set((5L, T0, T0 + 70 * Min, 3L, 7.0)))
+    assert(got === batchSessions(all))
+  }
+
+  test("reordered late rows within the watermark merge exactly like batch") {
+    // delivery order is the REVERSE of event time (40 → 20 → 0 min,
+    // one per micro-batch; all within the 1 h watermark because the
+    // global watermark never passes 40 min − 1 h until the sentinel):
+    // the 20 min row BRIDGES 0 and 40 into one session — session_window
+    // state merges on late data, unlike the first-seen-wins modules
+    // (CurationStreams/AttributionStreams) where reorder degrades
+    val all = Seq(ev(1, 6, 40, 1.0), ev(2, 6, 20, 2.0), ev(3, 6, 0, 4.0),
+      ev(9, Flush, 600, 0.0))
+    val slices = all.map(Seq(_))
+    val got = streamSessions(slices, "sess_reorder")
+    assert(got === Set((6L, T0, T0 + 70 * Min, 3L, 7.0)))
+    assert(got === batchSessions(all))
+  }
+
   test("a bridging event joins two previously-separate windows") {
     // 0min and 50min are separate sessions until a 25min event bridges
     // them into ONE 0..50+gap session — the merging-window property the
