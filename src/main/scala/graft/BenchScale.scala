@@ -716,6 +716,29 @@ object BenchScale {
         val em = spark.read.parquet(s"$scratch/k$k/embeddings.parquet")
         graft.operators.SemDedup.assignments(em, 8).count()
       },
+      "ks_stat" -> { k =>
+        // q286: one (strata, v) count agg + a distinct-value-sized
+        // cumulative window + a two-row argmax join — cost is the
+        // token-count pass, linear in docs
+        val docs = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+          .select((col("doc_id") % 5).cast("string").as("lang"),
+            when(col("doc_id") % 2 === 0, "a").otherwise("b").as("side"),
+            size(split(col("text"), " ", -1)).cast("long").as("v"))
+        val n = graft.operators.RankStats
+          .ksStat(docs, "lang", "side", "v", "a", "b").count()
+        Caches.releaseAll(spark)
+        n
+      },
+      "cms_join" -> { k =>
+        // q289: two one-pass 4×64 sketches + a 256-row join — the
+        // estimate side is corpus-linear with a constant-size shuffle
+        val ev = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val skA = graft.operators.CountMin.sketch(
+          ev.filter(col("event_type") === "click"), col("user_id"), w = 64)
+        val skB = graft.operators.CountMin.sketch(
+          ev.filter(col("event_type") === "purchase"), col("user_id"), w = 64)
+        graft.operators.CountMin.innerProduct(skA, skB).count()
+      },
       "semdedup_pairs" -> { k =>
         // the PAIR stage under the scaladoc's "k_seeds is the scale
         // knob" claim, measured: seeds grow with the corpus (8·k over

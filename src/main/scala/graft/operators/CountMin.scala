@@ -84,4 +84,34 @@ object CountMin {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
       .withColumnRenamed("_cms_k", keyName)
   }
+
+  /** Sketch inner product — the AMS/CMS join-cardinality estimator
+    * (Cormode–Muthukrishnan §4.2): for sketches of the two join sides'
+    * key streams built with the SAME seeds and width,
+    *
+    *   est = min over rows r of Σ_bucket cntA[r][b]·cntB[r][b]
+    *
+    * is an UPPER bound on the equi-join size |A ⋈_k B| = Σ_k a(k)·b(k)
+    * (hash collisions only add nonnegative cross terms), exact when no
+    * two distinct keys share a cell in the minimizing row — the
+    * constant-space answer to "how big will this join be" that a
+    * planner asks BEFORE shuffling 100 TB. One row out: `est` as a
+    * digit string (per-cell products are n² at corpus scale — the
+    * q185 pre-cast rule; DECIMAL stays internal). A sketch row with no
+    * overlapping buckets contributes 0 (empty-sum semantics), so a
+    * disjoint or empty side estimates 0.
+    *
+    * Cost: an (r, bucket)-keyed join over ≤ d·w rows per side + a
+    * d-row final min — independent of input size. */
+  def innerProduct(skA: DataFrame, skB: DataFrame): DataFrame = {
+    val prod = skA
+      .join(skB.withColumnRenamed("cnt", "cnt_b"), Seq("r", "bucket"))
+      .groupBy("r")
+      .agg(sum(col("cnt").cast("decimal(38,0)") * col("cnt_b")).as("ip"))
+    skA.select("r").distinct()
+      .join(prod, Seq("r"), "left")
+      .agg(min(coalesce(col("ip"), lit(0).cast("decimal(38,0)"))).as("m"))
+      .select(coalesce(col("m"), lit(0).cast("decimal(38,0)"))
+        .cast("string").as("est"))
+  }
 }

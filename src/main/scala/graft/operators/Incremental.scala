@@ -70,4 +70,54 @@ object Incremental {
     a.join(dB, keys)
       .unionByName(dA.join(b, keys))
       .unionByName(dA.join(dB, keys))
+
+  /** Incremental connected-components maintenance: fold a batch of NEW
+    * edges into an existing (id, comp) assignment WITHOUT re-running CC
+    * over the old edge set — the entity-resolution / near-dup group map
+    * is an index built once (Aux.share) and grown as batches arrive.
+    *
+    * Method: new-edge endpoints map through the old assignment
+    * (identity for unseen nodes), CC runs on the QUOTIENT graph whose
+    * vertices are old component LABELS + new node ids — its size is
+    * #touched components + #new nodes, independent of the old graph —
+    * and every node's label maps through the quotient result. The
+    * min-id labeling invariant is preserved by construction: an old
+    * label IS its component's min member id, so the quotient min over
+    * merged labels equals the min over all merged members — exactly
+    * the from-scratch answer (q290's oracle is the full-union rescan).
+    *
+    * Plan: two broadcastable label joins for the delta endpoints,
+    * [[Dedup.connectedComponents]] on the (small) quotient, one label
+    * join-back over the old map. Persists the old map (three
+    * consumers); caller releases (docs/CACHE_POLICY.md rule 1).
+    *
+    * @param oldComps (id, comp) with comp = min member id (the
+    *                 [[Dedup.connectedComponents]] contract).
+    * @param newEdges (id_a, id_b) delta pairs; endpoints need not
+    *                 appear in `oldComps`.
+    * @return (id, comp) for every id in oldComps ∪ newEdges' endpoints,
+    *         equal to CC over the union edge set. */
+  def ccDelta(oldComps: DataFrame, newEdges: DataFrame,
+              maxIter: Int = 25): DataFrame = {
+    val comps = oldComps.select(col("id").cast("long").as("id"),
+      col("comp").cast("long").as("comp")).persist()
+    val e = newEdges.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b"))
+    val mapped = e
+      .join(comps.select(col("id").as("id_a"), col("comp").as("ca")),
+        Seq("id_a"), "left")
+      .join(comps.select(col("id").as("id_b"), col("comp").as("cb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("ca"), col("id_a")).as("id_a"),
+        coalesce(col("cb"), col("id_b")).as("id_b"))
+    val quotient = Dedup.connectedComponents(mapped, maxIter)
+      .select(col("id").as("comp"), col("comp").as("qc"))
+    val newNodes = e.select(col("id_a").as("id"))
+      .union(e.select(col("id_b").as("id"))).distinct()
+      .join(comps.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp")) // provisional self-label
+    comps.unionByName(newNodes)
+      .join(quotient, Seq("comp"), "left")
+      .select(col("id"), coalesce(col("qc"), col("comp")).as("comp"))
+  }
 }

@@ -233,6 +233,16 @@ object Multimodal {
       encode(info.sampleRate / factor, kept)
     }
 
+    /** Raw PCM16 sample values as Ints — the EXACT integers on the
+      * wire, no float normalization, so downstream relational analysis
+      * (silence segmentation, clipping audits) is bit-deterministic and
+      * SQL-re-derivable from an aux dump. */
+    def samples(content: Array[Byte]): Array[Int] = {
+      val info = parseChunks(content)
+      Array.tabulate(info.dataLen / 2)(i =>
+        le16(content, info.dataOff + i * 2).toShort.toInt)
+    }
+
     /** Minimal PCM16 mono encoder (tests + synthetic corpus). */
     def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
       val dataLen = samples.length * 2
@@ -467,6 +477,43 @@ object Multimodal {
         explode(extractFramesUdf(col("content"), lit(everyK))).as("fr"))
       .select(col("media_id"), col("fr._1").as("frame_idx"),
         col("fr._2").as("frame_content"))
+
+  private val pcmSamplesUdf = udf((content: Array[Byte]) =>
+    if (content == null || content.isEmpty) Array.empty[Int]
+    else try WavCodec.samples(content)
+    catch { case scala.util.control.NonFatal(_) => Array.empty[Int] })
+
+  /** REAL per-sample PCM frame of the audio rows: (media_id, idx, amp)
+    * with amp the exact 16-bit integer — the row-local decode stage of
+    * any sample-level audio analysis (silence segmentation, clipping
+    * audits). No floats anywhere, so an aux dump of this frame is
+    * SQL-re-derivable downstream (the q43 convention). Corrupt payloads
+    * yield no rows (the RealCodec degrade-don't-kill policy). */
+  def pcmFrame(media: DataFrame): DataFrame =
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"),
+        posexplode(pcmSamplesUdf(col("content"))).as(Seq("idx", "amp")))
+      .select(col("media_id"), col("idx").cast("long").as("idx"),
+        col("amp"))
+
+  /** Silence segmentation over a [[pcmFrame]]: maximal runs of
+    * consecutive samples with |amp| < threshold, kept when the run is
+    * at least `minLen` samples — the audio analogue of sessionization,
+    * via the islands trick (idx − row_number is constant exactly on a
+    * consecutive run). Output (media_id, seg_start, seg_len). The
+    * window partitions by media — never global; cost is one sort of
+    * the below-threshold frame. */
+  def silenceSegments(pcm: DataFrame, threshold: Int,
+                      minLen: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("idx")
+    pcm.filter(abs(col("amp")) < threshold)
+      .withColumn("_grp", col("idx") - row_number().over(w))
+      .groupBy(col("media_id"), col("_grp"))
+      .agg(min(col("idx")).as("seg_start"), count(lit(1)).as("seg_len"))
+      .filter(col("seg_len") >= minLen)
+      .select(col("media_id"), col("seg_start"), col("seg_len"))
+  }
 
   /** Exact binary dedup on content hash + length (cheap pre-filter before
     * byte-equality if collisions matter). */

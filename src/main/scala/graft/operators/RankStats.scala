@@ -46,4 +46,57 @@ object RankStats {
           (sum(when(col(flagCol) === flagA, 1L).otherwise(0L)) + 1L))
           .as("two_u"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic per stratum, EXACT: the
+    * max CDF gap is carried as the cross-multiplied integer numerator
+    *
+    *   ks_num = max over pooled distinct v of |n_b·cumA(v) − n_a·cumB(v)|
+    *
+    * over denominator n_a·n_b — no float CDFs, so the classic "which
+    * engine's max over doubles wins the tie" flake cannot exist.
+    * Empirical CDFs only jump at pooled sample points, so the max over
+    * the distinct-value grid is the true supremum (tie-correct: both
+    * sides' cumulative counts are evaluated AT each pooled value).
+    * `v_at_max` reports the SMALLEST value attaining the max (two-step
+    * argmin, both engines). Products pre-cast to DECIMAL(38,0) /
+    * HUGEINT — at 10^10 rows a side the cross product overflows BIGINT
+    * (the q185 rule) — and exit as digit strings (driver hash-safety:
+    * no DECIMAL output columns).
+    *
+    * Plan: one (stratum, v) count agg, one stratum-partitioned
+    * cumulative window over that (distinct-value-sized) frame, a
+    * two-row-per-stratum argmax join — never a global window, never a
+    * pairwise term. */
+  def ksStat(df: DataFrame, strataCol: String, flagCol: String,
+             valCol: String, flagA: String, flagB: String): DataFrame = {
+    val pooled = df
+      .filter(col(flagCol).isin(flagA, flagB))
+      .select(col(strataCol), col(flagCol), col(valCol).cast("long").as("_v"))
+    val perV = pooled.groupBy(col(strataCol), col("_v"))
+      .agg(sum(when(col(flagCol) === flagA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(flagCol) === flagB, 1L).otherwise(0L)).as("cb"))
+    val run = Window.partitionBy(strataCol).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(strataCol)
+    val d = perV
+      .withColumn("cum_a", sum(col("ca")).over(run))
+      .withColumn("cum_b", sum(col("cb")).over(run))
+      .withColumn("na", sum(col("ca")).over(tot))
+      .withColumn("nb", sum(col("cb")).over(tot))
+      .withColumn("diff",
+        abs(col("cum_a").cast("decimal(38,0)") * col("nb") -
+          col("cum_b").cast("decimal(38,0)") * col("na")))
+      .persist() // feeds the per-stratum max AND the argmax join-back
+    val mx = d.groupBy(strataCol).agg(max(col("diff")).as("m"))
+    d.join(mx, Seq(strataCol))
+      .filter(col("diff") === col("m"))
+      .groupBy(col(strataCol), col("na").as("n_a"), col("nb").as("n_b"),
+        col("m"))
+      .agg(min(col("_v")).as("v_at_max"))
+      .select(col(strataCol), col("n_a"), col("n_b"),
+        col("m").cast("string").as("ks_num"),
+        (col("n_a").cast("decimal(38,0)") * col("n_b"))
+          .cast("string").as("ks_den"),
+        col("v_at_max"))
+  }
 }

@@ -4353,6 +4353,172 @@ object PipelineQueries {
       Aux.shareBuilt(s, d, "q282_densest") {
         graft.operators.Densest.peelProfile(tradeEdges(s, d), maxRounds = 12)
       }.orderBy("round")
+    },
+
+    // Exact two-sample Kolmogorov–Smirnov per lang (RankStats.ksStat):
+    // even-id vs odd-id docs' token-count distributions, D carried as
+    // the cross-multiplied integer numerator |n_b·cumA − n_a·cumB| over
+    // n_a·n_b (DECIMAL(38,0)/HUGEINT, digit-string output — no float
+    // CDFs, no engine-max-over-doubles tie). v_at_max = smallest value
+    // attaining the max (two-step argmin both sides). The corpus-drift
+    // significance test that pairs with q262's occupancy view.
+    QueryDef.sql("q286_ks_stat",
+      """WITH t AS (
+        |  SELECT lang, doc_id % 2 = 0 AS a,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |  FROM documents),
+        |perv AS (
+        |  SELECT lang, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM t GROUP BY 1, 2),
+        |d AS (
+        |  SELECT lang, v,
+        |    sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+        |    sum(ca) OVER g AS na, sum(cb) OVER g AS nb
+        |  FROM perv
+        |  WINDOW w AS (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    g AS (PARTITION BY lang)),
+        |dd AS (SELECT lang, v, na, nb,
+        |    abs(CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na)
+        |      AS diff FROM d),
+        |mx AS (SELECT lang AS mlang, max(diff) AS m FROM dd GROUP BY 1)
+        |SELECT dd.lang AS lang, CAST(dd.na AS BIGINT) AS n_a,
+        |  CAST(dd.nb AS BIGINT) AS n_b,
+        |  CAST(mx.m AS VARCHAR) AS ks_num,
+        |  CAST(CAST(dd.na AS HUGEINT) * dd.nb AS VARCHAR) AS ks_den,
+        |  min(dd.v) AS v_at_max
+        |FROM dd JOIN mx ON dd.lang = mx.mlang AND dd.diff = mx.m
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("lang"),
+          when(col("doc_id") % 2 === 0, "a").otherwise("b").as("side"),
+          size(split(col("text"), " ", -1)).cast("long").as("v"))
+      graft.operators.RankStats.ksStat(docs, "lang", "side", "v", "a", "b")
+        .orderBy("lang")
+    },
+
+    // CMS join-cardinality estimate (CountMin.innerProduct — the AMS
+    // inner-product classic): |clicks ⋈_user purchases| estimated from
+    // two 4×64 sketches vs the exact Σ_u n_click(u)·n_purchase(u). The
+    // planner-side "how big will this join be" probe in constant
+    // space; est ≥ exact always (collisions only inflate). The oracle
+    // rebuilds BOTH sketches with the identical masked-xorshift chain
+    // in SQL (the q109 technique) — estimate AND exact hash-match as
+    // digit strings, not a tolerance check.
+    QueryDef.sql("q289_cms_join_estimate",
+      """WITH seeds(r, s) AS (VALUES (0, 2654435769), (1, 2246822507),
+        |                            (2, 3266489917), (3, 668265263)),
+        |ka AS (SELECT user_id AS k FROM events WHERE event_type = 'click'),
+        |kb AS (SELECT user_id AS k FROM events WHERE event_type = 'purchase'),
+        |a0 AS (SELECT r, xor(k & 4294967295, s) AS x FROM ka CROSS JOIN seeds),
+        |a1 AS (SELECT r, xor(x, (x << 13) & 4294967295) AS x FROM a0),
+        |a2 AS (SELECT r, xor(x, x >> 17) AS x FROM a1),
+        |a3 AS (SELECT r, xor(x, (x << 5) & 4294967295) AS x FROM a2),
+        |ska AS (SELECT r, x & 63 AS bucket, count(*) AS cnt FROM a3 GROUP BY 1, 2),
+        |b0 AS (SELECT r, xor(k & 4294967295, s) AS x FROM kb CROSS JOIN seeds),
+        |b1 AS (SELECT r, xor(x, (x << 13) & 4294967295) AS x FROM b0),
+        |b2 AS (SELECT r, xor(x, x >> 17) AS x FROM b1),
+        |b3 AS (SELECT r, xor(x, (x << 5) & 4294967295) AS x FROM b2),
+        |skb AS (SELECT r, x & 63 AS bucket, count(*) AS cnt FROM b3 GROUP BY 1, 2),
+        |ip AS (SELECT a.r, sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS ip
+        |  FROM ska a JOIN skb b USING (r, bucket) GROUP BY 1),
+        |est AS (SELECT coalesce(min(ip), 0) AS est FROM ip),
+        |ce AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np
+        |  FROM events GROUP BY 1),
+        |ex AS (SELECT coalesce(sum(CAST(nc AS HUGEINT) * np), 0) AS exact,
+        |    CAST(coalesce(sum(nc), 0) AS BIGINT) AS n_a,
+        |    CAST(coalesce(sum(np), 0) AS BIGINT) AS n_b
+        |  FROM ce)
+        |SELECT CAST(est.est AS VARCHAR) AS est,
+        |  CAST(ex.exact AS VARCHAR) AS exact, ex.n_a, ex.n_b
+        |FROM est CROSS JOIN ex ORDER BY est""".stripMargin) { (s, d) =>
+      import graft.operators.CountMin
+      val ev = Tables.events(s, d)
+      val skA = CountMin.sketch(
+        ev.filter(col("event_type") === "click"), col("user_id"), w = 64)
+      val skB = CountMin.sketch(
+        ev.filter(col("event_type") === "purchase"), col("user_id"), w = 64)
+      val est = CountMin.innerProduct(skA, skB)
+      val ex = ev.groupBy("user_id")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("nc"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+        .agg(coalesce(sum(col("nc").cast("decimal(38,0)") * col("np")),
+            lit(0).cast("decimal(38,0)")).cast("string").as("exact"),
+          coalesce(sum(col("nc")), lit(0L)).as("n_a"),
+          coalesce(sum(col("np")), lit(0L)).as("n_b"))
+      est.crossJoin(ex)
+        .select(col("est"), col("exact"), col("n_a"), col("n_b"))
+        .orderBy("est")
+    },
+
+    // Incremental connected-components maintenance
+    // (Incremental.ccDelta): a delta batch of trade edges (discounts
+    // [0.03, 0.06)) folds into q112's STORED component map via CC on
+    // the quotient graph — #touched components + #new nodes, never the
+    // old edge set. The oracle rescans from scratch: recursive
+    // min-label reachability over the UNION edge set (q112's oracle
+    // with the widened filter), so incremental ≡ rescan is the graded
+    // claim — the q100/q180 maintenance pattern applied to graphs.
+    QueryDef.sql("q290_incremental_cc",
+      """WITH RECURSIVE pair AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE l_quantity < 2 AND l_discount < 0.06),
+        |edges AS (SELECT c*2 AS src, s*2+1 AS dst FROM pair
+        |  UNION ALL SELECT s*2+1 AS src, c*2 AS dst FROM pair),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach AS (
+        |  SELECT node, node AS label FROM nodes
+        |  UNION
+        |  SELECT r.node, e.dst AS label FROM reach r JOIN edges e ON e.src = r.label),
+        |comp AS (SELECT node, min(label) AS comp FROM reach GROUP BY node)
+        |SELECT node, comp FROM comp ORDER BY node""".stripMargin) { (s, d) =>
+      val delta = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_quantity") < 2 &&
+          col("l_discount") >= 0.03 && col("l_discount") < 0.06)
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+        .select((col("c") * 2).as("id_a"), (col("s") * 2 + 1).as("id_b"))
+      graft.operators.Incremental.ccDelta(
+          tradeComponents(s, d).select(col("id"), col("comp")), delta)
+        .select(col("id").as("node"), col("comp"))
+        .orderBy("node")
+    },
+
+    // Audio silence segmentation (Multimodal.pcmFrame +
+    // silenceSegments): REAL WAV decode → exact 16-bit sample frame
+    // (aux-shared, zero floats) → islands (idx − row_number) of
+    // |amp| < 4096 runs ≥ 2 samples — the audio analogue of
+    // sessionization, and the first per-SAMPLE relational query over
+    // the multimodal column (q43/q70 aggregate features/frames). The
+    // oracle re-derives the segmentation in SQL over the same aux
+    // frame — the row-local codec stage is shared, everything
+    // relational is independently restated (the q43 convention).
+    QueryDef.sql("q291_audio_silence",
+      """WITH pcm AS (SELECT * FROM read_parquet('__AUX__/q291_pcm/*.parquet')),
+        |below AS (SELECT media_id, idx FROM pcm WHERE abs(amp) < 4096),
+        |g AS (SELECT media_id, idx,
+        |    idx - row_number() OVER (PARTITION BY media_id ORDER BY idx)
+        |      AS grp
+        |  FROM below),
+        |seg AS (SELECT media_id, min(idx) AS seg_start,
+        |    CAST(count(*) AS BIGINT) AS seg_len
+        |  FROM g GROUP BY media_id, grp)
+        |SELECT media_id, seg_start, seg_len FROM seg WHERE seg_len >= 2
+        |ORDER BY media_id, seg_start""".stripMargin) { (s, d) =>
+      val media = Multimodal.syntheticMedia(
+        s, Tables.documents(s, d), "doc_id", "text")
+      val pcm = Aux.share(Multimodal.pcmFrame(media), d, "q291_pcm")
+      Multimodal.silenceSegments(pcm, threshold = 4096, minLen = 2L)
+        .orderBy("media_id", "seg_start")
     }
   )
 

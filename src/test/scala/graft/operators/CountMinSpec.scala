@@ -72,4 +72,48 @@ class CountMinSpec extends AnyFunSuite {
     // the probe are empty; if one collides the estimate is still <= 2
     assert(est(999999L) <= 2L)
   }
+
+  /** Driver reference of the sketch inner product via bucketJvm. */
+  private def bruteInnerProduct(a: Seq[Long], b: Seq[Long], w: Int): BigInt = {
+    def grid(ks: Seq[Long]): Map[(Int, Int), Long] =
+      ks.flatMap(k => CountMin.seeds.zipWithIndex.map { case (s, r) =>
+        (r, CountMin.bucketJvm(k, s, w))
+      }).groupBy(identity).map { case (cell, xs) => cell -> xs.size.toLong }
+    val (ga, gb) = (grid(a), grid(b))
+    CountMin.seeds.indices.map { r =>
+      ga.iterator.collect { case ((rr, bkt), cA) if rr == r =>
+        BigInt(cA) * BigInt(gb.getOrElse((rr, bkt), 0L))
+      }.sum
+    }.min
+  }
+
+  test("innerProduct ≡ driver reference and upper-bounds the exact join size") {
+    import spark.implicits._
+    val a = skewedKeys(3000, 21)
+    val b = skewedKeys(2000, 22).map(_ + 10) // overlapping, shifted
+    val w = 64
+    val est = CountMin.innerProduct(
+        CountMin.sketch(a.toDF("k"), col("k"), w),
+        CountMin.sketch(b.toDF("k"), col("k"), w))
+      .collect().head.getString(0)
+    assert(BigInt(est) === bruteInnerProduct(a, b, w))
+    val ca = a.groupBy(identity).view.mapValues(_.size).toMap
+    val exact = b.groupBy(identity).map { case (k, xs) =>
+      BigInt(ca.getOrElse(k, 0)) * xs.size
+    }.sum
+    assert(BigInt(est) >= exact)
+  }
+
+  test("innerProduct: disjoint cells and empty sides estimate 0") {
+    import spark.implicits._
+    // empty B side: sketch has no rows → every row's overlap is empty
+    val skA = CountMin.sketch(Seq(1L, 2L, 3L).toDF("k"), col("k"), w = 64)
+    val skEmpty = CountMin.sketch(
+      Seq.empty[Long].toDF("k"), col("k"), w = 64)
+    val e1 = CountMin.innerProduct(skA, skEmpty).collect().head.getString(0)
+    assert(e1 === "0")
+    // both empty: the final coalesce still yields a "0" row
+    val e2 = CountMin.innerProduct(skEmpty, skEmpty).collect().head.getString(0)
+    assert(e2 === "0")
+  }
 }

@@ -71,4 +71,44 @@ class IncrementalSpec extends AnyFunSuite {
     val emptyR = right.limit(0)
     assert(Incremental.joinDelta(left, empty, right, emptyR, Seq("k")).count() === 0L)
   }
+
+  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("ccDelta ≡ from-scratch CC over the union, on random graph growth") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val all = (1 to 120).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    (1 to 3).foreach { trial =>
+      val (old, fresh) = rnd.shuffle(all).splitAt(60 + trial * 10)
+      val oldC = ccMap(old)
+      val incr = Incremental.ccDelta(
+          oldC.toSeq.toDF("id", "comp"), fresh.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(incr === ccMap(old ++ fresh), s"trial=$trial")
+      graft.Caches.releaseAll(spark)
+    }
+  }
+
+  test("ccDelta: delta-only nodes, bridging edge, and empty delta") {
+    import spark.implicits._
+    // old: {1-2}, {5-6}; delta bridges 2-5 and adds a brand-new pair 8-9
+    val oldC = ccMap(Seq((1L, 2L), (5L, 6L)))
+    assert(oldC === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+    val got = Incremental.ccDelta(oldC.toSeq.toDF("id", "comp"),
+        Seq((2L, 5L), (8L, 9L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+      8L -> 8L, 9L -> 8L))
+    // empty delta: the old map comes back unchanged
+    val same = Incremental.ccDelta(oldC.toSeq.toDF("id", "comp"),
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(same === oldC)
+    graft.Caches.releaseAll(spark)
+  }
 }

@@ -271,4 +271,26 @@ class MultimodalSpec extends AnyFunSuite {
     val ids = deduped.select("media_id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(0L, 1L, 2L)) // min id survives for the dup pair
   }
+
+  test("PCM frame: exact wire integers; silence islands segment correctly") {
+    import spark.implicits._
+    // samples() recovers the encoded shorts exactly
+    val pcmIn = Array[Short](100, -5000, 0, 32767, -32768, 7)
+    assert(Multimodal.WavCodec.samples(Multimodal.WavCodec.encode(8000, pcmIn))
+      .sameElements(pcmIn.map(_.toInt)))
+    // hand case: |amp| < 100 runs — idx 1..3 (len 3) and idx 6..7
+    // (len 2) qualify at minLen 2; the lone idx 9 does not
+    val hand = Array[Short](500, 10, -20, 0, 900, -900, 50, 60, 500, 5)
+    val media = Seq((1L, "audio",
+        Multimodal.WavCodec.encode(8000, hand)))
+      .toDF("media_id", "kind", "content")
+    val segs = Multimodal.silenceSegments(
+        Multimodal.pcmFrame(media), threshold = 100, minLen = 2L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(segs === Set((1L, 3L), (6L, 2L)))
+    // corrupt payload: no rows, no crash
+    val bad = Seq((2L, "audio", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "content")
+    assert(Multimodal.pcmFrame(bad).count() === 0L)
+  }
 }

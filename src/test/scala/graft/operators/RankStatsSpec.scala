@@ -64,4 +64,60 @@ class RankStatsSpec extends AnyFunSuite {
     val (_, _, twoUB) = run(swapped)("s")
     assert(twoUA + twoUB === 2L * na * nb)
   }
+
+  private def runKs(rows: Seq[(String, String, Long)])
+      : Map[String, (Long, Long, String, String, Long)] = {
+    import spark.implicits._
+    RankStats.ksStat(rows.toDF("st", "fl", "v"), "st", "fl", "v", "A", "B")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getLong(5)))).toMap
+  }
+
+  /** KS by the definition: for every pooled distinct v, the exact gap
+    * |n_b·cumA(v) − n_a·cumB(v)| as BigInt; return (max, smallest v at
+    * max). */
+  private def bruteKs(as: Seq[Long], bs: Seq[Long]): (BigInt, Long) = {
+    val vs = (as ++ bs).distinct.sorted
+    val gaps = vs.map { v =>
+      val cumA = as.count(_ <= v); val cumB = bs.count(_ <= v)
+      (BigInt(cumA) * bs.size - BigInt(cumB) * as.size).abs -> v
+    }
+    val m = gaps.map(_._1).max
+    (m, gaps.filter(_._1 == m).map(_._2).min)
+  }
+
+  test("ksStat ≡ brute-force CDF gap on random strata with ties") {
+    val rnd = new scala.util.Random(0x53)
+    val rows = for {
+      st <- Seq("s1", "s2", "s3")
+      i <- 1 to (30 + rnd.nextInt(40))
+    } yield (st, if (rnd.nextBoolean()) "A" else "B",
+      // shifted distribution for B so D is nontrivial; small range
+      // forces heavy ties
+      (rnd.nextInt(12) + (if (st == "s2") 3 else 0)).toLong)
+    val got = runKs(rows)
+    Seq("s1", "s2", "s3").foreach { st =>
+      val as = rows.filter(r => r._1 == st && r._2 == "A").map(_._3)
+      val bs = rows.filter(r => r._1 == st && r._2 == "B").map(_._3)
+      val (m, vAt) = bruteKs(as, bs)
+      val (na, nb, num, den, v) = got(st)
+      assert(na === as.size.toLong && nb === bs.size.toLong)
+      assert(num === m.toString, s"$st num")
+      assert(den === (BigInt(as.size) * bs.size).toString, s"$st den")
+      assert(v === vAt, s"$st v_at_max")
+    }
+  }
+
+  test("ksStat: identical samples give D = 0; disjoint give D = n_a·n_b") {
+    // identical A/B multisets → every gap 0, v_at_max = smallest value
+    val same = Seq(("s", "A", 5L), ("s", "B", 5L), ("s", "A", 9L), ("s", "B", 9L))
+    val (_, _, num0, _, v0) = runKs(same)("s")
+    assert(num0 === "0" && v0 === 5L)
+    // fully separated samples → sup gap = n_a·n_b at A's max
+    val sep = Seq(("s", "A", 1L), ("s", "A", 2L), ("s", "B", 10L), ("s", "B", 11L))
+    val (_, _, num1, den1, v1) = runKs(sep)("s")
+    assert(num1 === "4" && den1 === "4" && v1 === 2L)
+    graft.Caches.releaseAll(spark)
+  }
 }

@@ -45,7 +45,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "q222_discriminative_tokens", // token dfs × 1-row (A, B) doc totals
     "q232_source_signature_tokens", // source dfs × 1-row corpus total
     "q269_bigram_lm_score",   // holdout pairs × 1-row vocab-size broadcast
-    "q271_decayed_counts")    // events × 1-row max-timestamp broadcast
+    "q271_decayed_counts",    // events × 1-row max-timestamp broadcast
+    "q289_cms_join_estimate") // 1-row sketch estimate × 1-row exact agg
 
   private lazy val optimized: Map[String, LogicalPlan] =
     graft.SparkEntry.queries.map { case (name, fn) =>
