@@ -716,6 +716,13 @@ object BenchScale {
         val em = spark.read.parquet(s"$scratch/k$k/embeddings.parquet")
         graft.operators.SemDedup.assignments(em, 8).count()
       },
+      "selection" -> { k =>
+        // q292: one histogram agg + ≤3 targeted bucket refines — the
+        // driver walk is O(range/2^shift) scalars, corpus-independent
+        val ev = spark.read.parquet(s"$scratch/k$k/events.parquet")
+          .selectExpr("CAST(event_id % 10000000 AS LONG) AS v")
+        graft.operators.Selection.globalProfile(spark, ev, "v").count()
+      },
       "ks_stat" -> { k =>
         // q286: one (strata, v) count agg + a distinct-value-sized
         // cumulative window + a two-row argmax join — cost is the

@@ -48,4 +48,47 @@ object Profile {
     }: _*)
     one.select(explode(rows).as("p")).select("p.*").orderBy("col_name")
   }
+
+  /** Level-1 functional-dependency DISCOVERY over `cols`: for every
+    * ordered pair det → dep, (n_det_values, n_violating_dets, holds) —
+    * a det "violates" when it maps to ≥ 2 distinct dep values, and the
+    * FD holds iff no det does. The inference-side complement of the
+    * DECLARED-constraint audits (q122/q266) and of q148's single-FD
+    * violation worklist: this SEARCHES the lattice's first level, the
+    * schema-inference pass a pipeline runs on an unfamiliar corpus.
+    *
+    * Plan: per determinant ONE multi-distinct aggregation
+    * (groupBy(det) + count_distinct per dep — the q99 Expand shape,
+    * map-side combined) followed by a det-count rollup; k scans total,
+    * never DISTINCT-inside-agg over raw rows, never a self-join. NULL
+    * det/dep values participate as ordinary values (count_distinct
+    * ignores null deps — a det whose only dep is NULL has 0 distinct
+    * deps and never violates; the oracle's DISTINCT-combo formulation
+    * agrees because a (det, NULL) combo collapses the same way). */
+  def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "fdDiscovery: at least two columns")
+    cols.map { det =>
+      val deps = cols.filterNot(_ == det)
+      val cd = deps.map(dep => count_distinct(col(dep)).as(s"${dep}__cd"))
+      val perDet = df.groupBy(col(det)).agg(cd.head, cd.tail: _*)
+      // count(det) skips a NULL det group — count(DISTINCT det)
+      // semantics, matching the oracle; the violation sum INCLUDES a
+      // null-det group (SQL GROUP BY keeps it), also matching
+      val rollup = deps.flatMap { dep =>
+        Seq(count(col(det)).as(s"${dep}__n"),
+          sum(when(col(s"${dep}__cd") > 1, 1L).otherwise(0L))
+            .as(s"${dep}__viol"))
+      }
+      val one = perDet.agg(rollup.head, rollup.tail: _*)
+      val rows = array(deps.map { dep =>
+        struct(lit(det).as("det"), lit(dep).as("dep"),
+          col(s"${dep}__n").as("n_det_values"),
+          col(s"${dep}__viol").as("n_violating_dets"))
+      }: _*)
+      one.select(explode(rows).as("p")).select("p.*")
+    }.reduce(_.unionByName(_))
+      .withColumn("holds",
+        when(col("n_violating_dets") === 0, 1L).otherwise(0L))
+      .orderBy("det", "dep")
+  }
 }

@@ -2151,6 +2151,60 @@ object RelationalQueries {
         .select(col("n_name").as("nation"), col("n_pairs"), col("dv"),
           col("dd"), col("slope_scaled"))
         .orderBy("nation")
+    },
+
+    // Exact GLOBAL order statistics WITHOUT a global sort
+    // (operators/Selection): histogram pass + targeted bucket refine —
+    // the distributed-selection pattern, the exact counterpart of
+    // q194's median-of-medians approximation and the q65/q198 sketch
+    // quantiles. Ranks are the explicit (n+1) div 2 / (9n+9) div 10
+    // picks (q285 convention); the oracle IS the global sort the
+    // engine refuses to do — a genuinely different formulation.
+    QueryDef.sql("q292_global_selection",
+      """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS c FROM lineitem),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+        |    count(*) OVER () AS n FROM v)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS BIGINT) AS p50,
+        |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN c END) AS BIGINT)
+        |    AS p90,
+        |  CAST(max(c) AS BIGINT) AS vmax
+        |FROM r ORDER BY n""".stripMargin) { (s, d) =>
+      graft.operators.Selection.globalProfile(s,
+          lineitem(s, d).select(
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents")),
+          "cents")
+        .orderBy("n")
+    },
+
+    // Level-1 FD discovery (Profile.fdDiscovery) over four orders
+    // columns: which column determines which — the schema-INFERENCE
+    // pass (the declared-constraint audits q122/q266 VALIDATE; q148
+    // lists one FD's violators; this searches the 12-pair lattice
+    // level). The key's three FDs hold, all nine others fail with
+    // exact violator counts. Oracle = independent per-pair scalar
+    // subqueries over DISTINCT combos (the engine runs per-determinant
+    // multi-distinct aggs — different machinery).
+    QueryDef.sql("q293_fd_discovery", {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      val parts = for { det <- cols; dep <- cols if dep != det } yield
+        s"""SELECT '$det' AS det, '$dep' AS dep,
+           |  CAST((SELECT count(DISTINCT $det) FROM orders) AS BIGINT)
+           |    AS n_det_values,
+           |  CAST((SELECT count(*) FROM (
+           |    SELECT $det FROM (SELECT DISTINCT $det, $dep FROM orders)
+           |    GROUP BY 1 HAVING count(*) > 1)) AS BIGINT)
+           |    AS n_violating_dets""".stripMargin
+      "SELECT det, dep, n_det_values, n_violating_dets, " +
+        "CAST(CASE WHEN n_violating_dets = 0 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS holds FROM (" + parts.mkString(" UNION ALL ") +
+        ") ORDER BY det, dep"
+    }) { (s, d) =>
+      graft.operators.Profile.fdDiscovery(orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
     }
   )
 }

@@ -41,4 +41,33 @@ class ProfileSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getString(3), r.getString(4)))).toMap
     assert(exact == approx)
   }
+
+  test("fdDiscovery ≡ driver brute force on random data (incl. nulls)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows: Seq[(java.lang.Long, java.lang.Long, java.lang.Long)] =
+      (1 to 300).map { i =>
+        (java.lang.Long.valueOf(i.toLong),       // key: determines all
+         if (rnd.nextInt(20) == 0) null
+         else java.lang.Long.valueOf(rnd.nextInt(10).toLong),
+         java.lang.Long.valueOf(rnd.nextInt(4).toLong))
+      }
+    val cols = Seq("a", "b", "c")
+    val got = Profile.fdDiscovery(rows.toDF("a", "b", "c"), cols)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def cell(t: (java.lang.Long, java.lang.Long, java.lang.Long), c: String) =
+      c match { case "a" => t._1; case "b" => t._2; case _ => t._3 }
+    cols.foreach { det => cols.filterNot(_ == det).foreach { dep =>
+      val groups = rows.groupBy(cell(_, det))
+      val nDet = groups.keys.count(_ != null).toLong
+      val nViol = groups.values.count(
+        _.map(cell(_, dep)).filter(_ != null).distinct.size > 1).toLong
+      assert(got((det, dep)) === ((nDet, nViol, if (nViol == 0) 1L else 0L)),
+        s"$det -> $dep")
+    }}
+    // the key column determines everything
+    assert(got(("a", "b"))._3 === 1L && got(("a", "c"))._3 === 1L)
+    assert(got(("c", "a"))._3 === 0L)
+  }
 }
