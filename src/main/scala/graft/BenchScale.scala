@@ -731,10 +731,10 @@ object BenchScale {
           .select((col("doc_id") % 5).cast("string").as("lang"),
             when(col("doc_id") % 2 === 0, "a").otherwise("b").as("side"),
             size(split(col("text"), " ", -1)).cast("long").as("v"))
-        val n = graft.operators.RankStats
+        // release is the harness's per-run sweep — an in-body call
+        // would land its cost inside this family's samples only
+        graft.operators.RankStats
           .ksStat(docs, "lang", "side", "v", "a", "b").count()
-        Caches.releaseAll(spark)
-        n
       },
       "cms_join" -> { k =>
         // q289: two one-pass 4×64 sketches + a 256-row join — the

@@ -61,15 +61,19 @@ object Profile {
     * (groupBy(det) + count_distinct per dep — the q99 Expand shape,
     * map-side combined) followed by a det-count rollup; k scans total,
     * never DISTINCT-inside-agg over raw rows, never a self-join. NULL
-    * det/dep values participate as ordinary values (count_distinct
-    * ignores null deps — a det whose only dep is NULL has 0 distinct
-    * deps and never violates; the oracle's DISTINCT-combo formulation
-    * agrees because a (det, NULL) combo collapses the same way). */
+    * dep values count as a DISTINCT dependent value (det → {NULL, 'x'}
+    * IS a violation — count_distinct alone would silently ignore the
+    * null and disagree with the oracle's DISTINCT-combo formulation,
+    * where the (det, NULL) combo survives); a NULL det forms a group
+    * that can violate but is excluded from n_det_values, both matching
+    * SQL's GROUP BY-keeps-null / count-DISTINCT-skips-null split. */
   def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "fdDiscovery: at least two columns")
     cols.map { det =>
       val deps = cols.filterNot(_ == det)
-      val cd = deps.map(dep => count_distinct(col(dep)).as(s"${dep}__cd"))
+      val cd = deps.map(dep =>
+        (count_distinct(col(dep)) +
+          max(when(col(dep).isNull, 1L).otherwise(0L))).as(s"${dep}__cd"))
       val perDet = df.groupBy(col(det)).agg(cd.head, cd.tail: _*)
       // count(det) skips a NULL det group — count(DISTINCT det)
       // semantics, matching the oracle; the violation sum INCLUDES a

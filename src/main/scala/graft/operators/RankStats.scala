@@ -69,8 +69,13 @@ object RankStats {
     * pairwise term. */
   def ksStat(df: DataFrame, strataCol: String, flagCol: String,
              valCol: String, flagA: String, flagB: String): DataFrame = {
+    // NULL values are EXCLUDED from both samples: the engines sort
+    // NULLs at opposite ends (Spark NULLS FIRST ASC, DuckDB NULLS
+    // LAST), so a null row would shift every cumulative count on one
+    // side only — the Kmv.sketch null-key rule; a CDF over NULL is
+    // meaningless anyway. Oracles must carry the same IS NOT NULL.
     val pooled = df
-      .filter(col(flagCol).isin(flagA, flagB))
+      .filter(col(flagCol).isin(flagA, flagB) && col(valCol).isNotNull)
       .select(col(strataCol), col(flagCol), col(valCol).cast("long").as("_v"))
     val perV = pooled.groupBy(col(strataCol), col("_v"))
       .agg(sum(when(col(flagCol) === flagA, 1L).otherwise(0L)).as("ca"),

@@ -60,7 +60,9 @@ object Selection {
     }
     val byBucket = located.groupBy(_._2._1)
     val picked = byBucket.flatMap { case (b, rs) =>
-      // ≤ 2^shift distinct values per bucket by construction
+      // ≤ 2^shift distinct values per bucket — EXCEPT bucket 0, which
+      // under truncating div spans both signs (−(2^shift−1)..2^shift−1,
+      // up to 2^(shift+1)−1 distinct); size the driver walk for that
       val inb = vals.filter(expr(s"_v div ${w}L") === b)
         .groupBy("_v").agg(count(lit(1)).as("_c"))
         .orderBy("_v")

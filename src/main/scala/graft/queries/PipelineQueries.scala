@@ -4366,7 +4366,7 @@ object PipelineQueries {
       """WITH t AS (
         |  SELECT lang, doc_id % 2 = 0 AS a,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |perv AS (
         |  SELECT lang, v,
         |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
@@ -4424,7 +4424,11 @@ object PipelineQueries {
         |skb AS (SELECT r, x & 63 AS bucket, count(*) AS cnt FROM b3 GROUP BY 1, 2),
         |ip AS (SELECT a.r, sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS ip
         |  FROM ska a JOIN skb b USING (r, bucket) GROUP BY 1),
-        |est AS (SELECT coalesce(min(ip), 0) AS est FROM ip),
+        |-- a sketch row with NO overlapping buckets contributes 0 (the
+        |-- engine's empty-sum semantics), so the min must range over
+        |-- ALL of ska's rows, not just the overlapping ones
+        |est AS (SELECT coalesce(min(coalesce(ip.ip, 0)), 0) AS est
+        |  FROM (SELECT DISTINCT r FROM ska) sr LEFT JOIN ip USING (r)),
         |ce AS (SELECT user_id,
         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
         |      AS BIGINT) AS nc,

@@ -12,7 +12,7 @@ import scala.collection.mutable.ArrayBuffer
   * lag-window semantics. Downstream counts are a plain streaming
   * aggregation over the emitted pairs.
   *
-  * State design: ONE (ts, event_id, type) triple per user — the lag
+  * State design: ONE string (the last event TYPE) per user — the lag
   * window's carried value — so state is O(distinct users), the same
   * bound as any per-user aggregation, and NO event-time TTL is set:
   * the batch lag has no horizon (a user idle for a month still
@@ -31,8 +31,6 @@ object TransitionStreams {
   import EventStreams.Event
 
   final case class Trans(prev_type: String, next_type: String)
-  private[streaming] final case class LastEv(ms: Long, subUs: Long,
-                                             id: Long, typ: String)
 
   def transitionStream(events: Dataset[Event],
                        watermark: String = "10 minutes"): Dataset[Trans] = {
@@ -40,18 +38,21 @@ object TransitionStreams {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[LastEv, Trans](
+      // state is ONLY the last event TYPE: cross-batch ordering is
+      // deliberately arrival-order (first-seen-wins, spec-pinned), so
+      // carrying the timestamp/id would imply re-ordering logic that
+      // doesn't exist and cost state-store bytes per user forever
+      .flatMapGroupsWithState[String, Trans](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, it: Iterator[Event], state: GroupState[LastEv]) =>
+        (_: Long, it: Iterator[Event], state: GroupState[String]) =>
           // full-precision event-time order: ms + sub-ms nanos + id
           val batch = it.toArray.sortBy(e =>
             (e.ts.getTime, e.ts.getNanos % 1000000L, e.event_id))
           var prev = state.getOption
           val out = ArrayBuffer.empty[Trans]
           batch.foreach { e =>
-            out += Trans(prev.map(_.typ).getOrElse("(start)"), e.event_type)
-            prev = Some(LastEv(e.ts.getTime, e.ts.getNanos % 1000000L,
-              e.event_id, e.event_type))
+            out += Trans(prev.getOrElse("(start)"), e.event_type)
+            prev = Some(e.event_type)
           }
           prev.foreach(state.update)
           out.iterator

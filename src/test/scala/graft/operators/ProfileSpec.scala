@@ -61,8 +61,10 @@ class ProfileSpec extends AnyFunSuite {
     cols.foreach { det => cols.filterNot(_ == det).foreach { dep =>
       val groups = rows.groupBy(cell(_, det))
       val nDet = groups.keys.count(_ != null).toLong
+      // NULL dep counts as a distinct value: {NULL, x} violates (the
+      // oracle's DISTINCT-combo semantics)
       val nViol = groups.values.count(
-        _.map(cell(_, dep)).filter(_ != null).distinct.size > 1).toLong
+        _.map(cell(_, dep)).distinct.size > 1).toLong
       assert(got((det, dep)) === ((nDet, nViol, if (nViol == 0) 1L else 0L)),
         s"$det -> $dep")
     }}

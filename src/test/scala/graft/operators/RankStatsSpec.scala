@@ -109,6 +109,20 @@ class RankStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("ksStat: NULL values are excluded from both samples") {
+    import spark.implicits._
+    // engines sort NULLs at opposite ends — a null row must not enter
+    // either CDF (the Kmv null-key rule); with the nulls dropped this
+    // is the identical-samples case
+    val rows: Seq[(String, String, java.lang.Long)] = Seq(
+      ("s", "A", java.lang.Long.valueOf(5L)), ("s", "B", java.lang.Long.valueOf(5L)),
+      ("s", "A", null), ("s", "B", null), ("s", "B", null))
+    val got = RankStats.ksStat(rows.toDF("st", "fl", "v"),
+        "st", "fl", "v", "A", "B")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(got === ((1L, 1L, "0")))
+  }
+
   test("ksStat: identical samples give D = 0; disjoint give D = n_a·n_b") {
     // identical A/B multisets → every gap 0, v_at_max = smallest value
     val same = Seq(("s", "A", 5L), ("s", "B", 5L), ("s", "A", 9L), ("s", "B", 9L))

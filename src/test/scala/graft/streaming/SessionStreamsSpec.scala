@@ -71,6 +71,17 @@ class SessionStreamsSpec extends AnyFunSuite {
       (2L, T0 + 5 * Min, T0 + 35 * Min, 1L, 8.5)))
   }
 
+  test("exact-gap boundary: events exactly `gap` apart MERGE (pins the " +
+      "oracle's strict > break test)") {
+    // event windows [t, t+gap) and [t+gap, t+2gap) TOUCH: session_window
+    // merges them — so the q279 oracle's `diff > gap` (strict) break
+    // convention is the engine's, and a one-µs-wider gap splits
+    val exact = Seq(ev(1, 8, 0, 1.0), ev(2, 8, 30, 2.0),
+      ev(9, Flush, 600, 0.0))
+    assert(batchSessions(exact) ===
+      Set((8L, T0, T0 + 60 * Min, 2L, 3.0)))
+  }
+
   test("streaming ≡ batch on one micro-batch") {
     assert(streamSessions(Seq(fixture), "sess_one") === batchSessions(fixture))
   }
