@@ -252,4 +252,35 @@ object GraphStats {
       .orderBy(col("cn"), col("a"), col("b"))
       .limit(topK)
   }
+
+  /** Four-cycle (rectangle) census via wedge aggregation: a wedge is an
+    * ordered pair of distinct neighbors (u &lt; w) of a common center;
+    * a pair with p common centers closes C(p,2) rectangles, and every
+    * rectangle u–v–w–x is reported under exactly its two OPPOSITE pairs
+    * ({u,w} and {v,x}), so Σ n_rects counts each 4-cycle twice — the
+    * bipartite-cohesion motif next to q102's triangles (4-cycles are
+    * the smallest motif triangle counting is blind to).
+    *
+    * Input: undirected edges as (a, b). Output: (u, w, n_paths,
+    * n_rects) for pairs with ≥ 2 common neighbors. All integers.
+    *
+    * Scale shape: symmetrize, self-join on the center, group — wedge
+    * volume is Σ deg(v)², the standard wedge-sample bound; on a skewed
+    * 100 TB graph the mitigation is the [[linkPrediction]] hubCap
+    * (drop centers above a degree cap, documented estimator bias) —
+    * left exact here because the census IS the contract (the oracle
+    * re-derives it by pairing distinct centers per (u,w), a different
+    * join shape entirely). */
+  def fourCycles(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+    sym.as("s1").join(sym.as("s2"),
+        col("s1.src") === col("s2.src") && col("s1.dst") < col("s2.dst"))
+      .select(col("s1.dst").as("u"), col("s2.dst").as("w"))
+      .groupBy("u", "w")
+      .agg(count(lit(1)).as("n_paths"))
+      .filter(col("n_paths") >= 2)
+      .withColumn("n_rects", expr("(n_paths * (n_paths - 1)) div 2"))
+  }
 }

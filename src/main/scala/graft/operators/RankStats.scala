@@ -104,4 +104,46 @@ object RankStats {
           .cast("string").as("ks_den"),
         col("v_at_max"))
   }
+
+  /** Kruskal–Wallis H components per stratum: the k-sample extension
+    * of [[mannWhitney2U]]. Per (stratum, group): `n_g` and `r2_sum`
+    * = Σ doubled midranks (2r̄ = 2·rank + #equal − 1, pure integers —
+    * the same doubling trick); per stratum: `n_tot` and the tie
+    * correction Σ_v (t_v³ − t_v) as a DECIMAL(38,0) digit string
+    * (t³ overflows BIGINT at corpus-scale tie groups — the q184/q185
+    * accumulator rule). H itself is float assembly from these exact
+    * parts — left to the consumer per the avg-class rule:
+    * H = [12/(N(N+1))]·Σ (R_g²/n_g) − 3(N+1), with R_g = r2_sum/2,
+    * tie-corrected by 1 − Σ(t³−t)/(N³−N).
+    *
+    * NULL values are excluded from the pooled sample (the [[ksStat]]
+    * NULL-sort rule — engines rank NULLs at opposite ends; oracles
+    * must carry the same IS NOT NULL).
+    *
+    * Plan: one stratum-partitioned rank window + a (stratum, value)
+    * count window over the same exchange, a (stratum, group) agg, and
+    * a distinct-value-sized tie agg — no global window, no pairwise
+    * term. */
+  def kruskalWallis(df: DataFrame, strataCol: String, grpCol: String,
+                    valCol: String): DataFrame = {
+    val pooled = df
+      .filter(col(valCol).isNotNull)
+      .select(col(strataCol), col(grpCol), col(valCol).cast("long").as("_v"))
+    val wRank = Window.partitionBy(strataCol).orderBy(col("_v"))
+    val wEq = Window.partitionBy(strataCol, "_v")
+    val g = pooled
+      .withColumn("_2r", lit(2L) * rank().over(wRank) +
+        count(lit(1)).over(wEq) - lit(1L))
+      .groupBy(col(strataCol), col(grpCol))
+      .agg(count(lit(1)).as("n_g"), sum(col("_2r")).as("r2_sum"))
+    val ties = pooled
+      .groupBy(col(strataCol), col("_v"))
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(strataCol)
+      .agg(sum(col("_t").cast("decimal(38,0)") * col("_t") * col("_t") -
+        col("_t")).cast("string").as("tie_cubes"))
+    val wStr = Window.partitionBy(strataCol)
+    g.withColumn("n_tot", sum(col("n_g")).over(wStr))
+      .join(ties, Seq(strataCol))
+  }
 }

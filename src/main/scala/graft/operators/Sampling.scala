@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Systematic PPS (probability-proportional-to-size) sampling — the
@@ -56,5 +57,55 @@ object Sampling {
       .withColumn("first_slot", expr(s"cum_before div ${step}L") + lit(1L))
       .filter(col("k_picks") >= 1)
       .drop("_run")
+  }
+
+  /** Neyman-allocated stratified sampling: per group (e.g. region), a
+    * fixed budget of `seatsPerGrp` sample slots is split across strata
+    * (e.g. nations) proportionally to N_h·σ_h — the variance-optimal
+    * allocation for estimating a mean — then each stratum's quota is
+    * filled by deterministic hash order (md5 of the id, the q247
+    * engine-neutral shuffle), so the whole design is re-derivable by
+    * any engine with zero RNG.
+    *
+    * Cross-engine arithmetic: N_h·σ_h = √(N_h·Σx² − (Σx)²) exactly;
+    * the radicand is assembled in DECIMAL(38,0) (x² sums overflow
+    * BIGINT at corpus scale — the q184 rule), cast once to DOUBLE
+    * (both engines round-to-nearest the same integer) and floored
+    * after the IEEE sqrt (bit-identical cross-engine, the q245 rule).
+    * Seats then flow through [[Apportion.largestRemainder]] (Hamilton:
+    * Σ alloc = seats exactly, ±1 fairness).
+    *
+    * Scale shape: one stratum agg, one group-partitioned Hamilton
+    * window over the STRATUM-sized frame, one stratum-partitioned
+    * selection window over the population (never global), one
+    * join-back on (group, stratum) — the compound key per the
+    * quantileNormalize lesson (stratum names need not be globally
+    * unique). */
+  def neymanSelect(pop: DataFrame, grpCol: String, stratumCol: String,
+                   idCol: String, xCol: String, seatsPerGrp: Int): DataFrame = {
+    val c = pop.select(col(grpCol), col(stratumCol),
+      col(idCol).cast("long").as("_id"), col(xCol).cast("long").as("_x"))
+    val st = c.groupBy(col(grpCol), col(stratumCol))
+      .agg(count(lit(1)).as("n_h"),
+        sum((col("_x") * col("_x")).cast("decimal(38,0)")).as("_sxx"),
+        sum(col("_x").cast("decimal(38,0)")).as("_sx"))
+      .withColumn("w",
+        floor(sqrt((col("n_h") * col("_sxx") - col("_sx") * col("_sx"))
+          .cast("double"))).cast("long"))
+    val al = Apportion.largestRemainder(
+        st.select(col(grpCol), col(stratumCol), col("w")),
+        grpCol, stratumCol, "w", seatsPerGrp)
+      .join(st.select(col(grpCol), col(stratumCol), col("n_h")),
+        Seq(grpCol, stratumCol))
+    val wSel = Window.partitionBy(col(grpCol), col(stratumCol))
+      .orderBy(md5(col("_id").cast("string")), col("_id"))
+    c.withColumn("_srn", row_number().over(wSel).cast("long"))
+      .join(al, Seq(grpCol, stratumCol))
+      .groupBy(col(grpCol), col(stratumCol), col("n_h"), col("w"),
+        col("alloc"))
+      .agg(sum(when(col("_srn") <= col("alloc"), 1L).otherwise(0L))
+          .as("sel_n"),
+        sum(when(col("_srn") <= col("alloc"), col("_id")).otherwise(0L))
+          .as("sel_idsum"))
   }
 }

@@ -4523,6 +4523,104 @@ object PipelineQueries {
       val pcm = Aux.share(Multimodal.pcmFrame(media), d, "q291_pcm")
       Multimodal.silenceSegments(pcm, threshold = 4096, minLen = 2L)
         .orderBy("media_id", "seg_start")
+    },
+
+    // Greedy k-center coreset (Coreset.kcenter, Gonzalez farthest-
+    // first): 8 maximally-spread exemplar vectors + the cover radius,
+    // integer-exact on the shared quantization so selected ids AND
+    // distances hash-match. Engine = k literal-broadcast codegen
+    // projections + TakeOrdered(1) argmaxes (no join, no shuffle in
+    // the update); oracle = the recursion unrolled as join-on-
+    // dimension aggregate CTE stages. The diversity-selection
+    // counterpart of q221's redundancy REMOVAL.
+    QueryDef.sql("q294_kcenter_coreset", kcenterOracleSql(8)) { (s, d) =>
+      graft.operators.Coreset.kcenter(Tables.embeddings(s, d), k = 8)
+        .orderBy("round")
+    },
+
+    // Exact kNN-Shapley training-data valuation (Valuation.knnShapley,
+    // Jia et al. VLDB'19 closed form): every training vector's Shapley
+    // value for a bounded 20-point probe panel under a K=5 NN
+    // classifier — the data-pricing / mislabel-mining operator.
+    // Distance-sorted recurrence carried as scaled integers with
+    // positive/negative floors split (div-bridge rule), suffix-summed
+    // per test partition; ValuationSpec pins the recurrence against
+    // brute-force permutation Shapley. Tests broadcast; windows are
+    // per-test, never global.
+    QueryDef.sql("q295_knn_shapley",
+      """WITH x AS MATERIALIZED (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings),
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |t AS (SELECT vec_id AS tid FROM embeddings
+        |  WHERE vec_id % 25 = 0 AND vec_id < 600),
+        |pd AS MATERIALIZED (
+        |  SELECT tx.tid, x.vec_id AS iid, sum((x.q - tx.q) * (x.q - tx.q)) AS d2
+        |  FROM x JOIN (SELECT t.tid, x2.d, x2.q FROM x x2
+        |    JOIN t ON x2.vec_id = t.tid) tx USING (d)
+        |  WHERE x.vec_id NOT IN (SELECT tid FROM t)
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT pd.tid, pd.iid, d2,
+        |    CASE WHEN li.label = lt.label THEN 1 ELSE 0 END AS a,
+        |    row_number() OVER (PARTITION BY pd.tid ORDER BY d2, pd.iid) AS rn,
+        |    count(*) OVER (PARTITION BY pd.tid) AS n
+        |  FROM pd JOIN lab li ON pd.iid = li.vec_id
+        |  JOIN lab lt ON pd.tid = lt.vec_id),
+        |inc AS (
+        |  SELECT tid, iid, rn, n, a,
+        |    CASE WHEN rn = n THEN CAST(0 AS BIGINT)
+        |      ELSE (a * least(5, rn) * 1000000000) // (5 * rn)
+        |         - (lead(a) OVER (PARTITION BY tid ORDER BY rn)
+        |            * least(5, rn) * 1000000000) // (5 * rn)
+        |    END AS inc,
+        |    CASE WHEN rn = n THEN (a * 1000000000) // n
+        |      ELSE CAST(0 AS BIGINT) END AS tn
+        |  FROM rk),
+        |s AS (
+        |  SELECT tid, iid,
+        |    sum(inc + tn) OVER (PARTITION BY tid ORDER BY rn
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sv
+        |  FROM inc)
+        |SELECT s.iid AS vec_id, max(li.label) AS label,
+        |  CAST(count(*) AS BIGINT) AS n_tests,
+        |  CAST(sum(sv) AS BIGINT) AS shap_scaled
+        |FROM s JOIN lab li ON s.iid = li.vec_id
+        |GROUP BY 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      graft.operators.Valuation.knnShapley(Tables.embeddings(s, d),
+          isTest = col("vec_id") % 25 === 0 && col("vec_id") < 600,
+          kNeighbors = 5)
+        .orderBy("vec_id")
+    },
+
+    // Four-cycle (rectangle) census (GraphStats.fourCycles) over the
+    // q102 order-adjacency graph: pairs with ≥2 common neighbors and
+    // their C(p,2) closed rectangles — the smallest motif triangle
+    // counting is blind to. Engine aggregates wedges (one sym
+    // self-join + groupBy); the oracle pairs DISTINCT CENTERS per
+    // endpoint pair (a second self-join of the wedge list) — different
+    // machinery whose counts must agree exactly.
+    QueryDef.sql("q297_four_cycles",
+      orderAdjSql +
+        """,
+          |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+          |  UNION ALL SELECT b, a FROM e),
+          |w AS MATERIALIZED (
+          |  SELECT s1.src AS c, s1.dst AS u, s2.dst AS w
+          |  FROM sym s1 JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst),
+          |cp AS (
+          |  SELECT w1.u AS u, w1.w AS w, count(*) AS n_center_pairs
+          |  FROM w w1 JOIN w w2 ON w1.u = w2.u AND w1.w = w2.w AND w1.c < w2.c
+          |  GROUP BY 1, 2),
+          |np AS (SELECT u, w, count(*) AS n_paths FROM w GROUP BY 1, 2)
+          |SELECT np.u AS u, np.w AS w, CAST(np.n_paths AS BIGINT) AS n_paths,
+          |  CAST(cp.n_center_pairs AS BIGINT) AS n_rects
+          |FROM np JOIN cp ON np.u = cp.u AND np.w = cp.w
+          |ORDER BY u, w""".stripMargin) { (s, d) =>
+      graft.operators.GraphStats.fourCycles(orderAdjEdges(s, d))
+        .orderBy("u", "w")
     }
   )
 
@@ -4548,6 +4646,49 @@ object PipelineQueries {
           col("k1") < col("k2"))
         .select(col("k1").as("a"), col("k2").as("b")).distinct()
     }
+
+  /** q294's oracle, generated: the same Gonzalez farthest-first
+    * recursion unrolled as k−1 (center, min-dist) CTE stages over the
+    * exploded (vec_id, d, q) frame — a genuinely different machinery
+    * (join-on-dimension aggregates vs the engine's literal-broadcast
+    * codegen kernel). MATERIALIZED is load-bearing: each m_r is
+    * referenced twice, so un-materialized CTE inlining re-evaluates
+    * the whole chain 2^k times (measured 9 s → 0.12 s at sf0.01). */
+  private def kcenterOracleSql(k: Int): String = {
+    val head =
+      """WITH x AS MATERIALIZED (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings),
+        |c1 AS MATERIALIZED (SELECT min(vec_id) AS cid, CAST(0 AS BIGINT) AS sel
+        |  FROM x),
+        |m1 AS MATERIALIZED (
+        |  SELECT x.vec_id, sum((x.q - cx.q) * (x.q - cx.q)) AS mind
+        |  FROM x JOIN (SELECT x2.d, x2.q FROM x x2
+        |    JOIN c1 ON x2.vec_id = c1.cid) cx USING (d)
+        |  GROUP BY 1)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT vec_id AS cid, mind AS sel FROM m${r - 1}
+         |  ORDER BY mind DESC, vec_id LIMIT 1),
+         |m$r AS MATERIALIZED (
+         |  SELECT m.vec_id, CASE WHEN dd.s < m.mind THEN dd.s ELSE m.mind END
+         |    AS mind
+         |  FROM m${r - 1} m JOIN (
+         |    SELECT x.vec_id, sum((x.q - cx.q) * (x.q - cx.q)) AS s
+         |    FROM x JOIN (SELECT x2.d, x2.q FROM x x2
+         |      JOIN c$r ON x2.vec_id = c$r.cid) cx USING (d)
+         |    GROUP BY 1) dd USING (vec_id))""".stripMargin
+    }
+    val sel =
+      Seq("SELECT CAST(1 AS BIGINT) AS round, cid AS center_id, sel AS sel_dist FROM c1") ++
+        (2 to k).map(r =>
+          s"SELECT CAST($r AS BIGINT), cid, CAST(sel AS BIGINT) FROM c$r") ++
+        Seq(s"SELECT CAST(${k + 1} AS BIGINT), CAST(-1 AS BIGINT), " +
+          s"CAST(max(mind) AS BIGINT) FROM m$k")
+    (Seq(head) ++ rounds).mkString(",\n") + "\n" +
+      sel.mkString(" UNION ALL ") + " ORDER BY round"
+  }
 
   /** The shared SQL prefix defining the same order-adjacency edges for
     * the q102/q151 oracles. */

@@ -2205,6 +2205,115 @@ object RelationalQueries {
     }) { (s, d) =>
       graft.operators.Profile.fdDiscovery(orders(s, d),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    },
+
+    // Kruskal–Wallis H components (RankStats.kruskalWallis): the
+    // k-sample extension of q179's Mann–Whitney — do the five order
+    // priorities draw the same totalprice distribution, tested per
+    // region. Midranks carried DOUBLED (pure integers), tie term
+    // Σ(t³−t) as a DECIMAL(38,0) digit string (t³ overflows BIGINT at
+    // corpus-scale tie groups); H itself is float assembly left to the
+    // consumer per the avg-class rule. Region-partitioned rank windows
+    // only — never global.
+    QueryDef.sql("q296_kruskal_wallis",
+      """WITH v AS (
+        |  SELECT r_name AS region, o_orderpriority AS priority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE o_totalprice IS NOT NULL),
+        |r AS (
+        |  SELECT region, priority,
+        |    2 * rank() OVER (PARTITION BY region ORDER BY x)
+        |      + count(*) OVER (PARTITION BY region, x) - 1 AS r2
+        |  FROM v),
+        |ties AS (
+        |  SELECT region, CAST(sum(t * t * t - t) AS VARCHAR) AS tie_cubes
+        |  FROM (SELECT region, x, count(*) AS t FROM v GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |g AS (
+        |  SELECT region, priority, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(r2) AS BIGINT) AS r2_sum
+        |  FROM r GROUP BY 1, 2)
+        |SELECT g.region AS region, g.priority AS priority, g.n_g, g.r2_sum,
+        |  CAST(sum(g.n_g) OVER (PARTITION BY g.region) AS BIGINT) AS n_tot,
+        |  ties.tie_cubes
+        |FROM g JOIN ties USING (region)
+        |ORDER BY region, priority""".stripMargin) { (s, d) =>
+      val v = orders(s, d)
+        .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(region(s, d)), col("r_regionkey") === col("n_regionkey"))
+        .select(col("r_name").as("region"),
+          col("o_orderpriority").as("priority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("x"))
+      graft.operators.RankStats.kruskalWallis(v, "region", "priority", "x")
+        .select(col("region"), col("priority"), col("n_g"), col("r2_sum"),
+          col("n_tot"), col("tie_cubes"))
+        .orderBy("region", "priority")
+    },
+
+    // Neyman-allocated stratified sampling (Sampling.neymanSelect):
+    // 100 sample slots per region split across its nations ∝ N_h·σ_h
+    // of account-balance cents (the variance-optimal allocation),
+    // σ-weight = ⌊√(N_h·Σx²−(Σx)²)⌋ assembled in DECIMAL(38,0) and
+    // floored after the IEEE sqrt (bit-identical cross-engine, q245
+    // rule), seats via q175's Hamilton, quotas filled in md5(id) hash
+    // order (q247). Σ alloc = 100 per region exactly; the oracle
+    // re-derives allocation AND selection independently.
+    QueryDef.sql("q298_neyman_allocation",
+      """WITH c AS (
+        |  SELECT r_name AS region, n_name AS nation, c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey),
+        |st AS (
+        |  SELECT region, nation, CAST(count(*) AS BIGINT) AS n_h,
+        |    CAST(floor(sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x)
+        |      AS DOUBLE))) AS BIGINT) AS w
+        |  FROM c GROUP BY 1, 2),
+        |t AS (
+        |  SELECT region, nation, n_h, w,
+        |    CAST(sum(w) OVER (PARTITION BY region) AS BIGINT) AS tot,
+        |    100 * w AS num
+        |  FROM st),
+        |b AS (SELECT region, nation, n_h, w, num // tot AS base,
+        |        num % tot AS rem FROM t),
+        |r AS (
+        |  SELECT region, nation, n_h, w, base,
+        |    row_number() OVER (PARTITION BY region
+        |      ORDER BY rem DESC, nation) AS rn,
+        |    CAST(sum(base) OVER (PARTITION BY region) AS BIGINT) AS fsum
+        |  FROM b),
+        |alloc AS (
+        |  SELECT region, nation, n_h, w,
+        |    CAST(base + (CASE WHEN rn <= 100 - fsum THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS alloc
+        |  FROM r),
+        |sel AS (
+        |  SELECT region, nation, c_custkey,
+        |    row_number() OVER (PARTITION BY region, nation
+        |      ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS srn
+        |  FROM c)
+        |SELECT a.region AS region, a.nation AS nation, a.n_h, a.w, a.alloc,
+        |  CAST(sum(CASE WHEN s.srn <= a.alloc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS sel_n,
+        |  CAST(sum(CASE WHEN s.srn <= a.alloc THEN s.c_custkey ELSE 0 END)
+        |    AS BIGINT) AS sel_idsum
+        |FROM alloc a JOIN sel s ON a.region = s.region AND a.nation = s.nation
+        |GROUP BY a.region, a.nation, a.n_h, a.w, a.alloc
+        |ORDER BY region, nation""".stripMargin) { (s, d) =>
+      val pop = customer(s, d)
+        .join(broadcast(nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(region(s, d)), col("r_regionkey") === col("n_regionkey"))
+        .select(col("r_name").as("region"), col("n_name").as("nation"),
+          col("c_custkey"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("x"))
+      graft.operators.Sampling.neymanSelect(pop, "region", "nation",
+          "c_custkey", "x", seatsPerGrp = 100)
+        .orderBy("region", "nation")
     }
   )
 }

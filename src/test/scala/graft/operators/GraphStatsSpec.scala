@@ -182,4 +182,41 @@ class GraphStatsSpec extends AnyFunSuite {
     val got = histo(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
     assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 2L))
   }
+
+  private def rects(edges: Seq[(Long, Long)]): Map[(Long, Long), (Long, Long)] =
+    GraphStats.fourCycles(edges.toDF("a", "b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("fourCycles: C4 — both opposite pairs see 2 paths, 1 rectangle") {
+    val got = rects(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(got === Map((1L, 3L) -> ((2L, 1L)), (2L, 4L) -> ((2L, 1L))))
+  }
+
+  test("fourCycles: K4 has 3 rectangles, each counted under 2 pairs") {
+    val got = rects(Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(got.size === 6 && got.values.forall(_ == ((2L, 1L))))
+    assert(got.values.map(_._2).sum === 6L) // = 2 × 3 four-cycles
+  }
+
+  test("fourCycles: tree has none") {
+    assert(rects(Seq((1L, 2L), (2L, 3L), (2L, 4L), (4L, 5L))).isEmpty)
+  }
+
+  test("fourCycles ≡ brute-force common-neighbor census on a random graph") {
+    val rnd = new scala.util.Random(0x4C)
+    val edges = (for (a <- 1L to 14L; b <- (a + 1) to 14L
+      if rnd.nextInt(100) < 30) yield (a, b)).distinct
+    val nbr = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val expect = (for {
+      u <- 1L to 14L; w <- (u + 1) to 14L
+      p = (nbr(u) intersect nbr(w)).size.toLong
+      if p >= 2
+    } yield (u, w) -> ((p, p * (p - 1) / 2))).toMap
+    assert(rects(edges) === expect)
+  }
 }

@@ -134,4 +134,58 @@ class RankStatsSpec extends AnyFunSuite {
     assert(num1 === "4" && den1 === "4" && v1 === 2L)
     graft.Caches.releaseAll(spark)
   }
+
+  private def runKw(rows: Seq[(String, String, Long)]) = {
+    import spark.implicits._
+    RankStats.kruskalWallis(rows.toDF("st", "g", "v"), "st", "g", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+  }
+
+  test("kruskalWallis: doubled midranks match the naive per-value walk") {
+    // stratum s: values A={1,3,3}, B={2,3} pooled {1,2,3,3,3}
+    // midranks: 1→1, 2→2, 3→(3+4+5)/3=4 ⇒ doubled 2,4,8
+    val got = runKw(Seq(("s", "A", 1L), ("s", "A", 3L), ("s", "A", 3L),
+      ("s", "B", 2L), ("s", "B", 3L)))
+    // A: 2 + 8 + 8 = 18; B: 4 + 8 = 12; ties: one value with t=3 → 24
+    assert(got === Map(
+      ("s", "A") -> ((3L, 18L, 5L, "24")),
+      ("s", "B") -> ((2L, 12L, 5L, "24"))))
+  }
+
+  test("kruskalWallis: Σ r2_sum per stratum = n(n+1); brute midranks agree") {
+    val rnd = new scala.util.Random(0x3C)
+    val rows = for {
+      st <- Seq("s1", "s2")
+      g <- Seq("A", "B", "C")
+      _ <- 1 to (20 + rnd.nextInt(30))
+    } yield (st, g, rnd.nextInt(15).toLong)
+    val got = runKw(rows)
+    rows.groupBy(_._1).foreach { case (st, rs) =>
+      val n = rs.size.toLong
+      val pooled = rs.map(_._3)
+      def dblMid(v: Long): Long =
+        2L * pooled.count(_ < v) + pooled.count(_ == v) + 1L
+      rs.groupBy(_._2).foreach { case (g, grs) =>
+        val (nG, r2, nTot, _) = got((st, g))
+        assert(nG === grs.size.toLong && nTot === n)
+        assert(r2 === grs.map(r => dblMid(r._3)).sum)
+      }
+      val tieCubes = pooled.groupBy(identity).values
+        .map(vs => { val t = vs.size.toLong; t * t * t - t }).sum
+      assert(got((st, "A"))._4 === tieCubes.toString)
+      assert(got.filter(_._1._1 == st).values.map(_._2).sum === n * (n + 1))
+    }
+  }
+
+  test("kruskalWallis: NULL values are excluded from the pooled sample") {
+    import spark.implicits._
+    val df = Seq(("s", "A", Some(1L)), ("s", "A", None), ("s", "B", Some(2L)))
+      .toDF("st", "g", "v")
+    val got = RankStats.kruskalWallis(df, "st", "g", "v")
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(got === Map("A" -> ((1L, 2L)), "B" -> ((1L, 2L))))
+  }
 }

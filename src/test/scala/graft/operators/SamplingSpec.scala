@@ -74,4 +74,61 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.ppsSystematic(df, "id", "w", target = 100, chunkWidth = 1L)
     }
   }
+
+  private def neymanFixture(seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val rows = for {
+      (g, strata) <- Seq("G1" -> Seq("a", "b", "c"), "G2" -> Seq("a", "d"))
+      st <- strata
+      i <- 1 to (15 + rnd.nextInt(25))
+    } yield (g, st, rnd.nextLong(100000).abs + 1, rnd.nextInt(2000).toLong - 400)
+    rows.map { case (g, st, id, x) => (g, st, id, x) }
+  }
+
+  test("neymanSelect: Σ alloc = seats per group; quotas filled exactly") {
+    val rows = neymanFixture(0x11)
+    val got = Sampling.neymanSelect(rows.toDF("g", "st", "id", "x"),
+        "g", "st", "id", "x", seatsPerGrp = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val perGrp = got.groupBy(_._1._1).view
+      .mapValues(_.values.map(_._3).sum).toMap
+    assert(perGrp === Map("G1" -> 10L, "G2" -> 10L))
+    got.foreach { case ((g, st), (nH, w, alloc, selN, _)) =>
+      assert(selN === math.min(alloc, nH), s"($g,$st)")
+      assert(w >= 0L && alloc >= 0L)
+    }
+  }
+
+  test("neymanSelect: σ-weight matches the direct N·σ formula") {
+    val rows = neymanFixture(0x22)
+    val got = Sampling.neymanSelect(rows.toDF("g", "st", "id", "x"),
+        "g", "st", "id", "x", seatsPerGrp = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    rows.groupBy(r => (r._1, r._2)).foreach { case (k, rs) =>
+      val n = rs.size.toLong
+      val sx = rs.map(_._4).map(BigInt(_)).sum
+      val sxx = rs.map(_._4).map(x => BigInt(x) * BigInt(x)).sum
+      val w = math.floor(math.sqrt((n * sxx - sx * sx).toDouble)).toLong
+      assert(got(k) === w, s"stratum $k")
+    }
+  }
+
+  test("neymanSelect: stratum names reused across groups stay separate") {
+    // stratum "a" exists in both G1 and G2 (the quantileNormalize
+    // compound-key lesson) — per-(group,stratum) rows must not merge
+    val rows = neymanFixture(0x33)
+    val got = Sampling.neymanSelect(rows.toDF("g", "st", "id", "x"),
+      "g", "st", "id", "x", seatsPerGrp = 10).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).distinct.length
+      === got.length)
+    assert(got.count(_.getString(1) == "a") === 2)
+    // selection is deterministic: same input → same id sums
+    val again = Sampling.neymanSelect(rows.toDF("g", "st", "id", "x"),
+      "g", "st", "id", "x", seatsPerGrp = 10).collect()
+    assert(got.map(_.getLong(6)).sorted.toSeq ===
+      again.map(_.getLong(6)).sorted.toSeq)
+  }
 }

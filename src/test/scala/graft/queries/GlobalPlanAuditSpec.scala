@@ -46,7 +46,9 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "q232_source_signature_tokens", // source dfs × 1-row corpus total
     "q269_bigram_lm_score",   // holdout pairs × 1-row vocab-size broadcast
     "q271_decayed_counts",    // events × 1-row max-timestamp broadcast
-    "q289_cms_join_estimate") // 1-row sketch estimate × 1-row exact agg
+    "q289_cms_join_estimate", // 1-row sketch estimate × 1-row exact agg
+    "q295_knn_shapley")       // train rows × BROADCAST bounded probe panel
+                              // (≤ 24 tests by construction)
 
   private lazy val optimized: Map[String, LogicalPlan] =
     graft.SparkEntry.queries.map { case (name, fn) =>
