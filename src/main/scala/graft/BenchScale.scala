@@ -1102,6 +1102,54 @@ object BenchScale {
           .select(col("n").as("src"), col("m").as("dst"))
         graft.operators.GraphStats.pseudoDiameter(edges).count()
       },
+      "kcenter" -> { k =>
+        // q294: FIXED 8 Gonzalez rounds; each is one scan + a
+        // TakeOrdered(1) reduce, so data cost is 8 linear passes and
+        // the driver term is 8 one-row collects
+        val em = spark.read.parquet(s"$scratch/k$k/embeddings.parquet")
+        graft.operators.Coreset.kcenter(em, 8).count()
+      },
+      "knn_shapley" -> { k =>
+        // q295: the probe panel filter keeps |T| = 24 at every k
+        // (clone ids are offset ≥ 10⁶, so only copy 0 matches
+        // vec_id < 600) — pairs grow n·|T| ∝ n, the per-test windows
+        // sort n rows × 24 fixed partitions
+        val em = spark.read.parquet(s"$scratch/k$k/embeddings.parquet")
+          .withColumn("label", (col("vec_id") % 10).cast("int"))
+        graft.operators.Valuation.knnShapley(em,
+          col("vec_id") % 25 === 0 && col("vec_id") < 600, 5).count()
+      },
+      "four_cycles" -> { k =>
+        // q297: per-copy disjoint hub space (hub id salted by the
+        // event_id copy offset), so the k× fixture is k independent
+        // graphs — wedge volume Σdeg² grows linearly, not k²
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val pair = e.select(col("user_id").as("u"),
+          (col("event_id") % 1000 +
+            expr("event_id div 100000000L") * 10000L).as("s")).distinct()
+        val edges = pair.select((col("u") * 2).as("a"), (col("s") * 2 + 1).as("b"))
+          .distinct()
+        graft.operators.GraphStats.fourCycles(edges).count()
+      },
+      "kruskal_wallis" -> { k =>
+        // q296: one stratum-partitioned rank sort over k× rows + a
+        // distinct-value tie agg — n log n per stratum
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+          .select(col("event_type").as("st"),
+            (col("user_id") % 5).cast("string").as("g"),
+            (col("event_id") % 100000).as("v"))
+        graft.operators.RankStats.kruskalWallis(e, "st", "g", "v").count()
+      },
+      "neyman" -> { k =>
+        // q298: one stratum agg + stratum-partitioned selection
+        // windows; strata count fixed (97), rows per stratum grow k×
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+          .select((col("doc_id") % 5).cast("string").as("g"),
+            (col("doc_id") % 97).cast("string").as("st"),
+            col("doc_id"), length(col("text")).cast("long").as("x"))
+        graft.operators.Sampling.neymanSelect(
+          d, "g", "st", "doc_id", "x", 100).count()
+      },
     )
 
     // dev-only family filter (SPARK_GRAFT_SCALE_ONLY=bfs,components_star)

@@ -50,4 +50,53 @@ object Changepoint {
         min("ord").as("peak_ord"),
         max("stat").cast("string").as("peak_stat"))
   }
+
+  /** One-sided CUSUM drift ALARMS — the sequential (live) detector next
+    * to [[cusumArgmax]]'s retrospective locator: per group, walk the
+    * series in (us, id) order, accumulate d = v − ref, and flag every
+    * point where cum − min(cum so far) ≥ threshold — "the level has
+    * drifted up by ≥ h since its best recent baseline", Page's CUSUM
+    * with the reference drift folded into `ref`. All-integer (the
+    * retrospective form needs S_n and can never stream; THIS form's
+    * state is two longs, which is why AnomalyStreams can run it live —
+    * the spec proves stream ≡ these rows). Row values are bounded by
+    * n·max|v−ref| per group: fits BIGINT through ~10⁹ rows/group at
+    * cent scale; beyond that, pre-aggregate the series (the q212
+    * daily-totals shape) rather than widening to DECIMAL.
+    *
+    * Output: every alarm row (grp, us, id, cum, gap). Plan: two
+    * stacked group-partitioned running windows over one exchange —
+    * never global, no joins. */
+  def cusumAlarms(series: DataFrame, grpCol: String, usCol: String,
+                  idCol: String, valCol: String, ref: Long,
+                  threshold: Long): DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1: $threshold")
+    val run = Window.partitionBy("grp").orderBy(col("us"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series
+      .select(col(grpCol).as("grp"), col(usCol).as("us"),
+        col(idCol).as("id"), col(valCol).cast("long").as("v"))
+      .withColumn("cum", sum(col("v") - lit(ref)).over(run))
+      // Page's recursion gap_i = max(0, gap_{i−1} + d_i) ⟺ the baseline
+      // min includes the EMPTY prefix S₀ = 0 — least(0, running min),
+      // not the bare window min (which would alarm on a lone first
+      // spike only because no baseline existed yet)
+      .withColumn("runmin", least(lit(0L), min(col("cum")).over(run)))
+      .withColumn("gap", col("cum") - col("runmin"))
+      .filter(col("gap") >= threshold)
+      .select(col("grp"), col("us"), col("id"), col("cum"), col("gap"))
+  }
+
+  /** First alarm per group + the alarm-row count — the q302 report
+    * shape over [[cusumAlarms]]. */
+  def firstAlarms(series: DataFrame, grpCol: String, usCol: String,
+                  idCol: String, valCol: String, ref: Long,
+                  threshold: Long): DataFrame =
+    cusumAlarms(series, grpCol, usCol, idCol, valCol, ref, threshold)
+      .groupBy("grp")
+      .agg(min(struct(col("us"), col("id"), col("gap"))).as("_f"),
+        count(lit(1)).as("n_alarm_rows"))
+      .select(col("grp"), col("_f.us").as("first_us"),
+        col("_f.id").as("first_id"), col("_f.gap").as("first_gap"),
+        col("n_alarm_rows"))
 }

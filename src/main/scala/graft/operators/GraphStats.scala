@@ -283,4 +283,40 @@ object GraphStats {
       .filter(col("n_paths") >= 2)
       .withColumn("n_rects", expr("(n_paths * (n_paths - 1)) div 2"))
   }
+
+  /** Per-component bipartiteness via the DOUBLED-GRAPH trick: each node
+    * u becomes shadow nodes u⁰=2u, u¹=2u+1 and each undirected edge
+    * {u,v} becomes {u⁰,v¹} and {v⁰,u¹}; a component contains an odd
+    * cycle iff some node's two shadows land in the SAME doubled
+    * component — one CC fixpoint answers 2-colorability for every
+    * component at once, no per-component BFS coloring. Original
+    * components are then recovered from a CC over the TINY quotient
+    * graph of (shadow⁰-label, shadow¹-label) pairs (≤ 2·#components
+    * nodes) instead of re-walking the edge set — the q290
+    * quotient-graph maintenance idea. Output: (comp = min member id,
+    * n_nodes, is_bip 0/1). The oracle answers the same question with
+    * different machinery: recursive min-label closure + a (node,color)
+    * propagation from each component's min node. */
+  def bipartiteComponents(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    val doubled = e.select((col("a") * 2).as("id_a"), (col("b") * 2 + 1).as("id_b"))
+      .unionByName(e.select((col("b") * 2).as("id_a"), (col("a") * 2 + 1).as("id_b")))
+    val dcc = Dedup.connectedComponents(doubled, maxIter = 40)
+    val shadow = dcc
+      .select(expr("id div 2").as("node"),
+        when(col("id") % 2 === 0, col("comp")).as("d0"),
+        when(col("id") % 2 === 1, col("comp")).as("d1"))
+      .groupBy("node")
+      .agg(max(col("d0")).as("d0"), max(col("d1")).as("d1"))
+    val quotient = Dedup.connectedComponents(
+      shadow.select(col("d0").as("id_a"), col("d1").as("id_b")).distinct(),
+      maxIter = 40)
+    shadow
+      .join(quotient.select(col("id").as("d0"), col("comp").as("qc")), "d0")
+      .groupBy("qc")
+      .agg(min(col("node")).as("comp"), count(lit(1)).as("n_nodes"),
+        min(when(col("d0") =!= col("d1"), 1L).otherwise(0L)).as("is_bip"))
+      .select(col("comp"), col("n_nodes"), col("is_bip"))
+  }
 }

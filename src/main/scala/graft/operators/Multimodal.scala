@@ -114,6 +114,23 @@ object Multimodal {
       f
     }
 
+    /** Exact raster accessor: (width, packed pixels) with each pixel
+      * r·65536 + g·256 + b — the integer wire bytes, zero floats, so an
+      * aux dump of the exploded frame is re-derivable by any engine
+      * (the WavCodec.samples analogue for images). */
+    def pixels(content: Array[Byte]): (Int, Array[Int]) = {
+      val (w, h, _, pos) = parseHeader(content)
+      val out = new Array[Int](w * h)
+      var i = 0
+      while (i < out.length) {
+        val o = pos + i * 3
+        out(i) = ((content(o) & 0xff) << 16) | ((content(o + 1) & 0xff) << 8) |
+          (content(o + 2) & 0xff)
+        i += 1
+      }
+      (w, out)
+    }
+
     /** Deterministic P6 encoder (tests + synthetic corpus): pixel bytes
       * cycle through the seed string. */
     def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
@@ -495,6 +512,45 @@ object Multimodal {
         posexplode(pcmSamplesUdf(col("content"))).as(Seq("idx", "amp")))
       .select(col("media_id"), col("idx").cast("long").as("idx"),
         col("amp"))
+
+  private val pixelsUdf = udf((content: Array[Byte]) =>
+    if (content == null || content.isEmpty) (0, Array.empty[Int])
+    else try PpmCodec.pixels(content)
+    catch { case scala.util.control.NonFatal(_) => (0, Array.empty[Int]) })
+
+  /** REAL per-pixel frame of the image rows: (media_id, w, idx, px)
+    * with px the packed exact r·65536+g·256+b wire integer — the
+    * row-local decode stage of any pixel-level image analysis (tile
+    * stats, banding audits). No floats, so an aux dump is the shared
+    * codec stage both engines can re-derive from (the pcmFrame
+    * convention). Corrupt payloads degrade to zero rows, mirroring the
+    * StubCodec contract. */
+  def pixelFrame(media: DataFrame): DataFrame =
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), pixelsUdf(col("content")).as("_p"))
+      .select(col("media_id"), col("_p._1").cast("long").as("w"),
+        posexplode(col("_p._2")).as(Seq("idx", "px")))
+      .select(col("media_id"), col("w"), col("idx").cast("long").as("idx"),
+        col("px").cast("long").as("px"))
+
+  /** Per-tile integer RGB sums over a [[pixelFrame]]: tiles are
+    * `tile`×`tile` pixel blocks in raster coordinates (x = idx % w,
+    * y = idx div w — all floor arithmetic on non-negatives, safe
+    * cross-engine). One map-side-combined aggregate; never a window.
+    * Output (media_id, ty, tx, n_px, sum_r, sum_g, sum_b). */
+  def tileStats(px: DataFrame, tile: Int): DataFrame = {
+    require(tile >= 1, s"tile must be >= 1: $tile")
+    px
+      .select(col("media_id"),
+        expr(s"(idx div w) div $tile").as("ty"),
+        expr(s"(idx % w) div $tile").as("tx"),
+        expr("px div 65536").as("r"),
+        expr("(px div 256) % 256").as("g"),
+        expr("px % 256").as("b"))
+      .groupBy("media_id", "ty", "tx")
+      .agg(count(lit(1)).as("n_px"), sum(col("r")).as("sum_r"),
+        sum(col("g")).as("sum_g"), sum(col("b")).as("sum_b"))
+  }
 
   /** Silence segmentation over a [[pcmFrame]]: maximal runs of
     * consecutive samples with |amp| < threshold, kept when the run is

@@ -95,4 +95,50 @@ object Profile {
         when(col("n_violating_dets") === 0, 1L).otherwise(0L))
       .orderBy("det", "dep")
   }
+
+  /** Candidate-KEY discovery (uniqueness lattice, levels 1–2) — the
+    * third leg of the schema-inference suite: [[fdDiscovery]] searches
+    * determinacy, q122/q266 validate DECLARED constraints, this
+    * searches UNIQUENESS. Level 1: every column's exact distinct count
+    * vs the row count (a NULL anywhere already disqualifies a key —
+    * count_distinct skips NULLs, so n_distinct < n_rows follows
+    * automatically). Level 2: every column PAIR's distinct struct
+    * count (structs with NULL fields are non-null values and count —
+    * both engines agree). `is_minimal` marks pair keys neither of
+    * whose members is already a key.
+    *
+    * Plan: ONE multi-distinct aggregate over singles + pairs (the q99
+    * Expand shape — k + C(k,2) distinct ops share a single scan), one
+    * driver-free explode to rows. The oracle re-derives every combo as
+    * an independent scalar subquery. */
+  def keyDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "keyDiscovery: at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      cols.map(c => count_distinct(col(c)).as(s"${c}__d")) ++
+      pairs.map { case (a, b) =>
+        count_distinct(struct(col(a), col(b))).as(s"${a}__${b}__d")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    def keyFlag(d: org.apache.spark.sql.Column) =
+      when(d === col("__n"), 1L).otherwise(0L)
+    val rows = array(
+      (cols.map { c =>
+        struct(lit(c).as("key_cols"), lit(1L).as("level"),
+          col(s"${c}__d").as("n_distinct"), col("__n").as("n_rows"),
+          keyFlag(col(s"${c}__d")).as("is_key"),
+          keyFlag(col(s"${c}__d")).as("is_minimal"))
+      } ++ pairs.map { case (a, b) =>
+        val k = keyFlag(col(s"${a}__${b}__d"))
+        struct(lit(s"$a+$b").as("key_cols"), lit(2L).as("level"),
+          col(s"${a}__${b}__d").as("n_distinct"), col("__n").as("n_rows"),
+          k.as("is_key"),
+          (k * when(keyFlag(col(s"${a}__d")) + keyFlag(col(s"${b}__d")) === 0L,
+            1L).otherwise(0L)).as("is_minimal"))
+      }): _*)
+    one.select(explode(rows).as("p")).select("p.*")
+      .orderBy("level", "key_cols")
+  }
 }

@@ -98,4 +98,41 @@ object Similarity {
     val labels = corpus.select(col(corpusIdCol).as("corpus_id"), col(labelCol).as("label"))
     majorityVote(retrieved, labels)
   }
+
+  /** Late-interaction (ColBERT-style) MaxSim scoring: an ENTITY is a
+    * bag of vectors; against a bounded query-vector panel its score is
+    * Σ over query vectors of the max dot product over the entity's
+    * members — the multi-vector retrieval model, scored here
+    * integer-exactly on the shared [[SemDedup.quantizedArr]]
+    * quantization (codegen'd int_dot, argmax ties to the smaller
+    * member id).
+    *
+    * Scale shape: queries BROADCAST (the panel is bounded by the
+    * caller's filter — the q39/q295 probe-panel convention), one
+    * row-local kernel projection per (member, query), one map-side-
+    * combined (entity, query) max-agg, one entity-partitioned sum
+    * window over the ENTITY-sized frame. No per-dimension explosion,
+    * no pairwise entity term.
+    *
+    * Output: (entity, qid, max_dot, best_vec, entity_score). */
+  def maxSim(emb: DataFrame, entityCol: String,
+             isQuery: org.apache.spark.sql.Column): DataFrame = {
+    import graft.functions.GraftFunctions.int_dot
+    val qv = SemDedup.quantizedArr(emb)
+      .join(emb.select(col("vec_id"),
+        col(entityCol).cast("long").as("entity")), "vec_id")
+    val queries = qv.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("qa").as("qqa"))
+    val mx = qv
+      .crossJoin(broadcast(queries))
+      .select(col("entity"), col("qid"), col("vec_id"),
+        int_dot(col("qa"), col("qqa")).as("dot"))
+      .groupBy("entity", "qid")
+      .agg(max(struct(col("dot").as("dot"),
+        (-col("vec_id")).as("nv"))).as("m"))
+      .select(col("entity"), col("qid"), col("m.dot").as("max_dot"),
+        (-col("m.nv")).as("best_vec"))
+    val byEntity = org.apache.spark.sql.expressions.Window.partitionBy("entity")
+    mx.withColumn("entity_score", sum(col("max_dot")).over(byEntity))
+  }
 }

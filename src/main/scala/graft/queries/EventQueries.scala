@@ -1693,6 +1693,57 @@ object EventQueries {
               .as("p90_ms"),
             max("age_ms").as("max_ms"))
           .orderBy("week_idx")
+    },
+
+    // One-sided CUSUM drift alarms (Changepoint.firstAlarms): per user,
+    // Page's sequential detector over value cents — cum(v − 6000),
+    // alarm where cum − min(0, running min) ≥ 30000; first alarm + the
+    // alarm-row count per user (58 of 150 users at sf0.01, 594/1500 at
+    // sf0.1 — the constants discriminate at every sf). The S₀ = 0
+    // baseline is the Page recursion, spec-pinned; the state is two
+    // longs, which is why AnomalyStreams can run the SAME rows live
+    // (q212's retrospective argmax needs S_n and never streams).
+    // Timestamps flow as epoch_us on both sides (events are µs).
+    QueryDef.sql("q302_cusum_alarms",
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) - 6000 AS d
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, us,
+        |    CAST(sum(d) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM x),
+        |m AS (
+        |  SELECT user_id, event_id, us, cum,
+        |    least(CAST(0 AS BIGINT),
+        |      CAST(min(cum) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+        |      AS runmin
+        |  FROM s),
+        |al AS (SELECT user_id, us, event_id, cum - runmin AS gap FROM m
+        |  WHERE cum - runmin >= 30000),
+        |r AS (
+        |  SELECT user_id, us, event_id, gap,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM al)
+        |SELECT user_id, CAST(us AS BIGINT) AS first_us,
+        |  CAST(event_id AS BIGINT) AS first_id, CAST(gap AS BIGINT)
+        |    AS first_gap, CAST(n AS BIGINT) AS n_alarm_rows
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      graft.operators.Changepoint.firstAlarms(
+          Tables.events(s, d).select(col("user_id"),
+            unix_micros(col("ts")).as("us"), col("event_id"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents")),
+          "user_id", "us", "event_id", "cents",
+          ref = 6000L, threshold = 30000L)
+        .select(col("grp").as("user_id"), col("first_us"),
+          col("first_id"), col("first_gap"), col("n_alarm_rows"))
+        .orderBy("user_id")
     }
   )
 }

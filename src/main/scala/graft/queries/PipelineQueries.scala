@@ -4621,6 +4621,153 @@ object PipelineQueries {
           |ORDER BY u, w""".stripMargin) { (s, d) =>
       graft.operators.GraphStats.fourCycles(orderAdjEdges(s, d))
         .orderBy("u", "w")
+    },
+
+    // Per-component bipartiteness (GraphStats.bipartiteComponents):
+    // the doubled-graph trick — ONE CC fixpoint over shadow nodes
+    // (u⁰,u¹) answers 2-colorability for every component at once, and
+    // the original components come from a CC over the TINY
+    // (d0,d1)-label quotient (the q290 quotient idea), never a
+    // re-walk. Graph = the q102 adjacency restricted to a 1/17
+    // supplier sample (dense enough to carry odd cycles at every sf:
+    // 2/26/302 non-bipartite components at sf0.001/0.01/0.1, sparse
+    // enough that the oracle's reachability closure stays O(Σ comp²)
+    // small). Oracle = different machinery entirely: recursive
+    // min-label closure + a (node, color) propagation seeded at each
+    // component's min node; a dual-colored node marks its component
+    // non-bipartite.
+    QueryDef.sql("q299_bipartite_check",
+      """WITH RECURSIVE g AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey,
+        |    date_trunc('day', l_shipdate) AS dday
+        |  FROM lineitem WHERE l_suppkey % 17 = 0),
+        |e AS (
+        |  SELECT DISTINCT g1.l_orderkey AS a, g2.l_orderkey AS b
+        |  FROM g g1 JOIN g g2 ON g1.l_suppkey = g2.l_suppkey
+        |    AND g1.dday = g2.dday AND g1.l_orderkey < g2.l_orderkey),
+        |edges2 AS (SELECT a AS src, b AS dst FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges2),
+        |reach AS (
+        |  SELECT node, node AS label FROM nodes
+        |  UNION
+        |  SELECT r.node, e2.dst AS label
+        |  FROM reach r JOIN edges2 e2 ON e2.src = r.label),
+        |comp AS (SELECT node, min(label) AS comp FROM reach GROUP BY node),
+        |color AS (
+        |  SELECT DISTINCT comp AS node, 0 AS clr FROM comp
+        |  UNION
+        |  SELECT e2.dst, 1 - c.clr
+        |  FROM color c JOIN edges2 e2 ON e2.src = c.node),
+        |dualc AS (
+        |  SELECT DISTINCT cm.comp AS comp
+        |  FROM (SELECT node FROM color GROUP BY node HAVING count(*) > 1) d
+        |  JOIN comp cm ON d.node = cm.node)
+        |SELECT cm.comp AS comp, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(CASE WHEN dualc.comp IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_bip
+        |FROM comp cm LEFT JOIN dualc ON cm.comp = dualc.comp
+        |GROUP BY cm.comp, dualc.comp
+        |ORDER BY comp""".stripMargin) { (s, d) =>
+      graft.operators.GraphStats.bipartiteComponents(bipEdges(s, d))
+        .orderBy("comp")
+    },
+
+    // Per-tile image statistics (Multimodal.pixelFrame + tileStats):
+    // REAL P6 decode → exact packed-RGB pixel frame (aux-shared, zero
+    // floats) → 4×4-tile integer RGB sums — the image analogue of
+    // q291's per-sample audio query (q43/q70/q216 aggregate whole
+    // frames/features; this is the first per-PIXEL relational query).
+    // The codec stage is shared via the aux dump; every downstream
+    // derivation (raster coords, tiling, sums) is independently
+    // restated in the oracle (the q43 convention).
+    QueryDef.sql("q300_image_tiles",
+      """WITH px AS (SELECT * FROM read_parquet('__AUX__/q300_pixels/*.parquet')),
+        |t AS (SELECT media_id, (idx // w) // 4 AS ty, (idx % w) // 4 AS tx,
+        |    px // 65536 AS r, (px // 256) % 256 AS g, px % 256 AS b
+        |  FROM px)
+        |SELECT media_id, CAST(ty AS BIGINT) AS ty, CAST(tx AS BIGINT) AS tx,
+        |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g, CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM t GROUP BY media_id, ty, tx
+        |ORDER BY media_id, ty, tx""".stripMargin) { (s, d) =>
+      val media = Multimodal.syntheticMedia(
+        s, Tables.documents(s, d), "doc_id", "text")
+      val px = Aux.share(Multimodal.pixelFrame(media), d, "q300_pixels")
+      Multimodal.tileStats(px, tile = 4)
+        .orderBy("media_id", "ty", "tx")
+    },
+
+    // Exact binary media dedup: md5 over the raw payload BYTES (both
+    // engines hash the identical blob from the shared aux store; the
+    // key is md5 OVER THE UPPERCASE HEX encoding — DuckDB's md5 is
+    // VARCHAR-only, and hex(BLOB) is uppercase in both engines;
+    // xxhash64 is Spark-only and stays out of oracle contracts). Media seeded on a
+    // 24-char text prefix so duplicate payloads EXIST at every sf
+    // (6/7/88 dup groups) — the binary analogue of q36's text dedup,
+    // keeper = min media_id.
+    QueryDef.sql("q301_media_dedup",
+      """WITH m AS (SELECT * FROM read_parquet('__AUX__/q301_media/*.parquet')),
+        |h AS (SELECT media_id, kind, md5(hex(content)) AS content_md5,
+        |    octet_length(content) AS n_bytes FROM m)
+        |SELECT kind, content_md5, CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(min(media_id) AS BIGINT) AS keeper_id,
+        |  CAST(min(n_bytes) AS BIGINT) AS n_bytes
+        |FROM h GROUP BY kind, content_md5
+        |ORDER BY kind, content_md5""".stripMargin) { (s, d) =>
+      val media = Multimodal.syntheticMedia(
+        s, Tables.documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("seed")),
+        "doc_id", "seed")
+      val m = Aux.share(
+        media.select(col("media_id"), col("kind"), col("content")),
+        d, "q301_media")
+      m.select(col("media_id"), col("kind"),
+          md5(hex(col("content"))).as("content_md5"),
+          length(col("content")).cast("long").as("n_bytes"))
+        .groupBy("kind", "content_md5")
+        .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("keeper_id"),
+          min(col("n_bytes")).as("n_bytes"))
+        .orderBy("kind", "content_md5")
+    },
+
+    // Late-interaction MaxSim retrieval (Similarity.maxSim): entities =
+    // label groups as multi-vector bags, query panel = the 3 smallest
+    // vec_ids (the q39 convention); score = Σ_q max over members of
+    // int_dot — the ColBERT scoring model next to q39's single-vector
+    // top-k and q82's BM25. Integer-exact on the shared quantization;
+    // argmax ties to the smaller member id. Oracle re-derives the dots
+    // by the exploded join-on-dimension machinery.
+    QueryDef.sql("q304_maxsim_retrieval",
+      """WITH x AS MATERIALIZED (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings),
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |qv AS (SELECT vec_id AS qid, d, q AS qq FROM x WHERE vec_id < 3),
+        |dots AS MATERIALIZED (
+        |  SELECT x.vec_id, qv.qid, sum(x.q * qv.qq) AS dot
+        |  FROM x JOIN qv USING (d) GROUP BY 1, 2),
+        |sc AS (SELECT l.label, dt.qid, dt.dot, dt.vec_id
+        |  FROM dots dt JOIN lab l USING (vec_id)),
+        |mx AS (SELECT label, qid, max(dot) AS max_dot FROM sc GROUP BY 1, 2),
+        |arg AS (
+        |  SELECT mx.label AS label, mx.qid AS qid, mx.max_dot AS max_dot,
+        |    min(sc.vec_id) AS best_vec
+        |  FROM mx JOIN sc ON sc.label = mx.label AND sc.qid = mx.qid
+        |    AND sc.dot = mx.max_dot
+        |  GROUP BY 1, 2, 3)
+        |SELECT label, qid, CAST(max_dot AS BIGINT) AS max_dot,
+        |  CAST(best_vec AS BIGINT) AS best_vec,
+        |  CAST(sum(max_dot) OVER (PARTITION BY label) AS BIGINT)
+        |    AS entity_score
+        |FROM arg ORDER BY label, qid""".stripMargin) { (s, d) =>
+      graft.operators.Similarity.maxSim(Tables.embeddings(s, d), "label",
+          isQuery = col("vec_id") < 3)
+        .select(col("entity").as("label"), col("qid"), col("max_dot"),
+          col("best_vec"), col("entity_score"))
+        .orderBy("label", "qid")
     }
   )
 
@@ -4638,6 +4785,24 @@ object PipelineQueries {
     Aux.shareBuilt(s, d, "q102_order_adj") {
       val g = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
         date_trunc("day", col("l_shipdate")).as("dday")).distinct()
+      val g1 = g.select(col("l_orderkey").as("k1"), col("l_suppkey").as("s1"),
+        col("dday").as("d1"))
+      val g2 = g.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"),
+        col("dday").as("d2"))
+      g1.join(g2, col("s1") === col("s2") && col("d1") === col("d2") &&
+          col("k1") < col("k2"))
+        .select(col("k1").as("a"), col("k2").as("b")).distinct()
+    }
+
+  /** q299's graph: the q102 order-adjacency restricted to a 1/17
+    * supplier sample — keeps odd cycles at every sf while bounding the
+    * oracle's reachability closure. */
+  private def bipEdges(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Aux.shareBuilt(s, d, "q299_bip_edges") {
+      val g = Tables.lineitem(s, d)
+        .filter(col("l_suppkey") % 17 === 0)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          date_trunc("day", col("l_shipdate")).as("dday")).distinct()
       val g1 = g.select(col("l_orderkey").as("k1"), col("l_suppkey").as("s1"),
         col("dday").as("d1"))
       val g2 = g.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"),

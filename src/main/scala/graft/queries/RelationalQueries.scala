@@ -2314,6 +2314,46 @@ object RelationalQueries {
       graft.operators.Sampling.neymanSelect(pop, "region", "nation",
           "c_custkey", "x", seatsPerGrp = 100)
         .orderBy("region", "nation")
+    },
+
+    // Candidate-KEY discovery (Profile.keyDiscovery): the uniqueness
+    // lattice at levels 1–2 over five orders columns — the third leg
+    // of the schema-inference suite (q293 searches FDs, q122/q266
+    // validate declared constraints, this searches KEYS). Engine = ONE
+    // multi-distinct Expand agg (5 + 10 distinct ops, single scan);
+    // oracle = 15 independent scalar subqueries. is_minimal marks pair
+    // keys neither of whose members already keys the table.
+    QueryDef.sql("q303_key_discovery", {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_orderdate")
+      val n = "(SELECT count(*) FROM orders)"
+      def d1(c: String) = s"(SELECT count(DISTINCT $c) FROM orders)"
+      val singles = cols.map { c =>
+        s"""SELECT '$c' AS key_cols, CAST(1 AS BIGINT) AS level,
+           |  CAST(${d1(c)} AS BIGINT) AS n_distinct,
+           |  CAST($n AS BIGINT) AS n_rows,
+           |  CAST(CASE WHEN ${d1(c)} = $n THEN 1 ELSE 0 END AS BIGINT)
+           |    AS is_key,
+           |  CAST(CASE WHEN ${d1(c)} = $n THEN 1 ELSE 0 END AS BIGINT)
+           |    AS is_minimal""".stripMargin
+      }
+      val pairSel = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield {
+        val (a, b) = (cols(i), cols(j))
+        val d2 = s"(SELECT count(DISTINCT ($a, $b)) FROM orders)"
+        s"""SELECT '$a+$b', CAST(2 AS BIGINT), CAST($d2 AS BIGINT),
+           |  CAST($n AS BIGINT),
+           |  CAST(CASE WHEN $d2 = $n THEN 1 ELSE 0 END AS BIGINT),
+           |  CAST(CASE WHEN $d2 = $n AND ${d1(a)} <> $n AND ${d1(b)} <> $n
+           |    THEN 1 ELSE 0 END AS BIGINT)""".stripMargin
+      }
+      "SELECT * FROM (" + (singles ++ pairSel).mkString(" UNION ALL ") +
+        ") ORDER BY level, key_cols"
+    }) { (s, d) =>
+      graft.operators.Profile.keyDiscovery(orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_orderdate"))
     }
   )
 }

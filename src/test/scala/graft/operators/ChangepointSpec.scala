@@ -58,4 +58,59 @@ class ChangepointSpec extends AnyFunSuite {
     // single-point group: stat |1·5−1·5| = 0
     assert(got("b") == ((1L, 5L, 1L, "0")))
   }
+
+  private def alarms(rows: Seq[(String, Long, Long, Long)], ref: Long,
+                     h: Long): Seq[(String, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Changepoint.cusumAlarms(rows.toDF("g", "us", "id", "v"),
+        "g", "us", "id", "v", ref, h)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(t => (t._1, t._2))
+  }
+
+  /** Page recursion reference: gap_i = max(0, gap_{i-1} + (v_i − ref)). */
+  private def brutePage(vs: Seq[(Long, Long, Long)], ref: Long,
+                        h: Long): Seq[(Long, Long, Long)] = {
+    var gap = 0L; var cum = 0L
+    vs.sortBy(t => (t._1, t._2)).flatMap { case (us, id, v) =>
+      cum += v - ref
+      gap = math.max(0L, gap + (v - ref))
+      if (gap >= h) Some((us, id, gap)) else None
+    }
+  }
+
+  test("cusumAlarms ≡ Page's recursion gap = max(0, gap + d) per group") {
+    val rnd = new scala.util.Random(0x6F)
+    val rows = for {
+      g <- Seq("g1", "g2", "g3"); i <- 1L to 60L
+    } yield (g, 1000L * i, i, rnd.nextLong(200).abs)
+    val got = alarms(rows, ref = 90L, h = 300L)
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      brutePage(rs.map(t => (t._2, t._3, t._4)), 90L, 300L)
+        .map { case (us, id, gap) => (g, us, id, gap) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.map(t => (t._1, t._2, t._3, t._5)) === expect)
+  }
+
+  test("cusumAlarms: S₀ = 0 baseline — a lone first spike below h stays quiet") {
+    // first value +100 over ref: with a bare window min the baseline
+    // would be the spike itself (gap 0 forever after); with S₀ = 0 the
+    // spike IS the gap
+    val got = alarms(Seq(("s", 1L, 1L, 100L), ("s", 2L, 2L, 0L)), 0L, 150L)
+    assert(got.isEmpty)
+    val got2 = alarms(Seq(("s", 1L, 1L, 100L), ("s", 2L, 2L, 100L)), 0L, 150L)
+    assert(got2.map(t => (t._3, t._5)) === Seq((2L, 200L)))
+  }
+
+  test("firstAlarms: first crossing by (us, id) + total alarm-row count") {
+    import spark.implicits._
+    val rows = Seq(("g", 10L, 1L, 50L), ("g", 20L, 2L, 50L),
+      ("g", 30L, 3L, 50L), ("x", 10L, 9L, 1L))
+    val got = Changepoint.firstAlarms(rows.toDF("g", "us", "id", "v"),
+        "g", "us", "id", "v", ref = 0L, threshold = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map("g" -> ((20L, 2L, 100L, 2L))))
+  }
 }

@@ -219,4 +219,52 @@ class GraphStatsSpec extends AnyFunSuite {
     } yield (u, w) -> ((p, p * (p - 1) / 2))).toMap
     assert(rects(edges) === expect)
   }
+
+  private def bip(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    GraphStats.bipartiteComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("bipartiteComponents: even cycle yes, odd cycle no, path yes") {
+    val got = bip(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), // C4 → bipartite
+      (10L, 11L), (11L, 12L), (12L, 10L),     // triangle → odd cycle
+      (20L, 21L), (21L, 22L)))                // path → bipartite
+    assert(got === Map(1L -> ((4L, 1L)), 10L -> ((3L, 0L)), 20L -> ((3L, 1L))))
+  }
+
+  test("bipartiteComponents: odd cycle anywhere poisons its whole component") {
+    // triangle with a long bipartite tail hanging off it
+    val got = bip(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)))
+    assert(got === Map(1L -> ((6L, 0L))))
+  }
+
+  test("bipartiteComponents ≡ brute 2-coloring on a random graph") {
+    val rnd = new scala.util.Random(0x5E)
+    val edges = (for (a <- 1L to 20L; b <- (a + 1) to 20L
+      if rnd.nextInt(100) < 12) yield (a, b)).distinct
+    val nbr = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    // brute: BFS components + 2-coloring
+    var seen = Set.empty[Long]
+    val expect = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    nodes.foreach { s =>
+      if (!seen(s)) {
+        var color = Map(s -> 0)
+        var frontier = List(s); var ok = true
+        while (frontier.nonEmpty) {
+          val v = frontier.head; frontier = frontier.tail
+          nbr(v).foreach { u =>
+            if (!color.contains(u)) {
+              color += u -> (1 - color(v)); frontier ::= u
+            } else if (color(u) == color(v)) ok = false
+          }
+        }
+        seen ++= color.keySet
+        expect(color.keys.min) = ((color.size.toLong, if (ok) 1L else 0L))
+      }
+    }
+    assert(bip(edges) === expect.toMap)
+  }
 }

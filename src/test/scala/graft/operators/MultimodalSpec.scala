@@ -293,4 +293,39 @@ class MultimodalSpec extends AnyFunSuite {
       .toDF("media_id", "kind", "content")
     assert(Multimodal.pcmFrame(bad).count() === 0L)
   }
+
+  test("pixel frame: exact packed wire bytes; tile sums match a driver walk") {
+    import spark.implicits._
+    // 6x2 image, pixel (x,y) = (x*40+y, x, y*7) — distinct per position
+    val w = 6; val h = 2
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      rgb(o) = (x * 40 + y).toByte; rgb(o + 1) = x.toByte; rgb(o + 2) = (y * 7).toByte
+    }
+    val content = Multimodal.PpmCodec.encode(w, h, rgb)
+    // exact accessor round-trip
+    val (pw, px) = Multimodal.PpmCodec.pixels(content)
+    assert(pw === w && px.length === w * h)
+    assert(px(1 * w + 2) === ((2 * 40 + 1) << 16 | 2 << 8 | 7))
+    val mediaDf = Seq((1L, "image", content)).toDF("media_id", "kind", "content")
+    val frame = Multimodal.pixelFrame(mediaDf)
+    assert(frame.count() === (w * h).toLong)
+    val got = Multimodal.tileStats(frame, tile = 4).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // brute tiles from the same rgb array
+    val expect = (for (y <- 0 until h; x <- 0 until w) yield (y / 4, x / 4) ->
+      (x, y)).groupBy(_._1).map { case (t, ps) =>
+      (t._1.toLong, t._2.toLong) -> ((ps.size.toLong,
+        ps.map { case (_, (x, y)) => (x * 40 + y).toLong }.sum,
+        ps.map { case (_, (x, _)) => x.toLong }.sum,
+        ps.map { case (_, (_, y)) => (y * 7).toLong }.sum))
+    }
+    assert(got === expect)
+    // corrupt payload: no rows, no crash; audio rows excluded
+    val bad = Seq((2L, "image", Array[Byte](80, 54, 9)),
+      (3L, "audio", content)).toDF("media_id", "kind", "content")
+    assert(Multimodal.pixelFrame(bad).count() === 0L)
+  }
 }

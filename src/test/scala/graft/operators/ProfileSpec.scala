@@ -72,4 +72,30 @@ class ProfileSpec extends AnyFunSuite {
     assert(got(("a", "b"))._3 === 1L && got(("a", "c"))._3 === 1L)
     assert(got(("c", "a"))._3 === 0L)
   }
+
+  test("keyDiscovery: singles, pairs, minimality, and NULL disqualification") {
+    import spark.implicits._
+    // id unique; (grp, seq) composite-unique with neither member unique;
+    // nul has a NULL (never a key even though non-null values are distinct)
+    val df = Seq(
+      (1L, "a", 1L, Some(10L)), (2L, "a", 2L, Some(20L)),
+      (3L, "b", 1L, Some(30L)), (4L, "b", 2L, None))
+      .toDF("id", "grp", "seq", "nul")
+    val got = Profile.keyDiscovery(df, Seq("id", "grp", "seq", "nul"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got.size === 4 + 6)
+    assert(got("id") === ((1L, 4L, 4L, 1L, 1L)))
+    assert(got("grp") === ((1L, 2L, 4L, 0L, 0L)))
+    assert(got("nul") === ((1L, 3L, 4L, 0L, 0L))) // NULL drops the count
+    // (grp, seq) is a MINIMAL composite key
+    assert(got("grp+seq") === ((2L, 4L, 4L, 1L, 1L)))
+    // (id, grp) is a key but NOT minimal (id already keys the table)
+    assert(got("id+grp") === ((2L, 4L, 4L, 1L, 0L)))
+    // (grp, nul): the NULL field makes a distinct struct value — both
+    // engines count it, and here the pair happens to be a minimal key
+    assert(got("grp+nul") === ((2L, 4L, 4L, 1L, 1L)))
+  }
 }

@@ -67,4 +67,35 @@ class SimilaritySpec extends AnyFunSuite {
       .collect()
     assert(pred.map(_.toString).toSeq == pred2.map(_.toString).toSeq)
   }
+
+  test("maxSim ≡ brute-force per-entity per-query max dot; score sums") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x7A)
+    val vs = (0L until 30L).map(i =>
+      (i, Seq.fill(5)(rnd.nextFloat() * 2f - 1f), (i % 4).toInt))
+    val df = vs.toDF("vec_id", "embedding", "label")
+    def quant(e: Seq[Float]): Seq[Long] =
+      e.map(x => math.floor(x.toDouble * 1000000L).toLong)
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val queries = vs.filter(_._1 < 2).map(v => (v._1, quant(v._2)))
+    val expect = (for {
+      (ent, members) <- vs.groupBy(_._3 .toLong).toSeq
+      (qid, qqa) <- queries
+    } yield {
+      val dots = members.map(m => (dot(quant(m._2), qqa), m._1))
+      val best = dots.maxBy { case (d, id) => (d, -id) }
+      (ent, qid) -> ((best._1, best._2))
+    }).toMap
+    val got = Similarity.maxSim(df, "label", col("vec_id") < 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (k, (md, bv, score)) =>
+      assert((md, bv) === expect(k), s"entity/query $k")
+      val entTotal = expect.collect { case ((e, _), (d, _)) if e == k._1 => d }.sum
+      assert(score === entTotal, s"entity_score ${k._1}")
+    }
+  }
 }

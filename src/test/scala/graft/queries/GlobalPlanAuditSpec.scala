@@ -47,8 +47,9 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "q269_bigram_lm_score",   // holdout pairs × 1-row vocab-size broadcast
     "q271_decayed_counts",    // events × 1-row max-timestamp broadcast
     "q289_cms_join_estimate", // 1-row sketch estimate × 1-row exact agg
-    "q295_knn_shapley")       // train rows × BROADCAST bounded probe panel
+    "q295_knn_shapley",       // train rows × BROADCAST bounded probe panel
                               // (≤ 24 tests by construction)
+    "q304_maxsim_retrieval")  // member rows × BROADCAST 3-vector query panel
 
   private lazy val optimized: Map[String, LogicalPlan] =
     graft.SparkEntry.queries.map { case (name, fn) =>
