@@ -289,32 +289,31 @@ object GraphStats {
     * {u,v} becomes {u⁰,v¹} and {v⁰,u¹}; a component contains an odd
     * cycle iff some node's two shadows land in the SAME doubled
     * component — one CC fixpoint answers 2-colorability for every
-    * component at once, no per-component BFS coloring. Original
-    * components are then recovered from a CC over the TINY quotient
-    * graph of (shadow⁰-label, shadow¹-label) pairs (≤ 2·#components
-    * nodes) instead of re-walking the edge set — the q290
-    * quotient-graph maintenance idea. Output: (comp = min member id,
-    * n_nodes, is_bip 0/1). The oracle answers the same question with
-    * different machinery: recursive min-label closure + a (node,color)
-    * propagation from each component's min node. */
+    * component at once, no per-component BFS coloring. NO second pass
+    * recovers the original components: for a connected component the
+    * unordered shadow-label pair {d0, d1} is CONSTANT across its nodes
+    * (bipartite → sides A/B see the same two doubled components from
+    * opposite ends; odd cycle → d0 = d1 = the single merged label), so
+    * `least(d0, d1)` already keys the original components — one
+    * groupBy, zero extra fixpoints (measured: the naive quotient-CC
+    * second pass cost ~2–3 s of pure per-round scheduling floor at
+    * local[32]). Output: (comp = min member id, n_nodes, is_bip 0/1).
+    * The oracle answers the same question with different machinery:
+    * recursive min-label closure + a (node,color) propagation from
+    * each component's min node. */
   def bipartiteComponents(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
     val doubled = e.select((col("a") * 2).as("id_a"), (col("b") * 2 + 1).as("id_b"))
       .unionByName(e.select((col("b") * 2).as("id_a"), (col("a") * 2 + 1).as("id_b")))
     val dcc = Dedup.connectedComponents(doubled, maxIter = 40)
-    val shadow = dcc
+    dcc
       .select(expr("id div 2").as("node"),
         when(col("id") % 2 === 0, col("comp")).as("d0"),
         when(col("id") % 2 === 1, col("comp")).as("d1"))
       .groupBy("node")
       .agg(max(col("d0")).as("d0"), max(col("d1")).as("d1"))
-    val quotient = Dedup.connectedComponents(
-      shadow.select(col("d0").as("id_a"), col("d1").as("id_b")).distinct(),
-      maxIter = 40)
-    shadow
-      .join(quotient.select(col("id").as("d0"), col("comp").as("qc")), "d0")
-      .groupBy("qc")
+      .groupBy(least(col("d0"), col("d1")).as("_ck"))
       .agg(min(col("node")).as("comp"), count(lit(1)).as("n_nodes"),
         min(when(col("d0") =!= col("d1"), 1L).otherwise(0L)).as("is_bip"))
       .select(col("comp"), col("n_nodes"), col("is_bip"))

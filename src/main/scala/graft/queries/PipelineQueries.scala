@@ -4768,6 +4768,60 @@ object PipelineQueries {
         .select(col("entity").as("label"), col("qid"), col("max_dot"),
           col("best_vec"), col("entity_score"))
         .orderBy("label", "qid")
+    },
+
+    // t-closeness audit (Privacy.tClosenessEmd): per (nation, segment)
+    // equivalence class, the EMD between the class's and the global
+    // banded account-balance distribution, cross-multiplied to exact
+    // integers (the q286 KS trick applied to EMD) — completes the
+    // privacy trio (q145 k-anonymity, q278 l-diversity). Bands are
+    // $1000 buckets SHIFTED non-negative before the floor division
+    // (cents can be negative; DuckDB // floors, Spark div truncates —
+    // the q278-class rule). Global cumulative = triangle self-join of
+    // the ~14-band frame, never a global window.
+    QueryDef.sql("q305_tcloseness",
+      """WITH c AS (
+        |  SELECT n_name AS nat, c_mktsegment AS seg,
+        |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      + 100000) // 100000 AS band
+        |  FROM customer JOIN nation ON n_nationkey = c_nationkey),
+        |gb AS (SELECT band, count(*) AS gcnt FROM c GROUP BY 1),
+        |gcum AS (
+        |  SELECT b1.band AS band, CAST(sum(b2.gcnt) AS BIGINT) AS gcum,
+        |    CAST((SELECT count(*) FROM c) AS BIGINT) AS n_tot
+        |  FROM gb b1 JOIN gb b2 ON b2.band <= b1.band GROUP BY b1.band),
+        |cls AS (SELECT DISTINCT nat, seg FROM c),
+        |cb AS (SELECT nat, seg, band, count(*) AS cnt FROM c GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT cls.nat AS nat, cls.seg AS seg, g.band AS band,
+        |    coalesce(cb.cnt, 0) AS cnt
+        |  FROM cls CROSS JOIN gb g
+        |  LEFT JOIN cb ON cb.nat = cls.nat AND cb.seg = cls.seg
+        |    AND cb.band = g.band),
+        |ccum AS (
+        |  SELECT nat, seg, band,
+        |    CAST(sum(cnt) OVER (PARTITION BY nat, seg ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS ccum,
+        |    CAST(sum(cnt) OVER (PARTITION BY nat, seg) AS BIGINT) AS n_c
+        |  FROM grid)
+        |SELECT cc.nat AS nat, cc.seg AS seg, CAST(max(cc.n_c) AS BIGINT)
+        |    AS n_c,
+        |  CAST(sum(abs(cc.ccum * g.n_tot - g.gcum * cc.n_c)) AS VARCHAR)
+        |    AS emd_num,
+        |  CAST(max(cc.n_c) * max(g.n_tot) * (count(*) - 1) AS VARCHAR)
+        |    AS emd_den
+        |FROM ccum cc JOIN gcum g USING (band)
+        |GROUP BY cc.nat, cc.seg
+        |ORDER BY nat, seg""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("n_nationkey") === col("c_nationkey"))
+        .select(col("n_name").as("nat"), col("c_mktsegment").as("seg"),
+          expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " + 100000L) div 100000L").as("band"))
+      graft.operators.Privacy.tClosenessEmd(c, Seq("nat", "seg"), "band")
+        .orderBy("nat", "seg")
     }
   )
 

@@ -2354,6 +2354,58 @@ object RelationalQueries {
       graft.operators.Profile.keyDiscovery(orders(s, d),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
           "o_orderdate"))
+    },
+
+    // Exact OLS trend components per nation (the least-squares
+    // companion of q268's Theil–Sen): over monthly revenue cents,
+    // slope = (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²) — both sides emitted
+    // as exact DECIMAL(38,0) digit strings (q184 discipline: products
+    // of aggregates exceed BIGINT at scale), the float division left
+    // to the consumer per the avg-class rule. One groupBy + one
+    // nation-level agg; x is the month index, so Σxy needs the
+    // decimal pre-cast BEFORE the multiply.
+    QueryDef.sql("q306_ols_components",
+      """WITH monthly AS (
+        |  SELECT n.n_name AS nation,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT nation, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS VARCHAR) AS sxy,
+        |  CAST(sum(x * x) AS VARCHAR) AS sxx,
+        |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS VARCHAR)
+        |    AS slope_num,
+        |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS VARCHAR)
+        |    AS slope_den
+        |FROM monthly GROUP BY nation ORDER BY nation""".stripMargin) { (s, d) =>
+      val monthly = orders(s, d)
+        .join(broadcast(customer(s, d)
+          .join(nation(s, d), col("n_nationkey") === col("c_nationkey"))
+          .select(col("c_custkey"), col("n_name"))),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("n_name").as("nation"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("x"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("y"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      monthly.groupBy("nation")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(dec(col("x")) * col("y")).as("_sxy"),
+          sum(dec(col("x")) * col("x")).as("_sxx"))
+        .select(col("nation"), col("n"), col("sx"), col("sy"),
+          col("_sxy").cast("string").as("sxy"),
+          col("_sxx").cast("string").as("sxx"),
+          (col("n") * col("_sxy") - dec(col("sx")) * col("sy"))
+            .cast("string").as("slope_num"),
+          (col("n") * col("_sxx") - dec(col("sx")) * col("sx"))
+            .cast("string").as("slope_den"))
+        .orderBy("nation")
     }
   )
 }

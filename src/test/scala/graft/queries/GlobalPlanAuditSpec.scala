@@ -49,7 +49,9 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "q289_cms_join_estimate", // 1-row sketch estimate × 1-row exact agg
     "q295_knn_shapley",       // train rows × BROADCAST bounded probe panel
                               // (≤ 24 tests by construction)
-    "q304_maxsim_retrieval")  // member rows × BROADCAST 3-vector query panel
+    "q304_maxsim_retrieval",  // member rows × BROADCAST 3-vector query panel
+    "q305_tcloseness")        // ~125 classes × BROADCAST ~14-band frame
+                              // (bounded by the banding contract)
 
   private lazy val optimized: Map[String, LogicalPlan] =
     graft.SparkEntry.queries.map { case (name, fn) =>
