@@ -4770,6 +4770,86 @@ object PipelineQueries {
         .orderBy("label", "qid")
     },
 
+    // ANN recall@k audit: IVF top-5 (q54's persisted store, probed at
+    // nprobe = 1, 2, 3) measured against the brute-force exact top-5
+    // (q39's definition) — the evaluation query a pipeline owner tunes
+    // nprobe from, composing two already-oracle-gated retrieval paths;
+    // the output is the integer intersection size, so no new float
+    // surface. Probe lists (the seeded stage) are aux-shared per the
+    // q54 convention; BOTH rankings and the intersection are
+    // independently restated in SQL.
+    QueryDef.sql("q307_ann_recall",
+      s"""WITH c AS (SELECT corpus_id, cv, CAST(cell AS INT) AS cell
+         |  FROM read_parquet('__AUX__/q54_store/assigned/*/*.parquet', hive_partitioning = 1)),
+         |p AS (SELECT * FROM read_parquet('__AUX__/q307_probes/*.parquet')),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 3),
+         |corpus AS (SELECT vec_id AS corpus_id, embedding AS cv
+         |  FROM embeddings),
+         |ex_scored AS (
+         |  SELECT query_id, corpus_id,
+         |    round(
+         |      list_sum(list_transform(list_zip(qv, cv),
+         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(cv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+         |      6) AS sim
+         |  FROM corpus CROSS JOIN q),
+         |exact AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, corpus_id) AS rank
+         |    FROM ex_scored) WHERE rank <= 5),
+         |iv_scored AS (
+         |  SELECT p.np, p.query_id, c.corpus_id,
+         |    ${duckCosine("p.qv", "c.cv")} AS sim
+         |  FROM c JOIN p ON c.cell = p.cell),
+         |ivf AS (
+         |  SELECT np, query_id, corpus_id FROM (
+         |    SELECT np, query_id, corpus_id,
+         |      row_number() OVER (PARTITION BY np, query_id
+         |        ORDER BY sim DESC, corpus_id) AS rank
+         |    FROM iv_scored) WHERE rank <= 5),
+         |grid AS (SELECT DISTINCT np, query_id FROM p)
+         |SELECT g.np AS np, g.query_id AS query_id,
+         |  CAST(count(e.corpus_id) AS BIGINT) AS n_hits,
+         |  CAST(count(i.corpus_id) AS BIGINT) AS n_retrieved
+         |FROM grid g
+         |LEFT JOIN ivf i ON i.np = g.np AND i.query_id = g.query_id
+         |LEFT JOIN exact e ON e.query_id = i.query_id
+         |  AND e.corpus_id = i.corpus_id
+         |GROUP BY g.np, g.query_id
+         |ORDER BY np, query_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 3)
+      val exact = Similarity.bruteForceTopK(queries, emb,
+          "vec_id", "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val index = IvfIndex.buildCached(s"q54:$d", emb, "vec_id", "embedding",
+        nlist = 8)
+      val store = IvfIndex.storeCached(index, s"${Aux.dir(d)}/q54_store")
+      val loaded = IvfIndex.load(s, store)
+      val probes = Aux.share(
+        Seq(1, 2, 3).map { np =>
+          IvfIndex.probes(loaded, queries, "vec_id", "embedding", nprobe = np)
+            .withColumn("np", lit(np.toLong))
+        }.reduce(_.unionByName(_)), d, "q307_probes")
+      val ivf = Seq(1L, 2L, 3L).map { np =>
+        IvfIndex.topKStoredWithProbes(loaded,
+            probes.filter(col("np") === np).drop("np"), k = 5)
+          .select(lit(np).as("np"), col("query_id"), col("corpus_id"))
+      }.reduce(_.unionByName(_))
+      val hits = ivf.join(exact.withColumn("hit", lit(1L)),
+          Seq("query_id", "corpus_id"), "left")
+      probes.select(col("np"), col("query_id")).distinct()
+        .join(hits, Seq("np", "query_id"), "left")
+        .groupBy("np", "query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          count(col("corpus_id")).as("n_retrieved"))
+        .orderBy("np", "query_id")
+    },
+
     // t-closeness audit (Privacy.tClosenessEmd): per (nation, segment)
     // equivalence class, the EMD between the class's and the global
     // banded account-balance distribution, cross-multiplied to exact

@@ -50,8 +50,10 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "q295_knn_shapley",       // train rows × BROADCAST bounded probe panel
                               // (≤ 24 tests by construction)
     "q304_maxsim_retrieval",  // member rows × BROADCAST 3-vector query panel
-    "q305_tcloseness")        // ~125 classes × BROADCAST ~14-band frame
+    "q305_tcloseness",        // ~125 classes × BROADCAST ~14-band frame
                               // (bounded by the banding contract)
+    "q307_ann_recall")        // exact-recall baseline = q39's corpus ×
+                              // BROADCAST 3-query brute definition
 
   private lazy val optimized: Map[String, LogicalPlan] =
     graft.SparkEntry.queries.map { case (name, fn) =>
