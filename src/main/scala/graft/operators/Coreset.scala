@@ -41,7 +41,11 @@ object Coreset {
     * max-min distance after round r−1), plus a final row
     * (k+1, -1, radius) carrying the cover radius of the full
     * k-selection. Seed = smallest vec_id; argmax ties break to the
-    * smaller vec_id.
+    * smaller vec_id. If k exceeds the number of DISTINCT quantized
+    * points, later rounds re-pick the seed (max mind = 0, smallest
+    * vec_id) and emit duplicate center rows — deliberate, and mirrored
+    * by the q294 oracle; callers wanting distinct centers keep
+    * k &le; distinct points. Empty input is rejected (require).
     */
   def kcenter(emb: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 256, s"k must be in [1, 256]: $k")
@@ -51,7 +55,9 @@ object Coreset {
     def qaOf(r: Row): Seq[Long] = r.getSeq[Long](r.fieldIndex("qa"))
     def idOf(r: Row): Long = r.getLong(r.fieldIndex("vec_id"))
 
-    val first = qv.orderBy(col("vec_id")).limit(1).collect()(0)
+    val firstRows = qv.orderBy(col("vec_id")).limit(1).collect()
+    require(firstRows.nonEmpty, "kcenter: empty embedding frame")
+    val first = firstRows(0)
     var picked = List[Row](Row(1L, idOf(first), 0L))
     var cur = qv.withColumn("mind",
       int_sqdist(col("qa"), typedlit(qaOf(first))))

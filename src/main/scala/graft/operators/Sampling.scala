@@ -87,7 +87,9 @@ object Sampling {
       col(idCol).cast("long").as("_id"), col(xCol).cast("long").as("_x"))
     val st = c.groupBy(col(grpCol), col(stratumCol))
       .agg(count(lit(1)).as("n_h"),
-        sum((col("_x") * col("_x")).cast("decimal(38,0)")).as("_sxx"),
+        // cast BEFORE squaring (q184 rule): x*x in LONG throws under
+        // ANSI for |x| >= ~3.04e9; the RankStats tie-term pattern
+        sum(col("_x").cast("decimal(38,0)") * col("_x")).as("_sxx"),
         sum(col("_x").cast("decimal(38,0)")).as("_sx"))
       .withColumn("w",
         floor(sqrt((col("n_h") * col("_sxx") - col("_sx") * col("_sx"))

@@ -2271,8 +2271,8 @@ object RelationalQueries {
         |  JOIN region ON r_regionkey = n_regionkey),
         |st AS (
         |  SELECT region, nation, CAST(count(*) AS BIGINT) AS n_h,
-        |    CAST(floor(sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x)
-        |      AS DOUBLE))) AS BIGINT) AS w
+        |    CAST(floor(sqrt(CAST(count(*) * sum(CAST(x AS HUGEINT) * x)
+        |      - sum(x) * sum(x) AS DOUBLE))) AS BIGINT) AS w
         |  FROM c GROUP BY 1, 2),
         |t AS (
         |  SELECT region, nation, n_h, w,

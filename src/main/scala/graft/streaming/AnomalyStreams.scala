@@ -44,8 +44,12 @@ object AnomalyStreams {
       .flatMapGroupsWithState[CusumState, Alarm](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[Event], state: GroupState[CusumState]) =>
+          // sort by the µs-TRUNCATED key the batch operator orders on
+          // (us, id) — a full-ns key would order two same-µs events
+          // differently than batch (the ns-vs-µs birthday class)
           val batch = it.toArray.sortBy(e =>
-            (e.ts.getTime, e.ts.getNanos % 1000000L, e.event_id))
+            ((e.ts.getTime / 1000L) * 1000000L + e.ts.getNanos / 1000L,
+              e.event_id))
           var st = state.getOption.getOrElse(CusumState(0L, 0L))
           val out = ArrayBuffer.empty[Alarm]
           batch.foreach { e =>

@@ -103,8 +103,12 @@ object DecayStreams {
       .filter(col("asof_bucket") === col("_mx"))
       .groupBy(col("key"), col("bucket"))
       .agg(max(col("cnt")).as("cnt"))
+      // greatest(0, ·): a stale ref (refBucket < a stored bucket) would
+      // make _age negative and shiftleft silently mask it (Java << uses
+      // count & 63) — clamp to age 0 = full weight instead of garbage
       .withColumn("_age",
-        least(lit(refBucket) - col("bucket"), lit(maxAgeBuckets.toLong)))
+        least(greatest(lit(0L), lit(refBucket) - col("bucket")),
+          lit(maxAgeBuckets.toLong)))
       .withColumn("_wt",
         expr(s"${scale}L div shiftleft(1L, cast(_age as int))"))
       .groupBy("key")
