@@ -105,6 +105,47 @@ class QuotaPlannerSpec extends AnyFunSuite {
     assert(p("z")("u1") == 3 && p("a")("u2") == 2)
   }
 
+  test("ScalaCheck property: invariants hold under pathological capacity " +
+      "skew (r11 VERDICT item 8)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    // caps drawn from a deliberately bimodal-with-zeros distribution:
+    // mostly 0, some tiny, a few huge — the skew shape that stresses
+    // both water-fill levels (zero-cap URL skipping, clause saturation,
+    // and giant-clause absorption) at once
+    val capGen: Gen[Int] = Gen.frequency(
+      4 -> Gen.const(0), 4 -> Gen.choose(1, 10),
+      1 -> Gen.choose(100, 2000), 1 -> Gen.const(500000))
+    val clauseGen: Gen[Seq[(String, Int)]] =
+      Gen.choose(1, 60).flatMap(k => Gen.listOfN(k, capGen))
+        .map(_.zipWithIndex.map { case (cap, i) => (s"u$i", cap) })
+    val statsGen: Gen[QuotaPlanner.Stats] =
+      Gen.choose(1, 40).flatMap(k => Gen.listOfN(k, clauseGen))
+        .map(_.zipWithIndex.map { case (us, i) => (s"c$i", us) })
+    val prop = Prop.forAll(statsGen, Gen.choose(0, 300000)) { (stats, n) =>
+      val p = QuotaPlanner.distributeQuotaFair(stats, n)
+      val totalCap = stats.flatMap(_._2.map(_._2)).sum
+      if (n <= 0) p.isEmpty
+      else {
+        val caps = stats.flatMap { case (c, us) =>
+          us.map { case (u, cap) => (c, u) -> cap } }.toMap
+        val capsOk = p.forall { case (c, us) =>
+          us.forall { case (u, q) => q >= 0 && q <= caps((c, u)) } }
+        val capByClause = stats.map { case (c, us) => c -> us.map(_._2).sum }.toMap
+        val totals = p.map { case (c, us) => c -> us.map(_._2).sum }.toMap
+        val unconstrained = totals.filter { case (c, t) =>
+          capByClause(c) > 0 && t < capByClause(c) }
+        val fair = unconstrained.size <= 1 ||
+          unconstrained.values.max - unconstrained.values.min <= 1
+        QuotaPlanner.planTotal(p) == math.min(n, totalCap) && capsOk && fair
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(120)
+        .withInitialSeed(Seed(20260816L)), prop)
+    assert(res.passed, s"ScalaCheck property failed: ${res.status}")
+  }
+
   test("adversarial scale: thousands of URLs, one giant + many zero caps " +
       "(r10 VERDICT item 8)") {
     // 2000 clauses / ~4000 URLs: clause 0 is one giant URL (cap 10^6),
