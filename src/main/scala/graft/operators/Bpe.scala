@@ -34,6 +34,54 @@ object Bpe {
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
 
+  /** Full BPE training loop: `rounds` iterations of (count pairs →
+    * argmax → left-greedy merge), producing the learned merge table —
+    * the actual tokenizer-training workload (q118 counts one round's
+    * pairs, q231 applies ONE merge; this iterates).
+    *
+    * Output: (round, w1, w2, cnt) for round = 1..rounds — the pair
+    * chosen that round (ties: cnt DESC, then (w1, w2) ASC, which ≡ the
+    * oracle's space-joined string order because tokens contain no
+    * spaces and ' ' sorts below every token character — the q231
+    * note) — plus a final row (rounds+1, '__total__', '__total__',
+    * non-empty token count of the fully merged corpus).
+    *
+    * Scale shape: per round, ONE map-side-combined pair count (the
+    * shuffle carries distinct pairs, not tokens), a 1-row
+    * TakeOrdered(1) argmax collect (bounded by contract — the
+    * Coreset/PrefixSum driver-scalar class), and a row-local merge
+    * rewrite (no shuffle). Each round's rewritten corpus is
+    * localCheckpoint'd so round r's scan does not re-execute r−1
+    * chained merge UDFs (the PageRank lineage-truncation idiom); the
+    * checkpoints belong to the session pool (docs/CACHE_POLICY.md —
+    * harnesses release via Caches.releaseAll). At 100 TB the cost is
+    * `rounds` corpus scans — the known price of exact BPE; the merged
+    * token names compose with '_' so round k's pairs are well-defined
+    * strings. */
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 30, s"rounds must be in [1, 30]: $rounds")
+    val spark = docs.sparkSession
+    var cur = docs
+    val merges = (1 to rounds).map { r =>
+      val top = adjacentPairCounts(cur, textCol)
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+        .collect().head
+      val (w1, w2, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      cur = applyMerge(cur, textCol, w1, w2, w1 + "_" + w2).localCheckpoint()
+      (r.toLong, w1, w2, cnt)
+    }
+    import spark.implicits._
+    val mergeRows = merges.toDF("round", "w1", "w2", "cnt")
+    val total = cur
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit(rounds + 1L).as("round"), lit("__total__").as("w1"),
+        lit("__total__").as("w2"), col("cnt"))
+    mergeRows.unionByName(total)
+  }
+
   /** Left-greedy merge of adjacent (w1, w2) occurrences into `joined`
     * within each doc's token stream — one BPE merge application.
     * Returns `docs` with `textCol` rewritten. */

@@ -60,6 +60,63 @@ object IvfIndex {
   private def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
+  /** Incremental maintenance, step 1: assign a DELTA batch of vectors to
+    * the EXISTING centroids (frozen coarse quantizer — the standard IVF
+    * maintenance regime: new vectors are routed by the trained
+    * quantizer; refitting would invalidate every stored cell). Output
+    * shape matches [[Index.assigned]]: (corpus_id, cv, cell).
+    *
+    * Assignment = argmin over the centroid literal by (squared distance,
+    * cell) — ties to the lowest cell id, which is Spark ML KMeans'
+    * first-minimal-index rule, so `assignToCentroids(index, base) ≡
+    * index.assigned` (asserted in IvfIndexSpec). Row-local codegen over
+    * an nlist-sized literal: no join, no shuffle — a delta batch
+    * appends at scan speed regardless of corpus size. */
+  def assignToCentroids(index: Index, delta: DataFrame, idCol: String,
+                        vecCol: String): DataFrame = {
+    val centroidsLit = typedlit(index.centroids.map(_.toSeq).toSeq)
+    // the lambdas capture ONLY the raw vector ATTRIBUTE (element-wise
+    // casts live inside the lambda) — capturing cast(vec) would be a
+    // computed-array capture that the interpreted HOF re-evaluates per
+    // element (CLAUDE.md ground rule; machine-checked by the plan audit)
+    val raw = col(vecCol)
+    def d2(c: Column): Column = aggregate(
+      zip_with(raw, c,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+    delta.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"),
+      element_at(array_sort(
+        zip_with(transform(centroidsLit, c => d2(c)),
+          sequence(lit(0), lit(index.centroids.length - 1)),
+          (d, i) => struct(d.as("d"), i.as("cell")))), 1)
+        .getField("cell").cast("int").as("cell"))
+  }
+
+  /** Incremental maintenance, step 2: persist an assigned delta as a
+    * cell-partitioned SEGMENT next to the base store (the LSM shape —
+    * the base is immutable; a delta batch lands as its own
+    * `cell=N/` tree and search unions the segments, both probe-pruned
+    * at the scan). Write-once per session + content stamp + cross-JVM
+    * lock, the [[storeCached]] discipline. */
+  def segmentCached(assigned: DataFrame, path: String): String = {
+    storeWritten.synchronized {
+      if (!storeWritten.contains(path)) {
+        val root = java.nio.file.Paths.get(path)
+        graft.Aux.writeStamped(root.resolve("_content_version"),
+                               root.resolve("_lock"),
+                               graft.Aux.fingerprint(assigned),
+                               complete = java.nio.file.Files.exists(
+                                 root.resolve("assigned").resolve("_SUCCESS"))) {
+          graft.sources.StructureStore.writePartitioned(
+            assigned, s"$path/assigned", "cell")
+        }
+        storeWritten += path
+      }
+    }
+    path
+  }
+
   /** (query_id, qv, cell): the per-query probe list — nprobe nearest
     * centroids by squared distance (ranked by (distance, cell) and
     * sliced), one row per probed cell. Materialized to aux parquet by the

@@ -4902,6 +4902,217 @@ object PipelineQueries {
             " + 100000L) div 100000L").as("band"))
       graft.operators.Privacy.tClosenessEmd(c, Seq("nat", "seg"), "band")
         .orderBy("nat", "seg")
+    },
+
+    // Reciprocal-rank fusion (RankFusion.rrf): the hybrid-retrieval
+    // combiner over TWO oracle-gated rankings — q82's BM25 top-20 (the
+    // sparse list) and q39-style exact cosine top-20 for query vector 0
+    // (the dense list; vec_id ≡ doc_id links the tables). Contributions
+    // are integer floors Scale div (60 + rank) — the q220 div
+    // discipline — so fused scores hash-match; the oracle re-derives
+    // BOTH rankings AND the fusion. Rank 0 = absent from that list.
+    QueryDef.sql("q308_rrf_fusion",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |docs AS (SELECT doc_id, len(t) AS dl, t FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docs),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM docs)
+        |  WHERE term IN ('spark','join','window') GROUP BY doc_id, dl, term),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT doc_id, term,
+        |    CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE) /
+        |      (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |        (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+        |         CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) /
+        |           (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) *
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |     (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))) AS w
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN stats),
+        |p AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN term = 'spark'  THEN w END) AS w0,
+        |    max(CASE WHEN term = 'join'   THEN w END) AS w1,
+        |    max(CASE WHEN term = 'window' THEN w END) AS w2
+        |  FROM w GROUP BY doc_id),
+        |bmscore AS (
+        |  SELECT doc_id,
+        |    coalesce(w0, CAST(0.0 AS DOUBLE)) + coalesce(w1, CAST(0.0 AS DOUBLE)) +
+        |      coalesce(w2, CAST(0.0 AS DOUBLE)) AS score
+        |  FROM p),
+        |bm AS (
+        |  SELECT doc_id AS id, rank FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |    FROM bmscore) WHERE rank <= 20),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |dscored AS (
+        |  SELECT vec_id AS corpus_id,
+        |    round(list_sum(list_transform(list_zip(qv, embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM embeddings CROSS JOIN q),
+        |dn AS (
+        |  SELECT corpus_id AS id, rank FROM (
+        |    SELECT corpus_id, row_number() OVER (ORDER BY sim DESC, corpus_id) AS rank
+        |    FROM dscored) WHERE rank <= 20),
+        |u AS (
+        |  SELECT id, rank, 1 AS is_sparse, 0 AS is_dense FROM bm
+        |  UNION ALL
+        |  SELECT id, rank, 0, 1 FROM dn)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_lists,
+        |  CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_scaled,
+        |  CAST(coalesce(max(CASE WHEN is_sparse = 1 THEN rank END), 0) AS BIGINT)
+        |    AS sparse_rank,
+        |  CAST(coalesce(max(CASE WHEN is_dense = 1 THEN rank END), 0) AS BIGINT)
+        |    AS dense_rank
+        |FROM u GROUP BY id
+        |ORDER BY rrf_scaled DESC, id""".stripMargin) { (s, d) =>
+      // sparse ranks from the ≤20-row TakeOrdered prefix, driver-side —
+      // bounded by contract (the q229/q272 class; a rank window here
+      // would be global after the optimizer folds any literal partition
+      // key, the exact single-partition shape the plan audit bans)
+      import s.implicits._
+      val sp = graft.operators.Retrieval.rankedRetrieval(
+          Tables.documents(s, d), "doc_id", "text",
+          Seq("spark", "join", "window"), topK = 20)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+        .zipWithIndex.map { case (id, i) => (0L, id, i + 1) }.toSeq
+        .toDF("query_id", "id", "rank")
+      val emb = Tables.embeddings(s, d)
+      val dn = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0),
+          emb, "vec_id", "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("corpus_id").as("id"), col("rank"))
+      graft.operators.RankFusion.rrf(Seq("sparse" -> sp, "dense" -> dn))
+        .select(col("id"), col("n_lists"), col("rrf_scaled"),
+          col("sparse_rank"), col("dense_rank"))
+        .orderBy(col("rrf_scaled").desc, col("id"))
+    },
+
+    // Iterated BPE merge TRAINING (Bpe.trainMerges): five rounds of
+    // count-pairs → argmax → left-greedy merge — the real tokenizer-
+    // training loop (q118 = one round's counts, q231 = one round
+    // end-to-end). The oracle unrolls the recursion as MATERIALIZED CTE
+    // stages, each applying the merge via the independent relational
+    // construction (match positions → run parity → piece emission);
+    // validated against a third (imperative) implementation before the
+    // engine was written. Argmax ties: cnt DESC then pair ASC — the
+    // tuple order ≡ the oracle's string order (q231 note).
+    QueryDef.sql("q309_bpe_training", bpeTrainOracleSql(5)) { (s, d) =>
+      graft.operators.Bpe.trainMerges(Tables.documents(s, d), "text", rounds = 5)
+        .orderBy("round")
+    },
+
+    // Incremental IVF index maintenance (IvfIndex.assignToCentroids):
+    // a delta batch (vec_id ≡ 9 mod 10) routed to the BASE index's
+    // frozen centroids row-locally (argmin by (sqdist, cell) — KMeans'
+    // first-minimal-index rule, parity asserted in IvfIndexSpec) and
+    // unioned with the stored base cells; search probes 3 of 8 cells.
+    // The oracle re-derives the DELTA ASSIGNMENT ITSELF from the
+    // centroid sidecar plus the cell join + cosine ranking — so the
+    // maintenance step, not just the search, is cross-checked. The
+    // q100/q180/q290 incremental-maintenance pattern applied to ANN.
+    QueryDef.sql("q310_ivf_incremental",
+      s"""WITH cent AS (SELECT cell, centroid
+         |  FROM read_parquet('__AUX__/q310_centroids/*.parquet')),
+         |base AS (SELECT corpus_id, cv, cell
+         |  FROM read_parquet('__AUX__/q310_base/*.parquet')),
+         |delta AS (SELECT vec_id AS corpus_id,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
+         |  FROM embeddings WHERE vec_id % 10 = 9),
+         |dist AS (SELECT d.corpus_id, d.cv, c.cell,
+         |    list_sum(list_transform(list_zip(d.cv, c.centroid),
+         |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dd
+         |  FROM delta d CROSS JOIN cent c),
+         |asg AS (SELECT corpus_id, cv, cell FROM (
+         |    SELECT corpus_id, cv, cell,
+         |      row_number() OVER (PARTITION BY corpus_id ORDER BY dd, cell) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |allv AS (SELECT corpus_id, cv, cell FROM base
+         |  UNION ALL SELECT corpus_id, cv, cell FROM asg),
+         |p AS (SELECT * FROM read_parquet('__AUX__/q310_probes/*.parquet')),
+         |scored AS (SELECT p.query_id, a.corpus_id,
+         |    ${duckCosine("p.qv", "a.cv")} AS sim
+         |  FROM allv a JOIN p ON a.cell = p.cell)
+         |SELECT query_id, corpus_id, sim, rank FROM (
+         |  SELECT query_id, corpus_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, corpus_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 10 =!= 9)
+      val delta = emb.filter(col("vec_id") % 10 === 9)
+      val index = IvfIndex.buildCached(s"q310:$d", base, "vec_id",
+        "embedding", nlist = 8)
+      import s.implicits._
+      val baseAux = Aux.share(index.assigned, d, "q310_base")
+      Aux.share(index.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid"), d, "q310_centroids")
+      val probes = Aux.share(
+        IvfIndex.probes(index, emb.filter(col("vec_id") < 3), "vec_id",
+          "embedding", nprobe = 3), d, "q310_probes")
+      val merged = baseAux.unionByName(
+        IvfIndex.assignToCentroids(index, delta, "vec_id", "embedding"))
+      Similarity.rankTopK(
+          merged.join(broadcast(probes), Seq("cell"))
+            .select(col("query_id"), col("qv"), col("corpus_id"), col("cv")),
+          k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // URL canonicalization dedup (UrlCanon.firstWins): messy crawl-style
+    // URL surface forms — scheme / www. / trailing-slash / query-param-
+    // order noise synthesized deterministically from doc_id — collapsed
+    // to canonical form with first-wins survivors. Pure codegen'd
+    // string ops, one canonical-key groupBy; the oracle mirrors every
+    // normalization step with DuckDB's own string machinery.
+    QueryDef.sql("q311_url_dedup",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+        |    'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/d/' ||
+        |    CAST(doc_id // 40 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN ''
+        |          WHEN doc_id % 4 < 2 THEN '?b=2&a=1' ELSE '?a=1&b=2' END)
+        |      AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(split_part(url, '?', 1),
+        |      '^https?://', ''), '^www\.', '') AS hostpath,
+        |    split_part(url, '?', 2) AS params
+        |  FROM u),
+        |canon AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(hostpath, '/$', '') ||
+        |    (CASE WHEN params = '' THEN ''
+        |          ELSE '?' || array_to_string(list_sort(string_split(params, '&')), '&')
+        |     END) AS curl
+        |  FROM c)
+        |SELECT curl AS canon, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper
+        |FROM canon GROUP BY curl
+        |ORDER BY canon""".stripMargin) { (s, d) =>
+      val u = Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("http://")).otherwise(lit("https://")),
+          when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+          lit("h"), (col("doc_id") % 10).cast("string"), lit(".example.com/d/"),
+          expr("doc_id div 40").cast("string"),
+          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(""))
+            .when(col("doc_id") % 4 < 2, lit("?b=2&a=1"))
+            .otherwise(lit("?a=1&b=2"))).as("url"))
+      graft.operators.UrlCanon.firstWins(u, "url", "doc_id").orderBy("canon")
     }
   )
 
@@ -4953,6 +5164,76 @@ object PipelineQueries {
     * codegen kernel). MATERIALIZED is load-bearing: each m_r is
     * referenced twice, so un-materialized CTE inlining re-evaluates
     * the whole chain 2^k times (measured 9 s → 0.12 s at sf0.01). */
+  /** q309's oracle, generated: `rounds` BPE training rounds unrolled as
+    * MATERIALIZED CTE stages (un-materialized, a recursion-shaped chain
+    * re-evaluates exponentially — the q294 lesson). Each stage counts
+    * pairs with a lead() window, picks the (cnt DESC, pair ASC) argmax,
+    * and applies the merge via the q231 relational construction: match
+    * positions → consecutive-run parity (≡ left-greedy for the only
+    * overlap case, identical halves — a property that holds at EVERY
+    * round since overlapping matches of (a,b) force a = b) → piece
+    * emission; the next stage re-positions the surviving pieces with a
+    * per-doc row_number. Validated against an independent imperative
+    * implementation of the training loop before the engine was
+    * written. */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    def stage(k: Int): String = {
+      val t =
+        if (k == 1)
+          """t1 AS MATERIALIZED (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+            |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+            |  FROM documents)""".stripMargin
+        else
+          s"""t$k AS MATERIALIZED (
+             |  SELECT doc_id, piece AS tok,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+             |  FROM pieces${k - 1} WHERE NOT consumed)""".stripMargin
+      t + ",\n" +
+        s"""p$k AS (
+           |  SELECT doc_id, pos, tok,
+           |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+           |  FROM t$k),
+           |top$k AS MATERIALIZED (
+           |  SELECT tok || ' ' || nxt AS pair, count(*) AS cnt
+           |  FROM p$k WHERE nxt IS NOT NULL AND tok <> '' AND nxt <> ''
+           |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1),
+           |m$k AS (
+           |  SELECT doc_id, pos FROM p$k, top$k
+           |  WHERE nxt IS NOT NULL AND tok <> '' AND nxt <> ''
+           |    AND tok || ' ' || nxt = top$k.pair),
+           |runs$k AS (
+           |  SELECT doc_id, pos,
+           |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           |  FROM m$k),
+           |keep$k AS (
+           |  SELECT doc_id, pos FROM (
+           |    SELECT doc_id, pos,
+           |      pos - min(pos) OVER (PARTITION BY doc_id, grp) AS off
+           |    FROM runs$k)
+           |  WHERE off % 2 = 0),
+           |pieces$k AS MATERIALIZED (
+           |  SELECT t.doc_id, t.pos,
+           |    CASE WHEN kk.pos IS NOT NULL
+           |         THEN t.tok || '_' ||
+           |           lead(t.tok, 1) OVER (PARTITION BY t.doc_id ORDER BY t.pos)
+           |         ELSE t.tok END AS piece,
+           |    (k2.pos IS NOT NULL) AS consumed
+           |  FROM t$k t
+           |  LEFT JOIN keep$k kk ON t.doc_id = kk.doc_id AND t.pos = kk.pos
+           |  LEFT JOIN keep$k k2 ON t.doc_id = k2.doc_id AND t.pos = k2.pos + 1)""".stripMargin
+    }
+    val stages = (1 to rounds).map(stage).mkString(",\n")
+    val sel = (1 to rounds).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS round, string_split(pair, ' ')[1] AS w1," +
+        s" string_split(pair, ' ')[2] AS w2, CAST(cnt AS BIGINT) AS cnt FROM top$k"
+    }.mkString(" UNION ALL ")
+    s"WITH $stages\nSELECT * FROM ($sel\n" +
+      s" UNION ALL SELECT CAST(${rounds + 1} AS BIGINT), '__total__', '__total__'," +
+      s" CAST(count(*) AS BIGINT) FROM pieces$rounds" +
+      " WHERE NOT consumed AND piece <> '')\nORDER BY round"
+  }
+
   private def kcenterOracleSql(k: Int): String = {
     val head =
       """WITH x AS MATERIALIZED (

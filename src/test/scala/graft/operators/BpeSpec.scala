@@ -52,4 +52,44 @@ class BpeSpec extends AnyFunSuite {
     assert(again == Map(("th", "e") -> 2L, ("th", "i") -> 1L, ("i", "s") -> 1L,
       ("o", "th") -> 1L, ("e", "r") -> 1L))
   }
+
+  /** Driver-side reference of the full training loop: argmax by
+    * (cnt DESC, (w1, w2) ASC), left-greedy merge, `rounds` times. */
+  private def refTrain(texts: Seq[String], rounds: Int): (Seq[(Long, String, String, Long)], Long) = {
+    var corpus = texts.map(_.split(" ", -1).toSeq)
+    val merges = (1 to rounds).map { r =>
+      val pc = corpus.filter(_.size >= 2)
+        .flatMap(ts => ts.zip(ts.tail))
+        .filter { case (a, b) => a != "" && b != "" }
+        .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+      val ((w1, w2), cnt) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+      corpus = corpus.map { ts =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && ts(i) == w1 && ts(i + 1) == w2) {
+            out += w1 + "_" + w2; i += 2
+          } else { out += ts(i); i += 1 }
+        }
+        out.toSeq
+      }
+      (r.toLong, w1, w2, cnt)
+    }
+    (merges, corpus.flatten.count(_ != ""))
+  }
+
+  test("trainMerges ≡ driver reference across rounds, incl. identical-" +
+      "halves overlap runs and tie-breaks") {
+    import spark.implicits._
+    // 'a a a a a' exercises run parity each round (merge (a,a) → a_a,
+    // then (a_a, a_a)); 'x y x y' + 'y x y x' tie on count → pair order
+    val texts = Seq("a a a a a", "x y x y x", "y x y x y",
+      "t h e", "t h i s", "", "solo")
+    val (refMerges, refTotal) = refTrain(texts, 4)
+    val got = Bpe.trainMerges(texts.toDF("text"), "text", rounds = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.take(4).toSeq == refMerges)
+    assert(got(4) == ((5L, "__total__", "__total__", refTotal)))
+  }
 }

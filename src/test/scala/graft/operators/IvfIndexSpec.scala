@@ -74,4 +74,66 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(scanned > 0 && scanned < totalFiles,
       s"scan not pruned: $scanned of $totalFiles files for $probedCells/8 cells")
   }
+
+  test("incremental: assignToCentroids reproduces the model's own " +
+      "assignment (frozen-quantizer routing rule)") {
+    val base = emb.filter(col("vec_id") % 10 =!= 9)
+    val index = IvfIndex.build(base, "vec_id", "embedding", nlist = 8)
+    val own = index.assigned.select("corpus_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val re = IvfIndex.assignToCentroids(index, base, "vec_id", "embedding")
+      .select("corpus_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(re == own,
+      s"argmin rule diverges from KMeans.transform on ${
+        re.count { case (k, v) => own(k) != v }} of ${own.size} rows")
+  }
+
+  test("incremental: base store + delta segment ≡ one-pass assignment " +
+      "over the union, and the segment lands cell-partitioned") {
+    val base = emb.filter(col("vec_id") % 10 =!= 9)
+    val delta = emb.filter(col("vec_id") % 10 === 9)
+    val index = IvfIndex.build(base, "vec_id", "embedding", nlist = 8)
+    val deltaAssigned = IvfIndex.assignToCentroids(index, delta, "vec_id", "embedding")
+
+    val basePath = "/root/repo/target/test-ivf-incr-base"
+    val segPath = "/root/repo/target/test-ivf-incr-seg"
+    IvfIndex.write(index, basePath)
+    graft.sources.StructureStore.writePartitioned(
+      deltaAssigned, s"$segPath/assigned", "cell")
+
+    // the segment read-back is exactly the delta assignment (cell dirs
+    // round-trip the partition column)
+    val backRows = spark.read.parquet(s"$segPath/assigned")
+      .select("corpus_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val deltaRows = deltaAssigned.select("corpus_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(backRows == deltaRows)
+    assert(deltaRows.nonEmpty)
+
+    // search over base-store ∪ segment ≡ search over a one-pass
+    // assignment of the full corpus through the SAME frozen quantizer
+    val queries = emb.filter(col("vec_id") < 3)
+    val probes = IvfIndex.probes(index, queries, "vec_id", "embedding", nprobe = 3)
+    def search(assigned: org.apache.spark.sql.DataFrame) =
+      Similarity.rankTopK(
+          assigned.join(broadcast(probes), Seq("cell"))
+            .select(col("query_id"), col("qv"), col("corpus_id"), col("cv")),
+          k = 5)
+        .select("query_id", "corpus_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val segmented = search(
+      spark.read.parquet(s"$basePath/assigned")
+        .select("corpus_id", "cv", "cell")
+        .unionByName(spark.read.parquet(s"$segPath/assigned")
+          .select("corpus_id", "cv", "cell")))
+    val onePass = search(
+      IvfIndex.assignToCentroids(index, emb, "vec_id", "embedding"))
+    assert(segmented == onePass)
+    assert(segmented.nonEmpty)
+    // delta vectors are actually retrievable through the probed search
+    val allCells = deltaRows.values.toSet
+    assert(allCells.nonEmpty && allCells.size <= 8)
+  }
 }

@@ -52,8 +52,10 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "q304_maxsim_retrieval",  // member rows × BROADCAST 3-vector query panel
     "q305_tcloseness",        // ~125 classes × BROADCAST ~14-band frame
                               // (bounded by the banding contract)
-    "q307_ann_recall")        // exact-recall baseline = q39's corpus ×
+    "q307_ann_recall",        // exact-recall baseline = q39's corpus ×
                               // BROADCAST 3-query brute definition
+    "q308_rrf_fusion")        // composes q82 (1-row stats broadcast) +
+                              // q39 (corpus × 1-query brute baseline)
 
   private lazy val optimized: Map[String, LogicalPlan] =
     graft.SparkEntry.queries.map { case (name, fn) =>
