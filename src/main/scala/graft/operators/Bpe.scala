@@ -59,20 +59,12 @@ object Bpe {
     * token names compose with '_' so round k's pairs are well-defined
     * strings. */
   def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 30, s"rounds must be in [1, 30]: $rounds")
     val spark = docs.sparkSession
-    var cur = docs
-    val merges = (1 to rounds).map { r =>
-      val top = adjacentPairCounts(cur, textCol)
-        .filter(col("w1") =!= "" && col("w2") =!= "")
-        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
-        .collect().head
-      val (w1, w2, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-      cur = applyMerge(cur, textCol, w1, w2, w1 + "_" + w2).localCheckpoint()
-      (r.toLong, w1, w2, cnt)
-    }
+    val (merges, cur) = trainLoop(docs, textCol, rounds)
     import spark.implicits._
-    val mergeRows = merges.toDF("round", "w1", "w2", "cnt")
+    val mergeRows = merges.zipWithIndex
+      .map { case ((w1, w2, cnt), i) => (i + 1L, w1, w2, cnt) }
+      .toDF("round", "w1", "w2", "cnt")
     val total = cur
       .select(explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
@@ -80,6 +72,57 @@ object Bpe {
       .select(lit(rounds + 1L).as("round"), lit("__total__").as("w1"),
         lit("__total__").as("w2"), col("cnt"))
     mergeRows.unionByName(total)
+  }
+
+  /** The merge table alone, driver-side: (w1, w2, cnt) in training
+    * order — the artifact [[applyMerges]] consumes at ENCODE time
+    * (tokenizer inference over a held-out corpus, q312). Driver cost is
+    * `rounds` 1-row argmax collects, bounded by contract. */
+  def learnMerges(docs: DataFrame, textCol: String,
+                  rounds: Int): Seq[(String, String, Long)] =
+    trainLoop(docs, textCol, rounds)._1
+
+  private def trainLoop(docs: DataFrame, textCol: String,
+                        rounds: Int): (Seq[(String, String, Long)], DataFrame) = {
+    require(rounds >= 1 && rounds <= 30, s"rounds must be in [1, 30]: $rounds")
+    var cur = docs
+    val merges = (1 to rounds).map { _ =>
+      val top = adjacentPairCounts(cur, textCol)
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+        .collect().head
+      val (w1, w2, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      cur = applyMerge(cur, textCol, w1, w2, w1 + "_" + w2).localCheckpoint()
+      (w1, w2, cnt)
+    }
+    (merges, cur)
+  }
+
+  /** BPE ENCODE: apply a learned merge list (w1, w2, joined) to a
+    * corpus IN TRAINING ORDER — one UDF pass per row applying every
+    * merge sequentially (merge k can consume tokens merge k−1 created,
+    * so the order is part of the semantics; asserted ≡ a fold of
+    * [[applyMerge]] in BpeSpec). Row-local, zero shuffles — at 100 TB
+    * encoding is a single map over the corpus however long the merge
+    * table is. */
+  def applyMerges(docs: DataFrame, textCol: String,
+                  merges: Seq[(String, String, String)]): DataFrame = {
+    val ms = merges.toIndexedSeq
+    val encodeUdf = udf { (text: String) =>
+      var ts: Array[String] = text.split(" ", -1)
+      ms.foreach { case (w1, w2, joined) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && ts(i) == w1 && ts(i + 1) == w2) {
+            out += joined; i += 2
+          } else { out += ts(i); i += 1 }
+        }
+        ts = out.toArray
+      }
+      ts.mkString(" ")
+    }
+    docs.withColumn(textCol, encodeUdf(col(textCol)))
   }
 
   /** Left-greedy merge of adjacent (w1, w2) occurrences into `joined`

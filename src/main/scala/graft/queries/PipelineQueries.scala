@@ -5113,6 +5113,39 @@ object PipelineQueries {
             .when(col("doc_id") % 4 < 2, lit("?b=2&a=1"))
             .otherwise(lit("?a=1&b=2"))).as("url"))
       graft.operators.UrlCanon.firstWins(u, "url", "doc_id").orderBy("canon")
+    },
+
+    // BPE ENCODE on a held-out split (Bpe.learnMerges + applyMerges):
+    // merges learned on the TRAIN split (doc_id % 5 ≠ 0, the q269
+    // holdout convention) applied IN TRAINING ORDER to the holdout —
+    // tokenizer INFERENCE, the other half of q309's training; per
+    // holdout doc the before/after token counts and merged-token hits.
+    // The oracle runs the training chain on train AND the application
+    // chain on holdout (each apply stage consumes the corresponding
+    // train stage's argmax), all as unrolled MATERIALIZED stages;
+    // validated against a third imperative implementation at 3 sfs.
+    QueryDef.sql("q312_bpe_encode", bpeEncodeOracleSql(3)) { (s, d) =>
+      import graft.operators.Bpe
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val hold = docs.filter(col("doc_id") % 5 === 0)
+      val merges = Bpe.learnMerges(train, "text", rounds = 3)
+        .map { case (w1, w2, _) => (w1, w2, w1 + "_" + w2) }
+      val enc = Bpe.applyMerges(hold, "text", merges)
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " "), t => t =!= ""))
+            .cast("long").as("n_after"),
+          size(filter(split(col("text"), " "), t => t.contains("_")))
+            .cast("long").as("n_merged"))
+      hold.select(col("doc_id"),
+          size(filter(split(col("text"), " "), t => t =!= ""))
+            .cast("long").as("n_before"))
+        .filter(col("n_before") > 0)
+        .join(enc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("n_merged"), lit(0L)).as("n_merged"))
+        .orderBy("doc_id")
     }
   )
 
@@ -5177,13 +5210,28 @@ object PipelineQueries {
     * implementation of the training loop before the engine was
     * written. */
   private def bpeTrainOracleSql(rounds: Int): String = {
-    def stage(k: Int): String = {
+    val stages = (1 to rounds).map(bpeTrainStageSql(_, "")).mkString(",\n")
+    val sel = (1 to rounds).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS round, string_split(pair, ' ')[1] AS w1," +
+        s" string_split(pair, ' ')[2] AS w2, CAST(cnt AS BIGINT) AS cnt FROM top$k"
+    }.mkString(" UNION ALL ")
+    s"WITH $stages\nSELECT * FROM ($sel\n" +
+      s" UNION ALL SELECT CAST(${rounds + 1} AS BIGINT), '__total__', '__total__'," +
+      s" CAST(count(*) AS BIGINT) FROM pieces$rounds" +
+      " WHERE NOT consumed AND piece <> '')\nORDER BY round"
+  }
+
+  /** One unrolled BPE TRAINING stage (shared by the q309 and q312
+    * oracles): stream CTE t_k (from `documents` + `srcWhere` at k = 1,
+    * else the previous stage's surviving pieces), pair counts, the
+    * argmax top_k, and the run-parity merge into pieces_k. */
+  private def bpeTrainStageSql(k: Int, srcWhere: String): String = {
       val t =
         if (k == 1)
-          """t1 AS MATERIALIZED (
+          s"""t1 AS MATERIALIZED (
             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
             |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
-            |  FROM documents)""".stripMargin
+            |  FROM documents$srcWhere)""".stripMargin
         else
           s"""t$k AS MATERIALIZED (
              |  SELECT doc_id, piece AS tok,
@@ -5222,16 +5270,74 @@ object PipelineQueries {
            |  FROM t$k t
            |  LEFT JOIN keep$k kk ON t.doc_id = kk.doc_id AND t.pos = kk.pos
            |  LEFT JOIN keep$k k2 ON t.doc_id = k2.doc_id AND t.pos = k2.pos + 1)""".stripMargin
-    }
-    val stages = (1 to rounds).map(stage).mkString(",\n")
-    val sel = (1 to rounds).map { k =>
-      s"SELECT CAST($k AS BIGINT) AS round, string_split(pair, ' ')[1] AS w1," +
-        s" string_split(pair, ' ')[2] AS w2, CAST(cnt AS BIGINT) AS cnt FROM top$k"
-    }.mkString(" UNION ALL ")
-    s"WITH $stages\nSELECT * FROM ($sel\n" +
-      s" UNION ALL SELECT CAST(${rounds + 1} AS BIGINT), '__total__', '__total__'," +
-      s" CAST(count(*) AS BIGINT) FROM pieces$rounds" +
-      " WHERE NOT consumed AND piece <> '')\nORDER BY round"
+  }
+
+  /** One unrolled BPE APPLICATION stage for the q312 oracle: same
+    * run-parity merge machinery as [[bpeTrainStageSql]] but over the
+    * HOLDOUT stream (a_k / apieces_k names) and consuming stage k's
+    * TRAIN argmax `top_k` instead of computing its own. */
+  private def bpeApplyStageSql(k: Int): String = {
+    val a =
+      if (k == 1)
+        """a1 AS MATERIALIZED (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+          |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+          |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+      else
+        s"""a$k AS MATERIALIZED (
+           |  SELECT doc_id, piece AS tok,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+           |  FROM apieces${k - 1} WHERE NOT consumed)""".stripMargin
+    a + ",\n" +
+      s"""ap$k AS (
+         |  SELECT doc_id, pos, tok,
+         |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM a$k),
+         |am$k AS (
+         |  SELECT doc_id, pos FROM ap$k, top$k
+         |  WHERE nxt IS NOT NULL AND tok <> '' AND nxt <> ''
+         |    AND tok || ' ' || nxt = top$k.pair),
+         |aruns$k AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM am$k),
+         |akeep$k AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      pos - min(pos) OVER (PARTITION BY doc_id, grp) AS off
+         |    FROM aruns$k)
+         |  WHERE off % 2 = 0),
+         |apieces$k AS MATERIALIZED (
+         |  SELECT t.doc_id, t.pos,
+         |    CASE WHEN kk.pos IS NOT NULL
+         |         THEN t.tok || '_' ||
+         |           lead(t.tok, 1) OVER (PARTITION BY t.doc_id ORDER BY t.pos)
+         |         ELSE t.tok END AS piece,
+         |    (k2.pos IS NOT NULL) AS consumed
+         |  FROM a$k t
+         |  LEFT JOIN akeep$k kk ON t.doc_id = kk.doc_id AND t.pos = kk.pos
+         |  LEFT JOIN akeep$k k2 ON t.doc_id = k2.doc_id AND t.pos = k2.pos + 1)""".stripMargin
+  }
+
+  /** q312's oracle: train chain on doc_id % 5 ≠ 0, apply chain on the
+    * holdout, per-doc before/after/merged token counts. */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val stages =
+      ((1 to rounds).map(bpeTrainStageSql(_, " WHERE doc_id % 5 <> 0")) ++
+        (1 to rounds).map(bpeApplyStageSql)).mkString(",\n")
+    s"""WITH $stages,
+       |before AS (
+       |  SELECT doc_id, count(*) AS n_before FROM a1 WHERE tok <> '' GROUP BY 1),
+       |after AS (
+       |  SELECT doc_id, count(*) AS n_after,
+       |    sum(CASE WHEN piece LIKE '%!_%' ESCAPE '!' THEN 1 ELSE 0 END)
+       |      AS n_merged
+       |  FROM apieces$rounds WHERE NOT consumed AND piece <> '' GROUP BY 1)
+       |SELECT b.doc_id AS doc_id, CAST(b.n_before AS BIGINT) AS n_before,
+       |  CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after,
+       |  CAST(coalesce(a.n_merged, 0) AS BIGINT) AS n_merged
+       |FROM before b LEFT JOIN after a ON b.doc_id = a.doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   private def kcenterOracleSql(k: Int): String = {

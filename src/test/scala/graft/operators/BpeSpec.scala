@@ -92,4 +92,27 @@ class BpeSpec extends AnyFunSuite {
     assert(got.take(4).toSeq == refMerges)
     assert(got(4) == ((5L, "__total__", "__total__", refTotal)))
   }
+
+  test("applyMerges (one-pass encode) ≡ sequential applyMerge folds, " +
+      "and learnMerges ≡ trainMerges' merge rows") {
+    import spark.implicits._
+    val texts = Seq("a a a a a", "x y x y x", "a a x y", "", "q")
+    val df = texts.toDF("text")
+    val merges = Bpe.learnMerges(df, "text", rounds = 3)
+    // same merge table as the full training query reports
+    val fromTrain = Bpe.trainMerges(df, "text", rounds = 3)
+      .filter(org.apache.spark.sql.functions.col("w1") =!= "__total__")
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges == fromTrain)
+    val ms = merges.map { case (w1, w2, _) => (w1, w2, w1 + "_" + w2) }
+    val onePass = Bpe.applyMerges(df, "text", ms)
+      .collect().map(_.getString(0)).toSeq
+    val folded = ms.foldLeft(df) { case (acc, (w1, w2, j)) =>
+      Bpe.applyMerge(acc, "text", w1, w2, j)
+    }.collect().map(_.getString(0)).toSeq
+    assert(onePass == folded)
+    // merge 2+ can consume merge 1's outputs (order is semantics)
+    assert(onePass != texts || ms.isEmpty)
+  }
 }
