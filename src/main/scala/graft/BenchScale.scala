@@ -1150,6 +1150,14 @@ object BenchScale {
         graft.operators.Sampling.neymanSelect(
           d, "g", "st", "doc_id", "x", 100).count()
       },
+      "bpe_train" -> { k =>
+        // q309: 3 rounds × (map-side-combined pair count + 1-row argmax
+        // + row-local merge) — cost is rounds corpus scans; the salted
+        // copies k× the pair vocabulary (shuffle carries distinct
+        // pairs) while per-round work stays linear in tokens
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        graft.operators.Bpe.trainMerges(d, "text", rounds = 3).count()
+      },
     )
 
     // dev-only family filter (SPARK_GRAFT_SCALE_ONLY=bfs,components_star)
@@ -1167,6 +1175,16 @@ object BenchScale {
     // and a comma-decimal locale would emit invalid JSON
     def fmt(v: Double, dec: Int): String =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+    // SPARK_GRAFT_PARTS_PER_K=p: scale shuffle partitions WITH the data
+    // (max(cpus, p·k) for the k× fixture) instead of the harness's fixed
+    // `cpus`. This is the knob a real cluster turns (AQE's
+    // initialPartitionNum / dynamic allocation) — the fixed-32 default
+    // deliberately measures the SMALL-cluster worst case, which makes
+    // the top decade of the shuffle-heaviest families spill (r11: ~15M
+    // rows/partition at k64). The round-12 decade re-runs record alpha
+    // under parts ∝ k, turning the "it's the partitioning, not the
+    // plan" prose into a measurement (BASELINE.md round-12).
+    val partsPerK = sys.env.get("SPARK_GRAFT_PARTS_PER_K").map(_.toInt)
     var worst = ("", 0.0)
     val lines = picked.map { case (name, fn) =>
       // same per-run cache hygiene as Bench (docs/CACHE_POLICY.md rule
@@ -1174,14 +1192,20 @@ object BenchScale {
       // reuse run 1's caches (CacheManager dedupes by logical plan)
       // and the measured growth is the warm path, not the operator's
       val ts = scales.map { k =>
+        partsPerK.foreach { p =>
+          spark.conf.set("spark.sql.shuffle.partitions",
+            math.max(cpus.toInt, p * k).toString)
+        }
         k -> median((1 to runs).map { _ =>
           val t = time(fn(k)); Caches.releaseAll(spark); t
         })
       }
+      partsPerK.foreach(_ => spark.conf.set("spark.sql.shuffle.partitions", cpus))
       val a = alpha(ts.map(_._1), ts.map(_._2))
       if (a > worst._2) worst = (name, a)
       val tsJson = ts.map { case (k, t) => s""""k$k":${fmt(t, 3)}""" }.mkString(",")
-      s"""{"family":"$name","alpha":${fmt(a, 2)},$tsJson,"runs":$runs}"""
+      val partsJson = partsPerK.map(p => s""","parts_per_k":$p""").getOrElse("")
+      s"""{"family":"$name","alpha":${fmt(a, 2)},$tsJson,"runs":$runs$partsJson}"""
     }
     spark.sparkContext.setLogLevel("ERROR")
     lines.foreach(println)

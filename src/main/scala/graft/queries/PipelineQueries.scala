@@ -5146,6 +5146,54 @@ object PipelineQueries {
           coalesce(col("n_after"), lit(0L)).as("n_after"),
           coalesce(col("n_merged"), lit(0L)).as("n_merged"))
         .orderBy("doc_id")
+    },
+
+    // Johnson–Lindenstrauss projection audit (RandomProjection): 64-d
+    // embeddings projected onto 16 seeded Gaussian hyperplanes (the
+    // q40 construction, real-valued), exact integer (orig, projected)
+    // squared distances for all 780 pairs of a 40-vector panel — the
+    // distortion measurement behind any dimensionality-reduction
+    // decision. The oracle re-derives the PROJECTIONS THEMSELVES from
+    // the plane sidecar (ordered list folds — the q39 dot discipline)
+    // plus both distance joins; projections ⌊dot·10⁶⌋, coords the
+    // shared SemDedup quantization, distances integer sums.
+    QueryDef.sql("q314_jl_projection",
+      s"""WITH pl AS (SELECT plane_id, w
+         |  FROM read_parquet('__AUX__/q314_planes/*.parquet')),
+         |pan AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40),
+         |pv AS (
+         |  SELECT p.vec_id, pl.plane_id,
+         |    CAST(floor(list_sum(list_transform(list_zip(p.embedding, pl.w),
+         |      x -> CAST(x[1] AS DOUBLE) * x[2])) * 1000000) AS BIGINT) AS q
+         |  FROM pan p CROSS JOIN pl),
+         |qx AS (
+         |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+         |      AS q
+         |  FROM pan),
+         |dorig AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    sum((a.q - b.q) * (a.q - b.q)) AS d_orig
+         |  FROM qx a JOIN qx b ON a.d = b.d AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2),
+         |dproj AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    sum((a.q - b.q) * (a.q - b.q)) AS d_proj
+         |  FROM pv a JOIN pv b ON a.plane_id = b.plane_id
+         |    AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(d_orig AS BIGINT) AS d_orig,
+         |  CAST(d_proj AS BIGINT) AS d_proj
+         |FROM dorig JOIN dproj USING (id_a, id_b)
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val planes = Dedup.hyperplanes(64, 16)
+      Aux.share(planes.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("plane_id", "w"), d, "q314_planes")
+      val panel = graft.operators.RandomProjection.projectQuantized(
+        Tables.embeddings(s, d).filter(col("vec_id") < 40), planes)
+      graft.operators.RandomProjection.pairAudit(panel)
+        .orderBy("id_a", "id_b")
     }
   )
 
