@@ -1158,6 +1158,35 @@ object BenchScale {
         val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
         graft.operators.Bpe.trainMerges(d, "text", rounds = 3).count()
       },
+      "url_canon" -> { k =>
+        // q311: row-local string canonicalization + ONE canonical-key
+        // groupBy — the shuffle carries distinct canonical URLs
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+          .select(col("doc_id"), concat(
+            when(col("doc_id") % 2 === 0, "http://").otherwise("https://"),
+            when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+            lit("h"), (col("doc_id") % 10).cast("string"),
+            lit(".example.com/d/"), expr("doc_id div 40").cast("string"),
+            when(col("doc_id") % 5 === 0, "/").otherwise(""),
+            when(col("doc_id") % 4 < 2, "?b=2&a=1").otherwise("?a=1&b=2"))
+            .as("url"))
+        graft.operators.UrlCanon.firstWins(d, "url", "doc_id").count()
+      },
+      "jl_project" -> { k =>
+        // q314's projection stage: row-local 16-plane dot folds — a
+        // pure map; the agg forces pj against column pruning
+        val em = spark.read.parquet(s"$scratch/k$k/embeddings.parquet")
+        graft.operators.RandomProjection.projectQuantized(
+            em, graft.operators.Dedup.hyperplanes(64, 16))
+          .agg(sum(element_at(col("pj"), 1))).collect().length.toLong
+      },
+      "inverted_build" -> { k =>
+        // q315's segment build: one posexplode scan + the bucket
+        // shuffle (groupBy forces it; the write itself is I/O-bound)
+        val d = spark.read.parquet(s"$scratch/k$k/documents.parquet")
+        graft.operators.InvertedIndex.postings(d, "doc_id", "text")
+          .groupBy("bucket").count().count()
+      },
     )
 
     // dev-only family filter (SPARK_GRAFT_SCALE_ONLY=bfs,components_star)

@@ -5194,6 +5194,39 @@ object PipelineQueries {
         Tables.embeddings(s, d).filter(col("vec_id") < 40), planes)
       graft.operators.RandomProjection.pairAudit(panel)
         .orderBy("id_a", "id_b")
+    },
+
+    // Incremental positional inverted index (InvertedIndex): base
+    // posting segment (doc_id % 10 ≠ 7) + delta segment (≡ 7) built
+    // from ONLY the new docs — the Lucene-style LSM ingest, q310's
+    // maintenance story on text. Phrase "hash join" searched over the
+    // segment UNION with bucket-pruned scans (term-sharded cell=N
+    // layout); the oracle re-derives the counts DIRECTLY from the full
+    // documents table (q94's machinery — zero aux reads), so a missing
+    // delta segment or a bucket-routing mismatch goes red ("hash join"
+    // has delta-split hits at every sf).
+    QueryDef.sql("q315_inverted_index_incr",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |toks AS (
+        |  SELECT doc_id, arr[pos] AS term, pos
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS pos))
+        |SELECT t1.doc_id, count(*) AS n_hits
+        |FROM toks t1
+        |JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        |WHERE t1.term = 'hash' AND t2.term = 'join'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.operators.InvertedIndex
+      val docs = Tables.documents(s, d)
+      val basePath = InvertedIndex.segmentCached(
+        InvertedIndex.postings(docs.filter(col("doc_id") % 10 =!= 7),
+          "doc_id", "text"), s"${Aux.dir(d)}/q315_base")
+      val deltaPath = InvertedIndex.segmentCached(
+        InvertedIndex.postings(docs.filter(col("doc_id") % 10 === 7),
+          "doc_id", "text"), s"${Aux.dir(d)}/q315_delta")
+      InvertedIndex.phraseSearchStored(s, Seq(basePath, deltaPath),
+          Seq("hash", "join"))
+        .select(col("doc").as("doc_id"), col("n_hits"))
+        .orderBy("doc_id")
     }
   )
 
