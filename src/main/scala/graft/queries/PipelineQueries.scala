@@ -5227,6 +5227,22 @@ object PipelineQueries {
           Seq("hash", "join"))
         .select(col("doc").as("doc_id"), col("n_hits"))
         .orderBy("doc_id")
+    },
+
+    // MMR diverse retrieval (Mmr.diverseTopK): greedy maximal marginal
+    // relevance over query vector 0's top-20 quantized-dot candidates,
+    // 5 picks — the RAG re-ranker (relevant AND mutually diverse), the
+    // selection-side complement of q308's fusion and q294's
+    // relevance-free spread. Everything integer (quantized dots, λ =
+    // 1/2 scale-free mmr = rel − pen); engine = one codegen'd kernel
+    // scan + TakeOrdered(20) + the bounded driver greedy; oracle =
+    // the greedy unrolled as MATERIALIZED argmax stages over the
+    // join-on-dimension dot machinery, validated against a third
+    // imperative implementation at 3 sfs before the Scala was written.
+    QueryDef.sql("q316_mmr_retrieval", mmrOracleSql(5)) { (s, d) =>
+      graft.operators.Mmr.diverseTopK(Tables.embeddings(s, d),
+          queryId = 0L, kCand = 20, kSel = 5)
+        .orderBy("round")
     }
   )
 
@@ -5278,6 +5294,51 @@ object PipelineQueries {
     * codegen kernel). MATERIALIZED is load-bearing: each m_r is
     * referenced twice, so un-materialized CTE inlining re-evaluates
     * the whole chain 2^k times (measured 9 s → 0.12 s at sf0.01). */
+  /** q316's oracle, generated: candidate top-20 by quantized dot, then
+    * the MMR greedy unrolled as argmax stages (each over the remaining
+    * candidates with pen = max dot to the union of prior picks — the
+    * q294 unrolling technique; MATERIALIZED is load-bearing). */
+  private def mmrOracleSql(kSel: Int): String = {
+    val head =
+      """WITH x AS MATERIALIZED (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS d,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings),
+        |qv AS MATERIALIZED (SELECT d, q FROM x WHERE vec_id = 0),
+        |rel AS MATERIALIZED (
+        |  SELECT x.vec_id, CAST(sum(x.q * qv.q) AS BIGINT) AS rel
+        |  FROM x JOIN qv USING (d) WHERE x.vec_id <> 0
+        |  GROUP BY 1 ORDER BY rel DESC, vec_id LIMIT 20),
+        |cd AS MATERIALIZED (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    CAST(sum(a.q * b.q) AS BIGINT) AS dp
+        |  FROM x a JOIN x b ON a.d = b.d
+        |  JOIN rel ra ON ra.vec_id = a.vec_id
+        |  JOIN rel rb ON rb.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |s1 AS MATERIALIZED (
+        |  SELECT vec_id, rel, CAST(0 AS BIGINT) AS pen, rel AS mmr
+        |  FROM rel ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin
+    val stages = (2 to kSel).map { r =>
+      val prevSel = (1 until r).map(j => s"SELECT vec_id FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""sel$r AS MATERIALIZED ($prevSel),
+         |s$r AS MATERIALIZED (
+         |  SELECT c.vec_id, c.rel, p.pen, c.rel - p.pen AS mmr FROM rel c
+         |  JOIN (SELECT cd.ia AS vec_id, max(cd.dp) AS pen
+         |        FROM cd JOIN sel$r s ON cd.ib = s.vec_id
+         |        GROUP BY 1) p ON p.vec_id = c.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel$r)
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1)""".stripMargin
+    }
+    val sel = (1 to kSel).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, vec_id, rel, pen, mmr FROM s$r")
+      .mkString(" UNION ALL ")
+    (Seq(head) ++ stages).mkString(",\n") +
+      s"\nSELECT * FROM ($sel) ORDER BY round"
+  }
+
   /** q309's oracle, generated: `rounds` BPE training rounds unrolled as
     * MATERIALIZED CTE stages (un-materialized, a recursion-shaped chain
     * re-evaluates exponentially — the q294 lesson). Each stage counts
