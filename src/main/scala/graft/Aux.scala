@@ -103,6 +103,35 @@ object Aux {
     * session the `written` set short-circuits even the fingerprint job).
     * The stamp/lock live NEXT TO the parquet dir (`_version_<name>`),
     * not inside it, because the overwrite deletes the dir. */
+  /** The [[share]] discipline for a PARTITIONED segment at an explicit
+    * root (IvfIndex / InvertedIndex LSM segments): write-once per
+    * session via the caller's `written` set, content stamp +
+    * cross-JVM lock at the root, persist across the fingerprint agg
+    * AND the write (cold path would otherwise recompute the upstream
+    * lineage twice — the [[share]] note). Returns `path`. */
+  private[graft] def shareSegment(df: DataFrame, path: String,
+                                  subdir: String, partitionCol: String,
+                                  written: scala.collection.mutable.Set[String]): String = {
+    written.synchronized {
+      if (!written.contains(path)) {
+        val root = java.nio.file.Paths.get(path)
+        df.persist()
+        try {
+          writeStamped(root.resolve("_content_version"),
+                       root.resolve("_lock"),
+                       fingerprint(df),
+                       complete = java.nio.file.Files.exists(
+                         root.resolve(subdir).resolve("_SUCCESS"))) {
+            graft.sources.StructureStore.writePartitioned(
+              df, s"$path/$subdir", partitionCol)
+          }
+        } finally df.unpersist()
+        written += path
+      }
+    }
+    path
+  }
+
   def share(df: DataFrame, sfDir: String, name: String): DataFrame = {
     val path = s"${dir(sfDir)}/$name"
     written.synchronized {

@@ -86,11 +86,15 @@ object Bpe {
                         rounds: Int): (Seq[(String, String, Long)], DataFrame) = {
     require(rounds >= 1 && rounds <= 30, s"rounds must be in [1, 30]: $rounds")
     var cur = docs
-    val merges = (1 to rounds).map { _ =>
-      val top = adjacentPairCounts(cur, textCol)
+    val merges = (1 to rounds).map { r =>
+      val rows = adjacentPairCounts(cur, textCol)
         .filter(col("w1") =!= "" && col("w2") =!= "")
         .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
-        .collect().head
+        .collect()
+      require(rows.nonEmpty,
+        s"BPE training: no countable adjacent pairs left at round $r " +
+          "(corpus too small or merges exhausted before `rounds`)")
+      val top = rows.head
       val (w1, w2, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
       cur = applyMerge(cur, textCol, w1, w2, w1 + "_" + w2).localCheckpoint()
       (w1, w2, cnt)

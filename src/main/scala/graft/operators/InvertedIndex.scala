@@ -38,26 +38,12 @@ object InvertedIndex {
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(NBuckets)))
 
   /** Write postings as a bucket-partitioned segment (write-once +
-    * content stamp + cross-JVM lock — the [[IvfIndex.segmentCached]]
-    * discipline, shared via [[graft.Aux.writeStamped]]). */
+    * content stamp + cross-JVM lock + persist-across-fingerprint-and-
+    * write — [[graft.Aux.shareSegment]], shared with
+    * [[IvfIndex.segmentCached]]). */
   private val segWritten = scala.collection.mutable.Set.empty[String]
-  def segmentCached(postings: DataFrame, path: String): String = {
-    segWritten.synchronized {
-      if (!segWritten.contains(path)) {
-        val root = java.nio.file.Paths.get(path)
-        graft.Aux.writeStamped(root.resolve("_content_version"),
-                               root.resolve("_lock"),
-                               graft.Aux.fingerprint(postings),
-                               complete = java.nio.file.Files.exists(
-                                 root.resolve("postings").resolve("_SUCCESS"))) {
-          graft.sources.StructureStore.writePartitioned(
-            postings, s"$path/postings", "bucket")
-        }
-        segWritten += path
-      }
-    }
-    path
-  }
+  def segmentCached(postings: DataFrame, path: String): String =
+    graft.Aux.shareSegment(postings, path, "postings", "bucket", segWritten)
 
   /** Phrase search over the UNION of stored segments, bucket-pruned at
     * every scan: same output contract as [[Retrieval.phraseSearch]]

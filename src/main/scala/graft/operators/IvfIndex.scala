@@ -97,25 +97,10 @@ object IvfIndex {
     * cell-partitioned SEGMENT next to the base store (the LSM shape —
     * the base is immutable; a delta batch lands as its own
     * `cell=N/` tree and search unions the segments, both probe-pruned
-    * at the scan). Write-once per session + content stamp + cross-JVM
-    * lock, the [[storeCached]] discipline. */
-  def segmentCached(assigned: DataFrame, path: String): String = {
-    storeWritten.synchronized {
-      if (!storeWritten.contains(path)) {
-        val root = java.nio.file.Paths.get(path)
-        graft.Aux.writeStamped(root.resolve("_content_version"),
-                               root.resolve("_lock"),
-                               graft.Aux.fingerprint(assigned),
-                               complete = java.nio.file.Files.exists(
-                                 root.resolve("assigned").resolve("_SUCCESS"))) {
-          graft.sources.StructureStore.writePartitioned(
-            assigned, s"$path/assigned", "cell")
-        }
-        storeWritten += path
-      }
-    }
-    path
-  }
+    * at the scan). Write-once + stamp + lock + persist-across-
+    * fingerprint-and-write via [[graft.Aux.shareSegment]]. */
+  def segmentCached(assigned: DataFrame, path: String): String =
+    graft.Aux.shareSegment(assigned, path, "assigned", "cell", storeWritten)
 
   /** (query_id, qv, cell): the per-query probe list — nprobe nearest
     * centroids by squared distance (ranked by (distance, cell) and

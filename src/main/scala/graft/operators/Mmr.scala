@@ -54,6 +54,9 @@ object Mmr {
       .map(r => (r.getLong(r.fieldIndex("vec_id")),
         r.getSeq[Long](r.fieldIndex("qa")).toArray,
         r.getLong(r.fieldIndex("rel"))))
+    require(cands.length >= kSel,
+      s"MMR: only ${cands.length} candidates for kSel=$kSel " +
+        "(corpus smaller than the selection budget)")
 
     def dot(a: Array[Long], b: Array[Long]): Long = {
       var s = 0L; var i = 0

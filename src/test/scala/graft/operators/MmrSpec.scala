@@ -49,9 +49,19 @@ class MmrSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSeq
     assert(got == ref(12, 5))
-    // diversity actually binds: picks differ from plain top-k order
-    val plainTop = ref(12, 12).map(_._2) // kSel=kCand degenerates? no —
-    assert(got.map(_._2).toSet.subsetOf(plainTop.toSet))
+    // diversity actually BINDS on this fixture: the MMR pick sequence
+    // differs from the pure-relevance prefix, and at least one round's
+    // penalty term is nonzero (a pen-always-0 regression would pass a
+    // weaker subset check)
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000000L).toLong)
+    }.toMap
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val byRel = q.keys.filter(_ != 0L).toSeq
+      .sortBy(id => (-dot(q(0L), q(id)), id)).take(5)
+    assert(got.map(_._2) != byRel, "fixture degenerate: MMR ≡ plain top-k")
+    assert(got.exists(_._4 != 0L), "no round engaged the penalty term")
   }
 
   test("round 1 is the relevance argmax; kSel = kCand selects everything") {

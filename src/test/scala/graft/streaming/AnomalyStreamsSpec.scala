@@ -82,6 +82,28 @@ class AnomalyStreamsSpec extends AnyFunSuite {
     assert(got.map(_._3) === Set(2L)) // fires on the second event only
   }
 
+  test("same-µs events replay in ID order, not sub-µs-nanos order " +
+      "(the µs-truncated sort key — r11 ADVICE pin)") {
+    // two events in the SAME microsecond whose sub-µs nanos order is
+    // the REVERSE of their id order; values chosen so which event
+    // carries the alarm depends on replay order (first +200 → gap 200
+    // < h, then +150 → gap 350 ≥ h on the SECOND-processed event).
+    // Catalyst encoding µs-truncates the Timestamp before the state
+    // function sees it, so the sub-µs tail cannot reach the sort today
+    // — this pins the (µs, id) replay CONTRACT so any future path
+    // where nanos survive (e.g. a ns-typed source) stays batch-equal.
+    def subUs(id: Long, nanosTail: Int, cents: Long) = {
+      val t = new Timestamp(T0 + 500)
+      t.setNanos(500000000 + nanosTail) // same µs, different sub-µs
+      Event(id, t, 11L, "m", cents / 100.0, "")
+    }
+    val evs = Seq(subUs(1, 900, 300), subUs(2, 100, 250))
+    val got = streamAlarms(Seq(evs), "cusum_subus")
+    assert(got === batchAlarms(evs))
+    assert(got.map(_._3) === Set(2L),
+      "alarm must land on id 2 (id order), not id 1 (ns order)")
+  }
+
   test("idle key keeps its detector state (no TTL — the batch semantics)") {
     // one hour of silence between the drift and the final push; the
     // watermark (10 min) passes far beyond the idle key's last event

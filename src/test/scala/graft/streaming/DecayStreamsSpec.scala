@@ -108,6 +108,18 @@ class DecayStreamsSpec extends AnyFunSuite {
     assert(totals(inOrder, evs) === totals(reordered, evs))
   }
 
+  test("stale refBucket clamps to age 0 (full weight), never a negative " +
+      "shift count (r11 ADVICE pin)") {
+    import spark.implicits._
+    // a stored bucket NEWER than the caller's ref: age would be −1 and
+    // Java shiftleft masks the count (& 63) → garbage weight; the clamp
+    // makes it a full-weight bucket instead
+    val hist = Seq(DecayHist("k", 10L, 10L, 3L)).toDF()
+    val got = DecayStreams.decayedTotals(hist, refBucket = 9L, Scale, Cap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("k" -> 3L * Scale))
+  }
+
   test("buckets older than the cap are pruned from state (weight is exactly 0)") {
     val evs = Seq(ev("p", 0), ev("p", (Cap + 2L) * 60000L))
     val got = runStream(Seq(evs.take(1), evs.drop(1)), "decay_prune")
