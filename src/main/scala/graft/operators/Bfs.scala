@@ -10,16 +10,29 @@ import org.apache.spark.sql.functions._
   *
   * Frontier iteration (the Pregel BFS): the state is (node, dist) for
   * every VISITED node; each round expands only the newest frontier —
-  * frontier ⋈ edges (one equi-join shuffled on the node id), distinct,
-  * then an anti-join against the visited set drops already-discovered
-  * nodes. Every round's cost is proportional to the FRONTIER's edge
-  * neighborhood, not the whole graph: the visited set is touched only
-  * as the anti-join's build side, co-partitioned on node id. Rounds =
-  * eccentricity of the source set (contrast [[Hierarchy]]'s pointer
-  * jumping, which doubles strides for O(log depth) rounds — that trick
-  * needs the functional-graph property "one outgoing pointer per node";
-  * on a general graph the frontier walk is the scale-correct shape, and
-  * its per-round work shrinks as the frontier wraps the graph).
+  * frontier ⋈ edges (frontier broadcast by default, see below), then
+  * ONE node-keyed aggregation that is simultaneously the candidate
+  * dedup (distinct) and the visited-set anti join: candidates carry a
+  * 0 marker, visited nodes a 1, and max-per-node keeps exactly the
+  * newly discovered nodes. Every round's cost is proportional to the
+  * FRONTIER's edge neighborhood plus one pass over the visited set —
+  * the same bytes the previous distinct + anti-join shape moved, in
+  * ONE exchange instead of three (guide §2.4; r12 optimization round:
+  * q110 went 76 → ~40 scheduler jobs, 2.27 → ~1.2 s at sf0.1).
+  *
+  * `broadcastFrontier` (default true) broadcasts the frontier into the
+  * edge join — the [[PageRank]] `broadcastRanks` precedent: AQE cannot
+  * size a mid-loop checkpointed table (LogicalRDD carries only default
+  * stats), so without the hint every round pays a full edge-list
+  * Exchange + sort on the probe side. A frontier is bounded by the
+  * node set; for graphs whose peak frontier exceeds executor memory
+  * (billions of nodes), flip it off and the join degrades gracefully
+  * to the shuffled form. Rounds = eccentricity of the source set
+  * (contrast [[Hierarchy]]'s pointer jumping, which doubles strides
+  * for O(log depth) rounds — that trick needs the functional-graph
+  * property "one outgoing pointer per node"; on a general graph the
+  * frontier walk is the scale-correct shape, and its per-round work
+  * shrinks as the frontier wraps the graph).
   *
   * Unreachable nodes are absent from the output (the relational
   * convention the oracle shares). Convergence is detected — the loop
@@ -46,9 +59,20 @@ object Bfs {
     * graph. Returns (node, dist); dist = 0 for sources, minimal hop
     * count otherwise; unreachable nodes absent. */
   def distances(edges: DataFrame, sources: DataFrame,
-                maxDepth: Int = 40): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct().localCheckpoint()
+                maxDepth: Int = 40,
+                broadcastFrontier: Boolean = true): DataFrame =
+    distancesPre(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct().localCheckpoint(),
+      sources, maxDepth, broadcastFrontier)
+
+  /** [[distances]] over an ALREADY normalized edge frame — (src, dst)
+    * longs, distinct, materialized — so a caller running several
+    * sweeps over the same graph ([[GraphStats.pseudoDiameter]]'s
+    * double sweep) pays the normalization once, not per sweep. */
+  private[operators] def distancesPre(e: DataFrame, sources: DataFrame,
+                                      maxDepth: Int,
+                                      broadcastFrontier: Boolean): DataFrame = {
     var dist = Iterate.materialize(
       sources.select(col("node").cast("long").as("node")).distinct()
         .withColumn("dist", lit(0L)))
@@ -63,10 +87,13 @@ object Bfs {
       // over the eager checkpoint's cached blocks is near-free, while
       // counting through the uncheckpointed plan loses codegen'd
       // aggregation locality.)
+      val fr = frontier.select(col("node").as("src"))
       val next = Iterate.materialize(
-        frontier.select(col("node").as("src")).join(e, "src")
-          .select(col("dst").as("node")).distinct()
-          .join(dist.select("node"), Seq("node"), "left_anti"))
+        (if (broadcastFrontier) broadcast(fr) else fr).join(e, "src")
+          .select(col("dst").as("node"), lit(0L).as("_vis"))
+          .unionByName(dist.select(col("node"), lit(1L).as("_vis")))
+          .groupBy("node").agg(max(col("_vis")).as("_vis"))
+          .filter(col("_vis") === 0L).select("node"))
       frontierSize = next.count()
       if (frontierSize > 0) {
         // the visited set stays a LAZY union of the already-materialized
@@ -95,13 +122,15 @@ object Bfs {
     * frontier neighborhood. Seeds must come hash-sampled by the caller
     * — |state| is bounded by |seeds|·|reachable|, which is the
     * operator's deliberate budget (landmark methods pick tens of
-    * seeds, never the node set).
+    * seeds, never the node set). The per-round join/dedup/anti shape
+    * (and the `broadcastFrontier` default) matches [[distances]].
     *
     * Returns (node, seed, dist); a seed unreachable from `node` simply
     * contributes no row (the closeness consumer divides by the REACHED
     * count, keeping disconnected components honest). */
   def landmarkDistances(edges: DataFrame, seeds: DataFrame,
-                        maxDepth: Int = 40): DataFrame = {
+                        maxDepth: Int = 40,
+                        broadcastFrontier: Boolean = true): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct().localCheckpoint()
     var dist = Iterate.materialize(
@@ -112,10 +141,14 @@ object Bfs {
     var frontierSize = frontier.count()
     while (frontierSize > 0 && depth < maxDepth) {
       depth += 1
+      val fr = if (broadcastFrontier) broadcast(frontier) else frontier
       val next = Iterate.materialize(
-        frontier.join(e, frontier("node") === e("src"))
-          .select(col("dst").as("node"), col("seed")).distinct()
-          .join(dist.select("node", "seed"), Seq("node", "seed"), "left_anti"))
+        fr.join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node"), col("seed"), lit(0L).as("_vis"))
+          .unionByName(dist.select(col("node"), col("seed"),
+            lit(1L).as("_vis")))
+          .groupBy("node", "seed").agg(max(col("_vis")).as("_vis"))
+          .filter(col("_vis") === 0L).select("node", "seed"))
       frontierSize = next.count()
       if (frontierSize > 0) {
         dist = dist.unionByName(next.withColumn("dist", lit(depth)))

@@ -47,17 +47,16 @@ object Bpe {
     * non-empty token count of the fully merged corpus).
     *
     * Scale shape: per round, ONE map-side-combined pair count (the
-    * shuffle carries distinct pairs, not tokens), a 1-row
+    * shuffle carries distinct pairs, not tokens) and a 1-row
     * TakeOrdered(1) argmax collect (bounded by contract — the
-    * Coreset/PrefixSum driver-scalar class), and a row-local merge
-    * rewrite (no shuffle). Each round's rewritten corpus is
-    * localCheckpoint'd so round r's scan does not re-execute r−1
-    * chained merge UDFs (the PageRank lineage-truncation idiom); the
-    * checkpoints belong to the session pool (docs/CACHE_POLICY.md —
-    * harnesses release via Caches.releaseAll). At 100 TB the cost is
-    * `rounds` corpus scans — the known price of exact BPE; the merged
-    * token names compose with '_' so round k's pairs are well-defined
-    * strings. */
+    * Coreset/PrefixSum driver-scalar class). Round r scans the RAW
+    * corpus and re-applies merges 1..r−1 in one [[applyMerges]] UDF
+    * pass (row-local, no shuffle, one split per row) — re-merge CPU is
+    * deliberately traded for the full-corpus checkpoint WRITE per
+    * round the previous shape paid (see trainLoop). At 100 TB the cost
+    * is `rounds` corpus scans — the known price of exact BPE; the
+    * merged token names compose with '_' so round k's pairs are
+    * well-defined strings. */
   def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     val (merges, cur) = trainLoop(docs, textCol, rounds)
@@ -85,8 +84,22 @@ object Bpe {
   private def trainLoop(docs: DataFrame, textCol: String,
                         rounds: Int): (Seq[(String, String, Long)], DataFrame) = {
     require(rounds >= 1 && rounds <= 30, s"rounds must be in [1, 30]: $rounds")
-    var cur = docs
-    val merges = (1 to rounds).map { r =>
+    // Round r's corpus = the RAW corpus with merges 1..r−1 applied in
+    // ONE [[applyMerges]] UDF pass (one split + one traversal per row,
+    // however many merges), instead of checkpointing a rewritten copy
+    // of the whole corpus every round (r12 optimization round: the
+    // per-round checkpoint paid a full-corpus row-codec write + read
+    // per round — at 100 TB that is `rounds` corpus WRITES traded here
+    // for pure row-local re-merge CPU on the scan; locally it halves
+    // the per-round action count). BpeSpec asserts applyMerges ≡ the
+    // fold of single applyMerge passes, so the training sequence is
+    // unchanged.
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    def cur: DataFrame =
+      if (merges.isEmpty) docs
+      else applyMerges(docs, textCol,
+        merges.toSeq.map { case (w1, w2, _) => (w1, w2, w1 + "_" + w2) })
+    for (r <- 1 to rounds) {
       val rows = adjacentPairCounts(cur, textCol)
         .filter(col("w1") =!= "" && col("w2") =!= "")
         .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
@@ -95,11 +108,9 @@ object Bpe {
         s"BPE training: no countable adjacent pairs left at round $r " +
           "(corpus too small or merges exhausted before `rounds`)")
       val top = rows.head
-      val (w1, w2, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-      cur = applyMerge(cur, textCol, w1, w2, w1 + "_" + w2).localCheckpoint()
-      (w1, w2, cnt)
+      merges += ((top.getString(0), top.getString(1), top.getLong(2)))
     }
-    (merges, cur)
+    (merges.toSeq, cur)
   }
 
   /** BPE ENCODE: apply a learned merge list (w1, w2, joined) to a

@@ -372,9 +372,11 @@ object Dedup {
     * rewires structure, not labels: the measured shuffled-path round
     * count is 7 (= the aligned case).
     *
-    * Scale notes: each round is two groupBy-min + join passes over the
-    * (shrinking) edge list fused into ONE materialization — edge-list-
-    * sized shuffles, no driver-side graph. Convergence detection rides
+    * Scale notes: each round is two per-neighborhood window minima over
+    * the (shrinking) edge list fused into ONE materialization — the
+    * edge list crosses the network once per star (min() OVER the key
+    * partition; a groupBy-min + join-back would shuffle it twice per
+    * star and add two join stages), no driver-side graph. Convergence detection rides
     * the round itself: a rewire flag (did either star move this edge?)
     * is folded by max through the SAME groupBy that dedups the edge
     * list, so "converged" is a one-column sum over the already-cached
@@ -407,19 +409,25 @@ object Dedup {
         .filter(col("a") =!= col("b")).distinct())
     var it = 0
     var converged = edges.isEmpty // nothing but self-pairs: already stars
+    // Per-neighborhood minima via PARTITIONED windows instead of
+    // groupBy-min + join-back (r12 optimization round, guide §2.4
+    // "window partitioned like the preceding aggregation needs no
+    // second shuffle"): each star's min is an unbounded min() OVER the
+    // key partition, so the edge-list-sized frame crosses the network
+    // ONCE per star instead of twice (groupBy shuffled it, then the
+    // join shuffled it again), and the two join stages disappear —
+    // 5 exchanges/round → 3. Same min per group, bit-identical rounds.
+    import org.apache.spark.sql.expressions.Window
     while (!converged && it < maxIter) {
       // large-star over the symmetrized neighborhood: m ≤ u < v, so the
       // emitted (m, v) is canonical (smaller id first) and never a loop;
       // rw = 1 marks an edge the star actually moved (m != u)
       val sym = edges.select(col("a").as("u"), col("b").as("v"))
         .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
-      val lm = sym.groupBy("u").agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("u"), col("mv")).as("m"))
-      // no dedup here: the v>u filter keeps exactly one row per input
-      // edge (duplicates only arise from m-collisions), sm's min and
-      // the final max-fold both tolerate them, and skipping the
-      // intermediate groupBy saves a whole shuffle stage per round
-      val large = sym.join(lm, "u").filter(col("v") > col("u"))
+      val large = sym
+        .withColumn("m",
+          least(col("u"), min(col("v")).over(Window.partitionBy("u"))))
+        .filter(col("v") > col("u"))
         .select(col("m").as("a"), col("v").as("b"),
           (col("m") =!= col("u")).cast("long").as("rw"))
       // small-star keyed by the larger endpoint: all a < b by
@@ -427,8 +435,8 @@ object Dedup {
       // (m, a) rows are rewires by definition (only emitted when a != m),
       // (m, b) rows are rewires when b's parent changed (m != a) or the
       // edge was already moved by the large star this round
-      val sm = large.groupBy("b").agg(min(col("a")).as("m"))
-      val small = large.join(sm, "b")
+      val small = large
+        .withColumn("m", min(col("a")).over(Window.partitionBy("b")))
       val next = Iterate.materialize(
         small.filter(col("a") =!= col("m"))
           .select(col("m").as("a"), col("a").as("b"), lit(1L).as("rw"))

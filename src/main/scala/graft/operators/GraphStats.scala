@@ -216,21 +216,22 @@ object GraphStats {
   def pseudoDiameter(edges: DataFrame, maxDepth: Int = 40): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // normalize ONCE for both sweeps (Bfs.distancesPre): the plain
+    // Bfs.distances entry would re-run the distinct + checkpoint per
+    // sweep (r12 optimization round)
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).persist()
-    try {
-      val seed = e.agg(min("src").as("node")).filter(col("node").isNotNull)
-      val d1 = Bfs.distances(e, seed, maxDepth)
-      val farRow = d1.orderBy(col("dist").desc, col("node")).limit(1).collect()
-      if (farRow.isEmpty) {
-        // empty edge frame: empty profile, not a crash
-        Seq.empty[(Long, Long)].toDF("dist", "n_nodes")
-      } else {
-        val d2 = Bfs.distances(e, Seq(farRow(0).getLong(0)).toDF("node"),
-          maxDepth)
-        d2.groupBy("dist").agg(count(lit(1)).as("n_nodes")).orderBy("dist")
-      }
-    } finally e.unpersist(blocking = false)
+      col("dst").cast("long").as("dst")).distinct().localCheckpoint()
+    val seed = e.agg(min("src").as("node")).filter(col("node").isNotNull)
+    val d1 = Bfs.distancesPre(e, seed, maxDepth, broadcastFrontier = true)
+    val farRow = d1.orderBy(col("dist").desc, col("node")).limit(1).collect()
+    if (farRow.isEmpty) {
+      // empty edge frame: empty profile, not a crash
+      Seq.empty[(Long, Long)].toDF("dist", "n_nodes")
+    } else {
+      val d2 = Bfs.distancesPre(e, Seq(farRow(0).getLong(0)).toDF("node"),
+        maxDepth, broadcastFrontier = true)
+      d2.groupBy("dist").agg(count(lit(1)).as("n_nodes")).orderBy("dist")
+    }
   }
 
   /** Edge embeddedness (Easley–Kleinberg tie strength): for each

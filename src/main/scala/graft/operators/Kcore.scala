@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: the edge list is the only state, re-materialized per
   * round ([[Iterate.materialize]] — lineage + stats hygiene) and
-  * monotonically SHRINKING; each round is one map-side-combined degree
-  * count plus two semi joins on the surviving nodes, all hashed on node
-  * ids — no collect, no per-node loop. Round count is bounded by the
-  * peeling depth (≤ V but tiny in practice: each round removes every
-  * currently-underweight node at once).
+  * monotonically SHRINKING; each round annotates every edge with both
+  * endpoint degrees via two node-partitioned windows and filters — no
+  * degree table, no join-back, no collect, no per-node loop. Round
+  * count is bounded by the peeling depth (≤ V but tiny in practice:
+  * each round removes every currently-underweight node at once).
   *
   * Determinism: pure set arithmetic over integer ids — no floats, no
   * tie-breaks (synchronous deletion makes the round sequence, and the
@@ -35,38 +35,51 @@ object Kcore {
     * definition of coreness). */
   def kcore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    // Per-round degrees via PARTITIONED windows over the edge list
+    // itself instead of a degree aggregation + two semi joins back
+    // (r12 optimization round, guide §2.4): count() OVER the src
+    // partition is each edge's source degree, the dst window its
+    // target degree (the list is symmetric, so both windows see the
+    // same per-node degree), and one filter keeps exactly the edges
+    // whose BOTH endpoints survive — the same induced subgraph the
+    // semi joins produced, with the edge list crossing the network
+    // twice per round instead of three times plus two join stages,
+    // and ONE materialization + count per round instead of two of
+    // each. Convergence is detected on the EDGE count: a node leaves
+    // the survivor set iff some incident edge was dropped, so the
+    // edge count is fixed iff the survivor set is (the previous
+    // node-count test, same fixpoint).
+    import org.apache.spark.sql.expressions.Window
     var e = Iterate.materialize(
       edges.select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct())
     var prev = -1L
-    var deg: DataFrame = null
+    var m = e.count()
     var rounds = 0
-    var converged = false
-    while (!converged) {
-      deg = Iterate.materialize(
-        e.groupBy("src").agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= k)
-          .select(col("src").as("node"), col("deg")))
-      val m = deg.count()
-      // the survivor set shrinks monotonically, so equal cardinality
-      // means the SAME set: e is already induced on it -> fixpoint
-      if (m == prev || m == 0) converged = true
-      else {
+    while (m != prev && m > 0) {
+      prev = m
+      e = Iterate.materialize(
+        e.withColumn("_ds", count(lit(1)).over(Window.partitionBy("src")))
+          .withColumn("_dd", count(lit(1)).over(Window.partitionBy("dst")))
+          .filter(col("_ds") >= k && col("_dd") >= k)
+          .select("src", "dst"))
+      m = e.count()
+      if (m != prev) {
+        // only iterations that actually peeled count toward the bound
+        // (the final fixpoint-detection pass is free of charge, like
+        // the previous shape's node-count equality check)
         rounds += 1
         require(rounds <= maxRounds,
           s"Kcore.kcore: still peeling after $maxRounds rounds (raise " +
             "maxRounds; bound is the peeling depth of the graph)")
-        prev = m
-        val keep = deg.select("node")
-        e = Iterate.materialize(
-          e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-            .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-            .select("src", "dst"))
       }
     }
-    deg
+    // the fixpoint graph is induced on nodes of degree >= k, so the
+    // final degree count needs no filter
+    e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
   }
 
   /** The q134 oracle: `rounds` unrolled peeling rounds as DuckDB CTEs

@@ -26,6 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Scale-adaptive scan widening (guide §2.5 "input skew → repartition
+    * immediately after the read"): repartition to the session's default
+    * parallelism ONLY when the planned scan yields fewer partitions —
+    * the local/small-file artifact where one ~20 MB parquet file = 1–2
+    * input splits feeding a 16× Expand starves the other cores (q303
+    * measured 12.6 s of task time across 19 tasks for 2.8 s of wall at
+    * 32 cores before this). On a real cluster the scan has ≥ cores
+    * splits and this is a NO-OP — no exchange is added; the round-robin
+    * exchange it adds locally carries the narrow projection once, far
+    * less than the post-Expand shuffle it parallelizes. */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Tall profile of `cols`: (col_name, n_nulls, n_distinct, vmin,
     * vmax), one row per column, ordered by col_name. */
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
@@ -69,6 +84,13 @@ object Profile {
     * SQL's GROUP BY-keeps-null / count-DISTINCT-skips-null split. */
   def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "fdDiscovery: at least two columns")
+    // NOT widened ([[widen]]): measured at sf0.1/32 cores, widening the
+    // k determinant subtrees ballooned total task time 7.4 → 41 s (the
+    // per-partition partial count_distinct dedup loses almost all its
+    // effectiveness when 150k rows spread over 32 partitions) and the
+    // wall got WORSE (1.63 → 2.05 s) — the opposite trade of
+    // keyDiscovery's single 16-way Expand, which has no groupBy to
+    // pre-reduce and did win from widening (r12 optimization round)
     cols.map { det =>
       val deps = cols.filterNot(_ == det)
       val cd = deps.map(dep =>
@@ -121,7 +143,10 @@ object Profile {
       pairs.map { case (a, b) =>
         count_distinct(struct(col(a), col(b))).as(s"${a}__${b}__d")
       }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // widen BEFORE the (k + C(k,2))-way Expand so its per-row blow-up
+    // runs at full parallelism (see [[widen]]); single consumer, so no
+    // checkpoint needed
+    val one = widen(df.select(cols.map(col): _*)).agg(aggs.head, aggs.tail: _*)
     def keyFlag(d: org.apache.spark.sql.Column) =
       when(d === col("__n"), 1L).otherwise(0L)
     val rows = array(

@@ -37,36 +37,48 @@ object Sssp {
     require(e.filter(col("w") < 0).isEmpty,
       "Sssp.shortestPaths: negative edge weight (Bellman–Ford frontier " +
         "relaxation requires w >= 0 to terminate at shortest distances)")
-    var dist = Iterate.materialize(
+    // State is ONE frame (node, dist, _imp): _imp = 1 marks rows whose
+    // distance improved last round (the live frontier). Each round
+    // broadcasts the frontier into the edge join (the [[PageRank]]
+    // broadcastRanks precedent — AQE cannot size a mid-loop
+    // checkpointed table, so without the hint every round re-exchanges
+    // and re-sorts the FULL edge list; a frontier is node-bounded, and
+    // graphs whose frontier exceeds executor memory degrade gracefully
+    // by dropping the hint), then ONE node-keyed aggregation merges
+    // candidates with the previous distances: min(d) over both is the
+    // relaxed distance, and min(d | old rows) recovers the previous
+    // value so the improvement flag needs no join-back. One exchange +
+    // one materialization + one count per round, where the previous
+    // shape paid candidate-groupBy + join + anti-join + union across
+    // TWO materializations and counts (r12 optimization round,
+    // guide §2.3/§2.4). Same min-combine, bit-identical distances.
+    var state = Iterate.materialize(
       sources.select(col("node").cast("long").as("node")).distinct()
-        .withColumn("dist", lit(0L)))
-    var frontier = dist
+        .select(col("node"), lit(0L).as("dist"), lit(1L).as("_imp")))
     var round = 0
-    var improving = frontier.count()
+    var improving = state.filter(col("_imp") === 1L).count()
     while (improving > 0 && round < maxRounds) {
       round += 1
-      val cand = frontier.select(col("node").as("src"), col("dist"))
-        .join(e, "src")
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("nd"))
-        .groupBy("node").agg(min(col("nd")).as("nd"))
-      val improved = Iterate.materialize(
-        cand.join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left")
-          .filter(col("old").isNull || col("nd") < col("old"))
-          .select(col("node"), col("nd").as("dist")))
-      improving = improved.count()
-      if (improving > 0) {
-        // swap improved rows into the distance table; both sides are
-        // already materialized, so the union is one cheap pass
-        dist = Iterate.materialize(
-          dist.join(improved.select("node"), Seq("node"), "left_anti")
-            .unionByName(improved))
-        frontier = improved
-      }
+      val fr = broadcast(state.filter(col("_imp") === 1L)
+        .select(col("node").as("src"), col("dist")))
+      val cand = fr.join(e, "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("d"),
+          lit(0L).as("_old"))
+      state = Iterate.materialize(
+        cand.unionByName(
+            state.select(col("node"), col("dist").as("d"), lit(1L).as("_old")))
+          .groupBy("node")
+          .agg(min(col("d")).as("dist"),
+            min(when(col("_old") === 1L, col("d"))).as("_oldd"))
+          .select(col("node"), col("dist"),
+            (col("_oldd").isNull || col("dist") < col("_oldd"))
+              .cast("long").as("_imp")))
+      improving = state.filter(col("_imp") === 1L).count()
     }
     require(improving == 0,
       s"Sssp.shortestPaths: distances still improving after $maxRounds " +
         "rounds (raise maxRounds; bound is the max hop length of a " +
         "shortest weighted path)")
-    dist
+    state.select("node", "dist")
   }
 }

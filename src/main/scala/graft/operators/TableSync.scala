@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Bucket-digest table synchronization — the anti-entropy / Merkle-tree
   * pattern (Cassandra repair, DynamoDB replica sync) as a Spark plan:
@@ -16,15 +15,21 @@ import org.apache.spark.sql.types.DecimalType
   * tables into one giant key join every time.
   *
   * The digest must be order-independent (bucket contents arrive in any
-  * partition order) and engine-independent (q114's DuckDB oracle
-  * rebuilds it in SQL): each row folds its key/value longs through a
-  * chained masked xorshift32 ([[CountMin]]'s hash discipline — XOR,
-  * shifts and AND masks only, every intermediate < 2^32, so ANSI
-  * long-multiply overflow and 63-bit shift limits are unreachable in
-  * both engines), and a bucket's digest is (row count, SUM of row
-  * hashes as DECIMAL(38,0)). Sums commute, so the digest is independent
-  * of row order and partitioning; a single changed/inserted/deleted row
-  * changes n or hsum with probability 1 − 2⁻³² per bucket.
+  * partition order) and engine-independent: each row folds its
+  * key/value longs through a chained masked xorshift32 ([[CountMin]]'s
+  * hash discipline — XOR, shifts and AND masks only, every
+  * intermediate < 2^32, so ANSI long-multiply overflow and 63-bit
+  * shift limits are unreachable in both engines), and a bucket's
+  * digest is (row count, Σ of the hash's LOW 16 bits, Σ of its HIGH 16
+  * bits) — the two limb sums reconstruct Σh = h_lo + 2¹⁶·h_hi exactly,
+  * so detection power is identical to a full-width hash sum, each limb
+  * is < 2¹⁶ per row so a plain BIGINT sum is ANSI-overflow-safe to
+  * 2⁴⁷ rows per bucket, and no DECIMAL(38,0) accumulator is needed
+  * (the previous decimal sum allocated a BigDecimal per row per scan —
+  * measured as multi-second GC at sf0.1; r12 optimization round).
+  * Sums commute, so the digest is independent of row order and
+  * partitioning; a single changed/inserted/deleted row changes n or
+  * Σh with probability 1 − 2⁻³² per bucket.
   *
   * Rows are assigned to buckets by KEY hash only — a changed payload
   * must keep its row in the same bucket for the digest comparison to
@@ -52,25 +57,29 @@ object TableSync {
       xs32(h.bitwiseXOR(c.bitwiseAND(lit(M32)))
         .bitwiseXOR(shiftright(c, 32).bitwiseAND(lit(M32)))))
 
-  /** Per-bucket digests of `df`: (bucket, n, hsum). `keyH`/`rowH` are
-    * [[rowHash]] columns over the key columns / all compared columns.
-    * One scan, map-side combine, ≤ `buckets` result rows. */
+  /** Per-bucket digests of `df`: (bucket, n, h_lo, h_hi). `keyH`/`rowH`
+    * are [[rowHash]] columns over the key columns / all compared
+    * columns. One scan, map-side combine, ≤ `buckets` result rows. */
   def bucketDigest(df: DataFrame, keyH: Column, rowH: Column,
                    buckets: Int): DataFrame = {
     require(buckets > 0)
     df.select(pmod(keyH, lit(buckets.toLong)).as("bucket"), rowH.as("h"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
-        sum(col("h").cast(DecimalType(38, 0))).as("hsum"))
+        sum(col("h").bitwiseAND(lit(65535L))).as("h_lo"),
+        sum(shiftright(col("h"), 16)).as("h_hi"))
   }
 
   /** Buckets whose digests disagree (either side missing counts as
     * disagreeing). Output: (bucket) — at most `buckets` rows. */
   def dirtyBuckets(oldDig: DataFrame, newDig: DataFrame): DataFrame = {
-    val o = oldDig.select(col("bucket"), col("n").as("n_o"), col("hsum").as("h_o"))
-    val n = newDig.select(col("bucket"), col("n").as("n_n"), col("hsum").as("h_n"))
+    val o = oldDig.select(col("bucket"), col("n").as("n_o"),
+      col("h_lo").as("lo_o"), col("h_hi").as("hi_o"))
+    val n = newDig.select(col("bucket"), col("n").as("n_n"),
+      col("h_lo").as("lo_n"), col("h_hi").as("hi_n"))
     o.join(n, Seq("bucket"), "full_outer")
-      .filter(!(col("n_o") <=> col("n_n")) || !(col("h_o") <=> col("h_n")))
+      .filter(!(col("n_o") <=> col("n_n")) || !(col("lo_o") <=> col("lo_n")) ||
+        !(col("hi_o") <=> col("hi_n")))
       .select("bucket")
   }
 
@@ -82,14 +91,34 @@ object TableSync {
   def syncDiff(oldDf: DataFrame, newDf: DataFrame, keyH: Column,
                rowH: Column, buckets: Int,
                keyCols: Seq[String], cmpCols: Seq[String]): DataFrame = {
+    // Both digests in ONE aggregation over the side-tagged union of the
+    // two scans (r12 optimization round, guide §2.4): the previous
+    // shape ran two separate digest aggregations and full-outer-joined
+    // them — two shuffles plus a join stage for the same ≤ buckets
+    // rows. A bucket missing on one side has n = 0 there and some rows
+    // on the other, so the n comparison subsumes the full-outer
+    // missing-side case.
     // persist: `dirty` (≤ buckets rows) is broadcast into BOTH scans'
     // semi-joins below; without caching, each broadcast re-runs both
     // digest scans+aggregations (AQE's broadcast rewrite defeats
     // ReuseExchange across the two consumers — same mechanism as
     // [[SetSimJoin.jaccardJoin]]'s persisted stages)
-    val dirty = dirtyBuckets(
-      bucketDigest(oldDf, keyH, rowH, buckets),
-      bucketDigest(newDf, keyH, rowH, buckets)).persist()
+    def tagged(df: DataFrame, side: Long) = df.select(
+      pmod(keyH, lit(buckets.toLong)).as("bucket"), rowH.as("h"),
+      lit(side).as("_s"))
+    def sideSum(side: Long, v: Column) =
+      sum(when(col("_s") === side, v).otherwise(0L))
+    val dirty = tagged(oldDf, 0L).unionByName(tagged(newDf, 1L))
+      .groupBy("bucket")
+      .agg(sideSum(0L, lit(1L)).as("n_o"),
+        sideSum(0L, col("h").bitwiseAND(lit(65535L))).as("lo_o"),
+        sideSum(0L, shiftright(col("h"), 16)).as("hi_o"),
+        sideSum(1L, lit(1L)).as("n_n"),
+        sideSum(1L, col("h").bitwiseAND(lit(65535L))).as("lo_n"),
+        sideSum(1L, shiftright(col("h"), 16)).as("hi_n"))
+      .filter(col("n_o") =!= col("n_n") || col("lo_o") =!= col("lo_n") ||
+        col("hi_o") =!= col("hi_n"))
+      .select("bucket").persist()
     val b = pmod(keyH, lit(buckets.toLong))
     // dirty is ≤ buckets rows — broadcast the prune into both scans
     def prune(df: DataFrame): DataFrame = df

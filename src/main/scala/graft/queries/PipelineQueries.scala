@@ -1436,9 +1436,17 @@ object PipelineQueries {
         |   OR o.ck <> n.ck OR o.cents <> n.cents
         |ORDER BY ok""".stripMargin) { (s, d) =>
       import graft.operators.TableSync
+      // localCheckpoint: the snapshot frame feeds SIX consumers
+      // (digest + prune of oldS; newS's two union branches, each
+      // digested and pruned) — without it every consumer re-reads and
+      // re-decodes the parquet (measured 2.9 s of GC from the repeated
+      // decimal/row decode at sf0.1; r12 optimization round). The
+      // checkpointed frame is 3 longs/row, far below the scan it
+      // replaces.
       val oldS = Tables.orders(s, d).select(
         col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
         (col("o_totalprice") * 100).cast("long").as("cents"))
+        .localCheckpoint()
       val newS = oldS.filter(col("ok") % 1000 =!= 7)
         .withColumn("cents",
           when(col("ok") % 1000 === 13, col("cents") + 5).otherwise(col("cents")))

@@ -23,11 +23,29 @@ class TableSyncSpec extends AnyFunSuite {
   test("digest is order- and partitioning-independent") {
     val rows = (1L to 500L).map(k => (k, k * 3, k % 17))
     val a = TableSync.bucketDigest(table(rows), keyH, rowH, 16)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).toSet
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
     val b = TableSync.bucketDigest(
         table(scala.util.Random.shuffle(rows)).repartition(7), keyH, rowH, 16)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).toSet
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
     assert(a == b)
+  }
+
+  test("limb sums reconstruct the full-width hash sum exactly") {
+    // the r12 digest optimization replaced sum(h) as DECIMAL(38,0) with
+    // two BIGINT limb sums; h_lo + 2^16 * h_hi must equal the old sum
+    // bit-for-bit, so detection power is unchanged
+    val rows = (1L to 500L).map(k => (k, k * 3, k % 17))
+    val full = table(rows)
+      .select(pmod(keyH, lit(16L)).as("bucket"), rowH.as("h"))
+      .groupBy("bucket").agg(sum(col("h")).as("hsum")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val limbs = TableSync.bucketDigest(table(rows), keyH, rowH, 16).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2) + 65536L * r.getLong(3))).toMap
+    assert(limbs == full)
   }
 
   test("a single changed row dirties exactly one bucket") {
