@@ -94,10 +94,15 @@ object Bpe {
     // the per-round action count). BpeSpec asserts applyMerges ≡ the
     // fold of single applyMerge passes, so the training sequence is
     // unchanged.
+    // the RAW corpus is checkpointed ONCE so every round's re-merge
+    // reads cached rows instead of re-decoding the parquet scan — the
+    // only per-round corpus I/O left is the read every exact-BPE round
+    // must pay
+    val base = docs.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     def cur: DataFrame =
-      if (merges.isEmpty) docs
-      else applyMerges(docs, textCol,
+      if (merges.isEmpty) base
+      else applyMerges(base, textCol,
         merges.toSeq.map { case (w1, w2, _) => (w1, w2, w1 + "_" + w2) })
     for (r <- 1 to rounds) {
       val rows = adjacentPairCounts(cur, textCol)

@@ -50,8 +50,14 @@ object Hierarchy {
     var round = 0
     var moving = 1L
     while (moving > 0 && round < maxRounds) {
-      val hop = state.select(col("id").as("anc"),
-        col("anc").as("anc2"), col("d").as("d2"))
+      // broadcast the hop side (the [[PageRank]] broadcastRanks
+      // precedent — AQE cannot size a mid-loop checkpointed table, so
+      // the self-join otherwise exchanges the state on BOTH sides every
+      // round; the state is node-sized, and a graph too large for it
+      // degrades gracefully by dropping the hint) — r12 optimization
+      // round, guide §2.4
+      val hop = broadcast(state.select(col("id").as("anc"),
+        col("anc").as("anc2"), col("d").as("d2")))
       // Iterate.materialize, not bare localCheckpoint: this is a
       // SELF-join loop, so carried size estimates would square per
       // round (see Iterate scaladoc)
@@ -136,17 +142,27 @@ object Hierarchy {
       64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n.count())) + 1)
     while (jumpCnt > 0 && rounds < roundBound) {
       rounds += 1
+      // jump is node-bounded (one live pointer per non-converged node,
+      // shrinking) — broadcast it into both per-round joins (the
+      // [[PageRank]] broadcastRanks precedent): the self-join stops
+      // exchanging jump twice, and CRUCIALLY the band join stops
+      // shuffling the CLOSURE — the one frame here that grows to
+      // Σ depth(v) rows, which the previous shape re-exchanged every
+      // round (r12 optimization round, guide §2.4). Degrades gracefully
+      // by dropping the hint if a graph's live-pointer set ever
+      // outgrows executor memory.
       // distance exactly 2^rounds
       val j2 = Iterate.materialize(
         jump.select(col("desc"), col("anc").as("mid"))
-          .join(jump.select(col("desc").as("mid"), col("anc")), "mid")
+          .join(broadcast(jump.select(col("desc").as("mid"), col("anc"))),
+            "mid")
           .select("desc", "anc"))
       jumpCnt = j2.count()
       if (jumpCnt > 0) {
         // new band [2^rounds, 2^{rounds+1}) = j2 ∘ (id ∪ clo-so-far);
         // unique binary decomposition ⇒ no duplicates, no distinct
         val band = j2.unionByName(
-          j2.select(col("desc"), col("anc").as("mid"))
+          broadcast(j2.select(col("desc"), col("anc").as("mid")))
             .join(clo.select(col("desc").as("mid"), col("anc")), "mid")
             .select("desc", "anc"))
         clo = Iterate.materialize(clo.unionByName(band))
