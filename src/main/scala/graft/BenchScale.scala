@@ -442,6 +442,26 @@ object BenchScale {
           .distinct()
         Dedup.connectedComponents(pairs, maxIter = 40).count()
       },
+      "components_hub" -> { k =>
+        // SKEWED-HUB stress for the CC star minima: ONE global hub
+        // owns ~20% of all edges at every k (hub degree grows k× with
+        // the row count — the power-law celebrity case), the rest is
+        // a sparse id chain. Guards the default window shape's alpha
+        // under skew; the r13 A/B of window vs the skewSafeMinima
+        // groupBy+join-back shape on this fixture is recorded in
+        // OPTIMIZATION_r13.md (window 6.5 s vs 7.9 s at k16 — the
+        // hub task only becomes the stage at ~10^7+ rows on one key,
+        // which is when callers flip skewSafeMinima).
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val ids = e.select((col("user_id") * 17 + col("event_id") % 13)
+          .as("id")).distinct()
+        val hubEdges = ids.filter(col("id") % 5 === 0)
+          .select(lit(0L).as("id_a"), (col("id") + 10L).as("id_b"))
+        val chain = ids.select((col("id") + 10L).as("id_a"),
+          (col("id") + 11L).as("id_b"))
+        Dedup.connectedComponents(hubEdges.unionByName(chain), maxIter = 40)
+          .count()
+      },
       "interval_merge" -> { k =>
         // k× users with identical per-user interval sets: the island
         // sweep is per-key window work — the embarrassingly-parallel

@@ -81,29 +81,36 @@ object Bpe {
                   rounds: Int): Seq[(String, String, Long)] =
     trainLoop(docs, textCol, rounds)._1
 
+  /** Rebase cadence of [[trainLoop]]: every `RebaseEvery` merges the
+    * rewritten corpus is checkpointed and becomes the new base, so a
+    * round re-applies at most `RebaseEvery` tail merges. Bounds BOTH
+    * cost terms (r13 optimization round, closing the r12 trade's
+    * quadratic tail): per-round re-merge CPU ≤ RebaseEvery merges ×
+    * corpus (the r12 all-tail shape was O(rounds²) — fine at ≤ 10
+    * rounds, unbounded at a real vocab's thousands), and checkpoint
+    * WRITES = rounds/RebaseEvery corpus materializations (the pre-r12
+    * shape paid one per round). Declared queries train ≤ 5 rounds, so
+    * their plans and results are byte-identical to r12; BpeSpec pins a
+    * > RebaseEvery training run against the per-round-fold reference.
+    */
+  private val RebaseEvery = 8
+
   private def trainLoop(docs: DataFrame, textCol: String,
                         rounds: Int): (Seq[(String, String, Long)], DataFrame) = {
     require(rounds >= 1 && rounds <= 30, s"rounds must be in [1, 30]: $rounds")
-    // Round r's corpus = the RAW corpus with merges 1..r−1 applied in
-    // ONE [[applyMerges]] UDF pass (one split + one traversal per row,
-    // however many merges), instead of checkpointing a rewritten copy
-    // of the whole corpus every round (r12 optimization round: the
-    // per-round checkpoint paid a full-corpus row-codec write + read
-    // per round — at 100 TB that is `rounds` corpus WRITES traded here
-    // for pure row-local re-merge CPU on the scan; locally it halves
-    // the per-round action count). BpeSpec asserts applyMerges ≡ the
-    // fold of single applyMerge passes, so the training sequence is
-    // unchanged.
-    // the RAW corpus is checkpointed ONCE so every round's re-merge
-    // reads cached rows instead of re-decoding the parquet scan — the
-    // only per-round corpus I/O left is the read every exact-BPE round
-    // must pay
-    val base = docs.localCheckpoint()
+    // Round r's corpus = the latest checkpointed base with the
+    // since-rebase tail of merges applied in ONE [[applyMerges]] UDF
+    // pass (one split + one traversal per row, however many merges).
+    // BpeSpec asserts applyMerges ≡ the fold of single applyMerge
+    // passes, so the training sequence is unchanged.
+    var base = docs.localCheckpoint()
+    var baked = 0 // merges already rewritten into `base`
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    def tail: Seq[(String, String, String)] =
+      merges.toSeq.drop(baked).map { case (w1, w2, _) => (w1, w2, w1 + "_" + w2) }
     def cur: DataFrame =
-      if (merges.isEmpty) base
-      else applyMerges(base, textCol,
-        merges.toSeq.map { case (w1, w2, _) => (w1, w2, w1 + "_" + w2) })
+      if (merges.size == baked) base
+      else applyMerges(base, textCol, tail)
     for (r <- 1 to rounds) {
       val rows = adjacentPairCounts(cur, textCol)
         .filter(col("w1") =!= "" && col("w2") =!= "")
@@ -114,6 +121,10 @@ object Bpe {
           "(corpus too small or merges exhausted before `rounds`)")
       val top = rows.head
       merges += ((top.getString(0), top.getString(1), top.getLong(2)))
+      if (merges.size - baked >= RebaseEvery && r < rounds) {
+        base = applyMerges(base, textCol, tail).localCheckpoint()
+        baked = merges.size
+      }
     }
     (merges.toSeq, cur)
   }

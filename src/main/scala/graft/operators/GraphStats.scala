@@ -115,19 +115,29 @@ object GraphStats {
     * and aggregates the match flag — no correlated probe per edge, no
     * 1-row cross join. Self-loops are excluded (trivially mutual). */
   def reciprocityComponents(edges: DataFrame): DataFrame = {
-    // the normalized edge frame feeds BOTH sides of the self-join;
-    // persist so the upstream build + distinct shuffle run once, not
-    // once per consumer (the AQE ReuseExchange gap — CLAUDE.md ground
-    // rule; CacheManager dedupes by logical plan across repeat calls)
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-      .persist()
-    val rev = e.select(col("dst").as("src"), col("src").as("dst"),
-      lit(1L).as("_m"))
-    e.join(rev, Seq("src", "dst"), "left")
-      .agg(count(lit(1)).as("m"),
-        sum(coalesce(col("_m"), lit(0L))).as("m_mutual"))
+    // ONE canonical-pair aggregation (r13 optimization round, guide
+    // §2.4) replaces distinct + left-join-of-own-reversal: group the
+    // DIRECTED edges by the unordered endpoint pair and fold a
+    // direction-presence flag per side — max(flag) absorbs the
+    // distinct, the pair is mutual iff both flags fold to 1, and
+    // m = Σ present directions. The edge list crosses the network once
+    // (map-side-combined groupBy) where the old shape shuffled it for
+    // the distinct and again for each self-join side, and the persist
+    // goes away with the second consumer. Same two BIGINTs.
+    edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"),
+        when(col("src") < col("dst"), 1L).otherwise(0L).as("f"),
+        when(col("src") > col("dst"), 1L).otherwise(0L).as("r"))
+      .groupBy("lo", "hi")
+      .agg(max(col("f")).as("hf"), max(col("r")).as("hr"))
+      .agg(coalesce(sum(col("hf") + col("hr")), lit(0L)).as("m"),
+        sum(when(col("hf") === 1L && col("hr") === 1L, 2L).otherwise(0L))
+          .as("m_mutual"))
+    // (m coalesced like the old count(*) — 0 on an empty edge list,
+    // m_mutual NULL there, matching the previous shape exactly)
   }
 
   /** Common-neighbor link prediction: the top-`topK` NON-edges (a < b)
@@ -168,23 +178,50 @@ object GraphStats {
   /** Shared witness machinery: the normalized symmetric edge frame,
     * node degrees, and the capped 2-hop pair counts (a < b, witness
     * count + RA weight sum — an unused aggregate column is pruned by
-    * the optimizer, so single-score callers pay nothing extra). */
+    * the optimizer, so single-score callers pay nothing extra).
+    *
+    * Shape (r13 optimization round, guide §2.4): ONE node-keyed
+    * aggregation builds the exact degree AND the ≤hubCap neighbor list
+    * per middle, and pairs explode ROW-LOCALLY from the list — the old
+    * deg-join + wedge self-join paid 3 extra exchanges and 2 join
+    * stages for the same pair multiset (for a SYMMETRIC distinct edge
+    * list, both wedge sides are the same (m, neighbor) frame, so the
+    * self-join was joining a frame with itself). The neighbor collector
+    * is the k-bounded [[TopKAgg]] (k = hubCap+1), NOT collect_list: a
+    * celebrity middle's buffer caps at hubCap+1 entries on every map
+    * partition and merge (guide §2.5 — the size also flags over-cap
+    * middles, which the exact `deg` then drops), so the one-task-per-
+    * key concentration of the final merge is bounded. Pair volume is
+    * unchanged: Σ_{deg(m)≤cap} C(deg,2), the operator's documented
+    * bound. Wedge order: the (value DESC) array reversed is ascending,
+    * so slice-after-position emits exactly the a < b pairs the old
+    * join filter kept (neighbors are distinct — e is). */
   private def witnessFrames(edges: DataFrame,
                             hubCap: Long): (DataFrame, DataFrame, DataFrame) = {
-    // normalized frame feeds three consumers (degree count + both join
-    // sides + the anti/semi consumer) — persist per the AQE ReuseExchange
-    // rule
+    require(hubCap >= 1 && hubCap < Int.MaxValue, s"hubCap out of range: $hubCap")
+    val spark = edges.sparkSession
+    // normalized frame feeds the adjacency agg and the anti/edge-side
+    // consumers — persist per the AQE ReuseExchange rule
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .persist()
-    val deg = e.groupBy(col("src").as("m")).agg(count(lit(1)).as("deg"))
-    val mid = deg.filter(col("deg") <= hubCap)
-    val thru = e.select(col("dst").as("m"), col("src").as("a"))
-      .join(mid, "m")
-    val pairs = thru
-      .join(e.select(col("src").as("m"), col("dst").as("b")), "m")
-      .filter(col("a") < col("b"))
+    // one exchange: exact degree + capped neighbor list per node.
+    // persist: deg and pairs are separate consumers in edgeEmbeddedness
+    // (deg twice), and AQE re-runs the agg per consumer otherwise.
+    val grouped = e.groupBy(col("src").as("m"))
+      .agg(count(lit(1)).as("deg"),
+        TopKAgg.topKExpr(spark, (hubCap + 1).toInt,
+          col("dst"), col("dst")).as("_tk"))
+      .persist()
+    val deg = grouped.select(col("m"), col("deg"))
+    val pairs = grouped.filter(col("deg") <= hubCap)
+      .select(col("deg"), expr("reverse(transform(_tk, s -> s.id))").as("nbrs"))
+      .select(col("deg"), posexplode(col("nbrs")).as(Seq("i", "a")),
+        col("nbrs"))
+      .select(col("deg"), col("a"),
+        explode(slice(col("nbrs"), col("i") + lit(2),
+          size(col("nbrs")) - col("i") - lit(1))).as("b"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("cn"),
         sum(expr("1000000000 div deg")).as("ra"))
@@ -273,12 +310,28 @@ object GraphStats {
     * re-derives it by pairing distinct centers per (u,w), a different
     * join shape entirely). */
   def fourCycles(edges: DataFrame): DataFrame = {
+    // Wedges explode ROW-LOCALLY from per-center adjacency lists (r13
+    // optimization round, guide §2.4): groupBy(center) is ONE exchange
+    // where the old self-join exchanged sym twice and ran a join stage
+    // — and sym itself is computed once, not once per join side (AQE
+    // defeats ReuseExchange). sort_array + position-slice emits each
+    // unordered neighbor pair once with the old strict `dst1 < dst2`
+    // semantics (equal-id duplicates in a non-distinct input stay
+    // excluded by the `>` filter, multiplicities still multiply).
+    // Skew: a hub center's full list lands in one agg buffer — the
+    // same one-task deg² concentration the self-join had on the hub's
+    // key; the census is exact by contract, the capped mitigation
+    // lives in [[linkPrediction]] (see scaladoc above).
     val e = edges.select(col("a"), col("b"))
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
-    sym.as("s1").join(sym.as("s2"),
-        col("s1.src") === col("s2.src") && col("s1.dst") < col("s2.dst"))
-      .select(col("s1.dst").as("u"), col("s2.dst").as("w"))
+    sym.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .select(posexplode(col("nbrs")).as(Seq("i", "u")), col("nbrs"))
+      .select(col("u"),
+        explode(slice(col("nbrs"), col("i") + lit(2),
+          size(col("nbrs")) - col("i") - lit(1))).as("w"))
+      .filter(col("w") > col("u"))
       .groupBy("u", "w")
       .agg(count(lit(1)).as("n_paths"))
       .filter(col("n_paths") >= 2)

@@ -39,7 +39,12 @@ object Hierarchy {
     * is NULL. Every non-root's parent must exist as an id; depth is the
     * number of edges to the root. */
   def rootAndDepth(nodes: DataFrame, idCol: String, parentCol: String,
-                   maxRounds: Int = 40): DataFrame = {
+                   maxRounds: Int = 40,
+                   broadcastState: Boolean = true): DataFrame = {
+    // broadcastState = false drops the per-round broadcast hints for
+    // forests whose node set outgrows driver/executor memory — the
+    // self-join then shuffles both sides (AQE-sizable), bit-identical
+    // results (HierarchySpec pins the fallback path).
     val isRoot = col(parentCol).isNull || col(parentCol) === col(idCol)
     var state = Iterate.materialize(nodes.select(
         col(idCol).cast("long").as("id"),
@@ -56,8 +61,9 @@ object Hierarchy {
       // round; the state is node-sized, and a graph too large for it
       // degrades gracefully by dropping the hint) — r12 optimization
       // round, guide §2.4
-      val hop = broadcast(state.select(col("id").as("anc"),
-        col("anc").as("anc2"), col("d").as("d2")))
+      val hop0 = state.select(col("id").as("anc"),
+        col("anc").as("anc2"), col("d").as("d2"))
+      val hop = if (broadcastState) broadcast(hop0) else hop0
       // Iterate.materialize, not bare localCheckpoint: this is a
       // SELF-join loop, so carried size estimates would square per
       // round (see Iterate scaladoc)
@@ -118,7 +124,13 @@ object Hierarchy {
     * self-ancestor pair. Parents that are not themselves nodes raise
     * rather than silently acting as virtual roots. All-integer. */
   def subtreeAgg(nodes: DataFrame, idCol: String, parentCol: String,
-                 valCol: String, maxRounds: Int = 40): DataFrame = {
+                 valCol: String, maxRounds: Int = 40,
+                 broadcastJumps: Boolean = true): DataFrame = {
+    // broadcastJumps = false drops the per-round broadcast hints (see
+    // rootAndDepth — the live-pointer set is node-bounded but a caller
+    // whose forest outgrows memory needs the shuffled fallback).
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastJumps) broadcast(df) else df
     val isRoot = col(parentCol).isNull || col(parentCol) === col(idCol)
     val n = Iterate.materialize(nodes.select(
       col(idCol).cast("long").as("id"),
@@ -154,7 +166,7 @@ object Hierarchy {
       // distance exactly 2^rounds
       val j2 = Iterate.materialize(
         jump.select(col("desc"), col("anc").as("mid"))
-          .join(broadcast(jump.select(col("desc").as("mid"), col("anc"))),
+          .join(hint(jump.select(col("desc").as("mid"), col("anc"))),
             "mid")
           .select("desc", "anc"))
       jumpCnt = j2.count()
@@ -162,7 +174,7 @@ object Hierarchy {
         // new band [2^rounds, 2^{rounds+1}) = j2 ∘ (id ∪ clo-so-far);
         // unique binary decomposition ⇒ no duplicates, no distinct
         val band = j2.unionByName(
-          broadcast(j2.select(col("desc"), col("anc").as("mid")))
+          hint(j2.select(col("desc"), col("anc").as("mid")))
             .join(clo.select(col("desc").as("mid"), col("anc")), "mid")
             .select("desc", "anc"))
         clo = Iterate.materialize(clo.unionByName(band))

@@ -198,16 +198,36 @@ object Robust {
     * a min-filter picks the crossing value. No join-back, no global
     * window. Output per group: `wmedian`, `total_w`. */
   def weightedMedian(df: DataFrame, grpCol: String, valCol: String,
-                     wCol: String): DataFrame = {
+                     wCol: String, chunkWidth: Long = 16384L): DataFrame = {
+    // Two-level scan (the [[PrefixSum]] decomposition, r13
+    // optimization round, guide §2.5): the previous shape ran the
+    // running-weight window partitioned by the GROUP alone, so a
+    // 3-group input did its entire cumulative sort-and-scan in 3
+    // tasks (profiled: ~3 s of CPU on 12 tasks at sf0.1 while 29
+    // cores idled). Level 1 scans within (group, value-band) — fully
+    // parallel; level 2 prefix-sums the per-band totals along each
+    // group's band order (band count = value-range/chunkWidth,
+    // bounded and tiny, so its window is trivial) and joins the band
+    // offsets back. cum = band offset + in-band running — the same
+    // integers, so the crossing row and both outputs are
+    // bit-identical (RobustSpec pins new ≡ old shape). The band
+    // expression is floor division — monotone in the value, negatives
+    // included.
     val byVal = df.groupBy(col(grpCol), col(valCol).cast("long").as("_v"))
       .agg(sum(col(wCol).cast("long")).as("_w"))
-    val run = Window.partitionBy(grpCol).orderBy(col("_v"))
+      .withColumn("_ck", expr(s"(_v - pmod(_v, ${chunkWidth}L)) div ${chunkWidth}L"))
+    val run = Window.partitionBy(col(grpCol), col("_ck")).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val tot = Window.partitionBy(grpCol)
-    byVal
-      .withColumn("_cum", sum(col("_w")).over(run))
-      .withColumn("_tot", sum(col("_w")).over(tot))
-      .filter(col("_cum") * 2 >= col("_tot"))
+    val inChunk = byVal.withColumn("_crun", sum(col("_w")).over(run))
+    val offW = Window.partitionBy(grpCol).orderBy(col("_ck"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = byVal.groupBy(col(grpCol), col("_ck"))
+      .agg(sum(col("_w")).as("_ct"))
+      .withColumn("_off", coalesce(sum(col("_ct")).over(offW), lit(0L)))
+      .withColumn("_tot", sum(col("_ct")).over(Window.partitionBy(grpCol)))
+      .select(col(grpCol), col("_ck"), col("_off"), col("_tot"))
+    inChunk.join(broadcast(offs), Seq(grpCol, "_ck"))
+      .filter((col("_crun") + col("_off")) * 2 >= col("_tot"))
       .groupBy(grpCol)
       .agg(min(col("_v")).as("wmedian"), max(col("_tot")).as("total_w"))
   }

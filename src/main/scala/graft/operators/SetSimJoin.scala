@@ -69,11 +69,36 @@ object SetSimJoin {
     // of the same query reuse one entry rather than accreting.
     val pref = ranked.filter(
       col("rnk") <= col("sz") - expr(s"(($tNum * sz) + $tDen - 1) div $tDen") + 1)
-      .select("id", "tok").persist()
-    val cand = pref.select(col("id").as("id_a"), col("tok"))
-      .join(pref.select(col("id").as("id_b"), col("tok")), "tok")
+      .select("id", "tok", "rnk", "sz").persist()
+    // Candidate pruning BEYOND the prefix filter (r13 optimization
+    // round, guide §2.3 — shuffle fewer candidates into the verify
+    // join), both LOSSLESS by the AllPairs/PPJoin theorems and checked
+    // on real data by the oracle (the unfiltered all-pairs join):
+    //  - length filter: J ≥ t forces t·|x| ≤ |y| ≤ |x|/t
+    //    (integer cross-multiplied);
+    //  - positional filter: a collision at positions (i, j) of the two
+    //    (df, tok)-sorted lists bounds the overlap by
+    //    min(i,j) − 1 + 1 + min(|x|−i, |y|−j) — shared tokens ordered
+    //    before the collision fit below BOTH positions, those from it
+    //    on fit in the shorter remaining suffix. The bound holds at
+    //    EVERY collision, so a pair survives iff min over its
+    //    collisions reaches α = overlap form of t (inter·(tN+tD) ≥
+    //    tN·(|x|+|y|)); the min-aggregation replaces the old
+    //    .distinct() at the same exchange count.
+    val cand = pref.select(col("id").as("id_a"), col("tok"),
+        col("rnk").as("ra"), col("sz").as("sa"))
+      .join(pref.select(col("id").as("id_b"), col("tok"),
+        col("rnk").as("rb"), col("sz").as("sb")), "tok")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .filter(col("sb") * tDen >= col("sa") * tNum &&
+        col("sa") * tDen >= col("sb") * tNum)
+      .withColumn("_ub", least(col("ra"), col("rb"))
+        + least(col("sa") - col("ra"), col("sb") - col("rb")))
+      .groupBy("id_a", "id_b")
+      .agg(min(col("_ub")).as("_ub"),
+        max(col("sa")).as("sa"), max(col("sb")).as("sb"))
+      .filter(col("_ub") * (tNum + tDen) >= (col("sa") + col("sb")) * tNum)
+      .select("id_a", "id_b")
     val arrs = toks.groupBy("id").agg(collect_set(col("tok")).as("ts")).persist()
     cand
       .join(arrs.select(col("id").as("id_a"), col("ts").as("ta")), "id_a")
@@ -110,17 +135,36 @@ object SetSimJoin {
     val toks = tokens.select(col(idCol).cast("long").as("id"),
       col(tokCol).as("tok"))
     val dfreq = broadcast(toks.groupBy("tok").agg(count(lit(1)).as("df")))
+    // persist ranked (not just the prefix slice): the r13 positional
+    // filter probes the FULL B-side posting list WITH positions, so
+    // the ranked frame feeds both the prefix filter and the probe —
+    // without caching the df-join + window chain runs once per
+    // consumer (AQE ReuseExchange gap)
     val ranked = toks.join(dfreq, "tok")
       .withColumn("rnk",
         row_number().over(Window.partitionBy("id").orderBy("df", "tok")))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+      .persist()
     val pref = ranked.filter(
       col("rnk") <= col("sz") - expr(s"(($tNum * sz) + $tDen - 1) div $tDen") + 1)
-      .select("id", "tok").persist()
-    val cand = pref.select(col("id").as("id_a"), col("tok"))
-      .join(toks.select(col("id").as("id_b"), col("tok")), "tok")
+    // Candidate pruning beyond the A-side prefix filter (r13, guide
+    // §2.3; see jaccardJoin — containment variants, both lossless,
+    // oracle = unfiltered all-pairs): size filter |B| ≥ ⌈t·|A|⌉
+    // (inter ≤ |B|), and the positional collision bound
+    // min(i,j) − 1 + 1 + min(|A|−i, |B|−j) ≥ ⌈t·|A|⌉ folded by min
+    // over a pair's collisions (the min-agg replaces .distinct()).
+    val cand = pref.select(col("id").as("id_a"), col("tok"),
+        col("rnk").as("ra"), col("sz").as("sa"))
+      .join(ranked.select(col("id").as("id_b"), col("tok"),
+        col("rnk").as("rb"), col("sz").as("sb")), "tok")
       .filter(col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .filter(col("sb") * tDen >= col("sa") * tNum)
+      .withColumn("_ub", least(col("ra"), col("rb"))
+        + least(col("sa") - col("ra"), col("sb") - col("rb")))
+      .groupBy("id_a", "id_b")
+      .agg(min(col("_ub")).as("_ub"), max(col("sa")).as("sa"))
+      .filter(col("_ub") * tDen >= col("sa") * tNum)
+      .select("id_a", "id_b")
     val arrs = toks.groupBy("id").agg(collect_set(col("tok")).as("ts")).persist()
     cand
       .join(arrs.select(col("id").as("id_a"), col("ts").as("ta")), "id_a")

@@ -27,9 +27,17 @@ object Sssp {
 
   /** Exact shortest weighted distances from `sources` ("node") over
     * directed `edges` ("src", "dst", "w") — feed both directions for an
-    * undirected graph. Returns (node, dist); dist = 0 for sources. */
+    * undirected graph. Returns (node, dist); dist = 0 for sources.
+    *
+    * `broadcastFrontier` (default true) forces the per-round frontier
+    * broadcast described below. Bellman–Ford frontiers can GROW toward
+    * |V| mid-search on weighted graphs, so callers whose graphs may
+    * outgrow driver/executor memory must pass false — the join then
+    * stays a plain node-keyed shuffle (AQE-sizable), bit-identical
+    * results (SsspSpec pins the fallback path). */
   def shortestPaths(edges: DataFrame, sources: DataFrame,
-                    maxRounds: Int = 60): DataFrame = {
+                    maxRounds: Int = 60,
+                    broadcastFrontier: Boolean = true): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .groupBy("src", "dst").agg(min(col("w")).as("w"))
@@ -59,8 +67,9 @@ object Sssp {
     var improving = state.filter(col("_imp") === 1L).count()
     while (improving > 0 && round < maxRounds) {
       round += 1
-      val fr = broadcast(state.filter(col("_imp") === 1L)
-        .select(col("node").as("src"), col("dist")))
+      val fr0 = state.filter(col("_imp") === 1L)
+        .select(col("node").as("src"), col("dist"))
+      val fr = if (broadcastFrontier) broadcast(fr0) else fr0
       val cand = fr.join(e, "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("d"),
           lit(0L).as("_old"))

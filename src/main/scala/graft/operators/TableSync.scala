@@ -84,10 +84,10 @@ object TableSync {
   }
 
   /** End-to-end reconciliation: digest both snapshots, find dirty
-    * buckets, and run the exact [[ChangeCapture.snapshotDiff]] over
-    * dirty-bucket rows only. `keyH` must reference only `keyCols`.
-    * Output: keyCols ++ (change: I|U|D) — identical to a full
-    * snapshotDiff, computed from a fraction of the data. */
+    * buckets, and run the exact row diff over dirty-bucket rows only.
+    * `keyH` must reference only `keyCols`. Output: keyCols ++ (change:
+    * I|U|D) — identical to a full [[ChangeCapture.snapshotDiff]]
+    * (spec-asserted), computed from a fraction of the data. */
   def syncDiff(oldDf: DataFrame, newDf: DataFrame, keyH: Column,
                rowH: Column, buckets: Int,
                keyCols: Seq[String], cmpCols: Seq[String]): DataFrame = {
@@ -120,11 +120,35 @@ object TableSync {
         col("hi_o") =!= col("hi_n"))
       .select("bucket").persist()
     val b = pmod(keyH, lit(buckets.toLong))
-    // dirty is ≤ buckets rows — broadcast the prune into both scans
-    def prune(df: DataFrame): DataFrame = df
-      .withColumn("_b", b)
+    // Row recovery as ONE side-tagged union + key aggregation (r13
+    // optimization round, guide §2.4 — the digest stage's trick
+    // extended to the diff stage): the previous shape broadcast-pruned
+    // each side separately and full-outer sort-merge-joined them — two
+    // broadcast probe stages, two key exchanges and two sorts plus the
+    // merge. Here both sides union FIRST (no exchange), ONE broadcast
+    // semi-join drops clean-bucket rows, and ONE hash aggregation per
+    // key recovers the side payloads: a key missing on a side has a
+    // NULL side-struct (max over an empty side), which is exactly the
+    // full-outer join's null row — I/U/D classification is unchanged
+    // (TableSyncSpec asserts ≡ ChangeCapture.snapshotDiff on random
+    // diffs). Snapshot inputs are unique per key by contract, so max()
+    // selects THE side row, never a winner among several.
+    def tagRows(df: DataFrame, side: Long) = df.select(
+      (keyCols ++ cmpCols).map(col) :+ b.as("_b") :+ lit(side).as("_s"): _*)
+    val payload = struct(cmpCols.map(col): _*)
+    val agg = tagRows(oldDf, 0L).unionByName(tagRows(newDf, 1L))
       .join(broadcast(dirty), col("_b") === col("bucket"), "left_semi")
-      .drop("_b")
-    ChangeCapture.snapshotDiff(prune(oldDf), prune(newDf), keyCols, cmpCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(when(col("_s") === 0L, payload)).as("_po"),
+        max(when(col("_s") === 1L, payload)).as("_pn"))
+    val anyDiff = cmpCols.map(c => !(col(s"_po.$c") <=> col(s"_pn.$c")))
+      .reduce(_ || _)
+    agg
+      .withColumn("change",
+        when(col("_po").isNull, lit("I"))
+          .when(col("_pn").isNull, lit("D"))
+          .when(anyDiff, lit("U")))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
   }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import java.nio.ByteBuffer
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -130,6 +130,19 @@ object TopKAgg {
         perSession.add(k)
       }
     }
+  }
+
+  /** The raw bounded top-k aggregate as a Column (registers the
+    * session function on first use): array&lt;struct&lt;v,id&gt;&gt; of the top
+    * `k` (value DESC, id ASC) pairs per group. The k-bounded buffer is
+    * what makes it the SKEW-SAFE capped neighbor collector for the
+    * graph operators: a hub key's state never exceeds k entries on any
+    * map partition or in the final merge, where collect_list would
+    * materialize the full neighborhood in one task (guide §2.5). */
+  def topKExpr(spark: SparkSession, k: Int, value: Column,
+               id: Column): Column = {
+    ensureRegistered(spark, k)
+    call_function(s"graft_topk_$k", value, id)
   }
 
   /** Top `k` rows per `groupCol` by (`valueCol` DESC, `idCol` ASC):

@@ -93,6 +93,22 @@ class BpeSpec extends AnyFunSuite {
     assert(got(4) == ((5L, "__total__", "__total__", refTotal)))
   }
 
+  test("trainMerges ≡ driver reference PAST the rebase cadence " +
+      "(rounds > RebaseEvery exercises the checkpoint-and-tail path)") {
+    import spark.implicits._
+    // a diverse corpus that stays mergeable for 12 rounds
+    val texts = Seq("a b c d e f g h i j k l m",
+      "a b c d e f g h", "a b c d", "m l k j i h g f e d c b a",
+      "a a a a a a a a a a", "p q p q p q p q", "q p q p q p",
+      "t h e q u i c k b r o w n f o x", "")
+    val (refMerges, refTotal) = refTrain(texts, 12)
+    val got = Bpe.trainMerges(texts.toDF("text"), "text", rounds = 12)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.take(12).toSeq == refMerges)
+    assert(got(12) == ((13L, "__total__", "__total__", refTotal)))
+  }
+
   test("applyMerges (one-pass encode) ≡ sequential applyMerge folds, " +
       "and learnMerges ≡ trainMerges' merge rows") {
     import spark.implicits._

@@ -61,6 +61,27 @@ class HierarchySpec extends AnyFunSuite {
     }
   }
 
+  test("rootAndDepth/subtreeAgg: shuffled fallbacks (no broadcast hints) are bit-identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val parents = (0 until 120).map(k =>
+      if (k < 3) k.toLong else rnd.nextInt(k).toLong).toArray
+    val nodes = (0 until 120).map(k => (k.toLong, parents(k), k.toLong % 7))
+      .toDF("id", "parent", "v")
+    val rdHint = Hierarchy.rootAndDepth(nodes, "id", "parent")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rdPlain = Hierarchy.rootAndDepth(nodes, "id", "parent",
+        broadcastState = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rdPlain === rdHint)
+    val saHint = Hierarchy.subtreeAgg(nodes, "id", "parent", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val saPlain = Hierarchy.subtreeAgg(nodes, "id", "parent", "v",
+        broadcastJumps = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(saPlain === saHint)
+  }
+
   test("rootAndDepth: a cycle fails the convergence guard instead of looping") {
     import spark.implicits._
     val nodes = Seq((1L, 2L), (2L, 1L)).toDF("id", "parent")

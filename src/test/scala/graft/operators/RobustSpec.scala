@@ -251,6 +251,26 @@ class RobustSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("weightedMedian: multi-band two-level scan ≡ single-window result, " +
+      "negatives and band boundaries included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x3E)
+    // chunkWidth 4 over values in [-20, 30) forces ~12 bands per group,
+    // with exact multiples of the width included (band-edge rows)
+    val rows = for {
+      g <- Seq("a", "b")
+      _ <- 1 to 200
+    } yield (g, (rnd.nextInt(50) - 20).toLong, 1L + rnd.nextInt(9).toLong)
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      val expanded = rs.flatMap(r => Seq.fill(r._3.toInt)(r._2)).sorted
+      g -> ((expanded((expanded.size + 1) / 2 - 1), expanded.size.toLong))
+    }
+    val got = Robust.weightedMedian(rows.toDF("g", "v", "w"), "g", "v", "w",
+        chunkWidth = 4L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+  }
+
   test("weightedMedian: even split picks the lower of the two middles") {
     import spark.implicits._
     // multiset {1,1,9,9}: cum(1)=2, 2*2 >= 4 → wmedian 1

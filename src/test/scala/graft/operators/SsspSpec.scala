@@ -67,6 +67,16 @@ class SsspSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcastFrontier=false (shuffled fallback) is bit-identical") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(160)(
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong, rnd.nextInt(9).toLong + 1))
+    val plain = Sssp.shortestPaths(edges.toDF("src", "dst", "w"),
+        Seq(0L, 1L).toDF("node"), 60, broadcastFrontier = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain === dijkstra(edges, Seq(0L, 1L)))
+  }
+
   test("negative weights raise; non-converged maxRounds raises") {
     intercept[IllegalArgumentException] {
       run(Seq((1L, 2L, -1L)), Seq(1L))
