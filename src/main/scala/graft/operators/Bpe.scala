@@ -103,7 +103,21 @@ object Bpe {
     // pass (one split + one traversal per row, however many merges).
     // BpeSpec asserts applyMerges ≡ the fold of single applyMerge
     // passes, so the training sequence is unchanged.
-    var base = docs.localCheckpoint()
+    //
+    // Scale-adaptive widen BEFORE the checkpoint (the q303/keyDiscovery
+    // protocol, guide §2.5 input starvation; r13 optimization round):
+    // the checkpointed base inherits the SCAN's split count, and a
+    // local ~20 MB corpus = 1–2 splits would serialize EVERY round's
+    // pair-explode + re-merge stage on 1–2 cores. Probing docs.rdd is
+    // safe here per the widen precondition: the caller passes a plain
+    // table projection (scan-only subtree, no upstream exchange to
+    // double-execute). No-op on a real cluster (scan splits ≥ cores);
+    // results unchanged (pair counts and the (cnt DESC, w1, w2) argmax
+    // are partitioning-independent).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val wide = if (docs.rdd.getNumPartitions < par) docs.repartition(par)
+               else docs
+    var base = wide.localCheckpoint()
     var baked = 0 // merges already rewritten into `base`
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     def tail: Seq[(String, String, String)] =

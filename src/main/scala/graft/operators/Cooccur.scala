@@ -40,18 +40,34 @@ object Cooccur {
     postings.join(broadcast(vocab), "term").select("doc", "term")
   }
 
+  /** Unordered co-occurring pair counts over distinct (doc, term)
+    * postings: (a, b, support) with a < b. Pairs explode ROW-LOCALLY
+    * from per-doc sorted term lists built in ONE doc-keyed collect_set
+    * aggregation (r13 optimization round, guide §2.4 — the
+    * witnessFrames adjacency trick): the old self equi-join exchanged
+    * the posting list twice and ran a join stage for the same pair
+    * multiset. The agg buffer is bounded by the per-doc posting count —
+    * ≤ vocabSize after [[vocabPostings]] capping, the same bound that
+    * sized the old join's per-key fan-in; collect_set also absorbs any
+    * remaining duplicate postings exactly like the join's distinct
+    * input did. sort_array + position-slice emits each pair once with
+    * the strict a < b semantics; the slice captures only agg-barrier
+    * outputs (captured-array HOF rule, GlobalPlanAuditSpec-walked). */
+  private def pairSupports(p: DataFrame): DataFrame =
+    p.groupBy("doc").agg(sort_array(collect_set(col("term"))).as("ts"))
+      .select(posexplode(col("ts")).as(Seq("i", "a")), col("ts"))
+      .select(col("a"),
+        explode(slice(col("ts"), col("i") + lit(2),
+          size(col("ts")) - col("i") - lit(1))).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+
   /** Pairs (a < b) of vocabulary terms co-occurring in ≥ `minSupport`
     * docs. Output: (a, b, support), ordered by support desc, a, b. */
   def frequentPairs(docs: DataFrame, idCol: String, textCol: String,
-                    vocabSize: Int, minSupport: Long): DataFrame = {
-    val p = vocabPostings(docs, idCol, textCol, vocabSize)
-    val l = p.select(col("doc"), col("term").as("a"))
-    val r = p.select(col("doc").as("d2"), col("term").as("b"))
-    l.join(r, l("doc") === r("d2") && col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+                    vocabSize: Int, minSupport: Long): DataFrame =
+    pairSupports(vocabPostings(docs, idCol, textCol, vocabSize))
       .filter(col("support") >= minSupport)
       .orderBy(col("support").desc, col("a"), col("b"))
-  }
 
   /** Association rules over the same capped-vocabulary baskets: every
     * frequent pair (a < b) with the exact integer components of both
@@ -66,14 +82,14 @@ object Cooccur {
     * count a 1-row broadcast cross join (the intended J4 pattern). */
   def associationRules(docs: DataFrame, idCol: String, textCol: String,
                        vocabSize: Int, minSupport: Long): DataFrame = {
-    val p = vocabPostings(docs, idCol, textCol, vocabSize)
+    // postings feed the marginal agg AND the pair generator — persist
+    // per the AQE ReuseExchange rule (caller releases, CACHE_POLICY)
+    val p = vocabPostings(docs, idCol, textCol, vocabSize).persist()
     val itemSup = p.groupBy("term").agg(count(lit(1)).as("sup"))
     val baskets = docs.select(col(idCol)).distinct()
       .agg(count(lit(1)).as("n_baskets"))
-    val l = p.select(col("doc"), col("term").as("a"))
-    val r = p.select(col("doc").as("d2"), col("term").as("b"))
-    l.join(r, l("doc") === r("d2") && col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("sup_ab"))
+    pairSupports(p)
+      .withColumnRenamed("support", "sup_ab")
       .filter(col("sup_ab") >= minSupport)
       .join(broadcast(itemSup.select(col("term").as("a"), col("sup").as("sup_a"))), "a")
       .join(broadcast(itemSup.select(col("term").as("b"), col("sup").as("sup_b"))), "b")
@@ -93,13 +109,29 @@ object Cooccur {
     * cross product. */
   def frequentTriples(items: DataFrame, basketCol: String, itemCol: String,
                       minSupport: Long): DataFrame = {
-    val p = items.select(col(basketCol).as("bk"), col(itemCol).as("it"))
-      .distinct()
-    val a = p.select(col("bk"), col("it").as("i1"))
-    val b = p.select(col("bk").as("bk2"), col("it").as("i2"))
-    val c = p.select(col("bk").as("bk3"), col("it").as("i3"))
-    a.join(b, col("bk") === col("bk2") && col("i1") < col("i2"))
-      .join(c, col("bk") === col("bk3") && col("i2") < col("i3"))
+    // Triples explode ROW-LOCALLY from per-basket sorted item lists
+    // built in ONE basket-keyed collect_set aggregation (r13
+    // optimization round, guide §2.4): the old double self-join
+    // exchanged the posting list three times and ran two join stages
+    // for the same triple multiset. collect_set absorbs the distinct;
+    // the agg buffer is bounded by the basket-size contract exactly
+    // like the old join fan-in. Chained position-slices emit each
+    // i1 < i2 < i3 combination once: after picking positions i (0-based
+    // in the sorted list) and j (0-based in the i-suffix), the third
+    // element ranges over 1-based positions i+j+3.. of the list. The
+    // generators capture only agg-barrier outputs (captured-array HOF
+    // rule, GlobalPlanAuditSpec-walked).
+    items.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .groupBy("bk").agg(sort_array(collect_set(col("it"))).as("its"))
+      .filter(size(col("its")) >= 3)
+      .select(posexplode(col("its")).as(Seq("i", "i1")), col("its"))
+      .select(col("i1"),
+        posexplode(slice(col("its"), col("i") + lit(2),
+          size(col("its")) - col("i") - lit(1))).as(Seq("j", "i2")),
+        col("its"), col("i"))
+      .select(col("i1"), col("i2"),
+        explode(slice(col("its"), col("i") + col("j") + lit(3),
+          size(col("its")) - col("i") - col("j") - lit(2))).as("i3"))
       .groupBy("i1", "i2", "i3").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
   }

@@ -119,15 +119,28 @@ object Repetition {
     * position stream — cost Σ positions, no pairing term; "earlier" by
     * id needs no global ordering structure, just the min. */
   def noveltyRate(docs: DataFrame, idCol: String, textCol: String,
-                  n: Int): DataFrame = {
-    val g = grams(docs, idCol, textCol, n).persist() // feeds agg + join
-    val firstSeen = g.groupBy("gram").agg(min("id").as("first_seen"))
-    g.join(firstSeen, "gram")
+                  n: Int): DataFrame =
+    // Positions collapse to distinct (gram, id) COUNTS in the first
+    // map-side-combined aggregation (r13 optimization round, guide
+    // §2.3 shuffle-fewer-bytes): the old shape persisted the raw
+    // position stream and shuffled its full multiplicity by gram into
+    // the first-seen join; here only collapsed pairs cross the
+    // network, the join stage and the persist disappear, and the
+    // per-gram min rides a window ON the pair frame (one gram
+    // exchange — a hot boilerplate gram concentrates its ≤ #docs pair
+    // rows in one window task, the measured-faster trade of the CC
+    // star minima; the old gram-keyed SMJ had the same hot key).
+    // n_grams = Σ npos, n_novel = Σ npos over first-seen grams —
+    // identical position counts.
+    grams(docs, idCol, textCol, n)
+      .groupBy("gram", "id").agg(count(lit(1)).as("npos"))
+      .withColumn("first_seen",
+        min(col("id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("gram")))
       .groupBy(col("id").as("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_seen") === col("id"), 1L).otherwise(0L))
-          .as("n_novel"))
-  }
+      .agg(sum(col("npos")).as("n_grams"),
+        sum(when(col("first_seen") === col("id"), col("npos"))
+          .otherwise(0L)).as("n_novel"))
 
   /** Cross-source contamination matrix: for every pair of sources
     * (src_a < src_b), how many DISTINCT token n-grams they share — the
@@ -136,19 +149,31 @@ object Repetition {
     * and mixture weights double-count). Output (src_a, src_b, shared),
     * ordered; non-overlapping pairs are absent.
     *
-    * Scale design: the gram stream collapses to DISTINCT (source, gram)
-    * FIRST (map-side combined; ≤ one row per source per gram), so the
-    * posting self-join's per-gram fan-out is bounded by #sources² —
-    * #sources is catalog-sized (thousands), never corpus-sized — and
-    * the pair agg combines map-side. The distinct frame is persisted
-    * because the self-join consumes it twice (AQE ReuseExchange rule). */
+    * Scale design (r13 optimization round, guide §2.4 — the
+    * witnessFrames adjacency trick on the gram-posting shape): source
+    * pairs explode ROW-LOCALLY from a per-gram sorted source list built
+    * in ONE gram-keyed collect_set aggregation — the set dedupes
+    * (source, gram) map-side, so the separate distinct AND the posting
+    * self-join (two more gram exchanges + a join stage + the persist
+    * the two consumers forced) disappear; the pair agg still combines
+    * map-side. Per-gram fan-out is unchanged: the source list is
+    * bounded by #sources — catalog-sized (thousands), never
+    * corpus-sized — so the agg buffer and the C(|srcs|,2) local explode
+    * are bounded the same way the old join's per-gram output was.
+    * sort_array + position-slice emits each unordered pair once with
+    * the old strict src_a < src_b semantics. The slice lambda captures
+    * only an agg-barrier output (the captured-array HOF rule;
+    * GlobalPlanAuditSpec walks this plan). */
   def crossSourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
                          n: Int): DataFrame = {
-    val g = grams(docs, srcCol, textCol, n).distinct()
-      .withColumnRenamed("id", "source").persist()
-    g.as("a").join(g.as("b"),
-        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    grams(docs, srcCol, textCol, n)
+      .groupBy("gram").agg(sort_array(collect_set(col("id"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(posexplode(col("srcs")).as(Seq("i", "src_a")), col("srcs"))
+      .select(col("src_a"),
+        explode(slice(col("srcs"), col("i") + lit(2),
+          size(col("srcs")) - col("i") - lit(1))).as("src_b"))
+      .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("shared"))
       .orderBy("src_a", "src_b")
   }
@@ -202,6 +227,12 @@ object Repetition {
                         isRef: Column, n: Int): DataFrame = {
     val ref = grams(docs.filter(isRef), idCol, textCol, n)
       .select("gram").distinct()
+    // NOT collapsed to (gram, id) counts before the join (the
+    // noveltyRate r13 rewrite): measured at sf0.1/32 cores the
+    // pre-agg made q246 WORSE (0.713 → 0.808 s stable-pass medians) —
+    // a bigram stream has ≈ as many distinct (gram, id) pairs as
+    // positions, so the extra exchange buys almost no byte shrink,
+    // unlike noveltyRate where it also replaced a join + persist.
     grams(docs.filter(!isRef), idCol, textCol, n)
       .join(ref.withColumn("known", lit(1L)), Seq("gram"), "left")
       .groupBy(col("id").as("doc_id"))

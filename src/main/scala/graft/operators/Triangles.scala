@@ -46,14 +46,27 @@ object Triangles {
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
       when(uFirst, col("v")).otherwise(col("u")).as("dst"),
       when(uFirst, col("dv")).otherwise(col("du")).as("dd"))
-      .localCheckpoint() // three consumers below
-    val e1 = oriented.select(col("src").as("x"), col("dst").as("y"),
-      col("dd").as("dy"))
-    val e2 = oriented.select(col("src").as("x2"), col("dst").as("z"),
-      col("dd").as("dz"))
-    val wedges = e1.join(e2, col("x") === col("x2") &&
-      (col("dy") < col("dz") ||
-        (col("dy") === col("dz") && col("y") < col("z"))))
+      .localCheckpoint() // two consumers below (wedge agg + closing join)
+    // Wedges explode ROW-LOCALLY from per-source out-adjacency lists
+    // sorted by (dd, dst) — ONE src-keyed exchange where the old
+    // self-join exchanged the oriented list twice and ran a join stage
+    // (r13 optimization round, guide §2.4). Position-slice pairing of
+    // the sorted list emits exactly the old strict wedge order
+    // dy < dz OR (dy = dz AND y < z): entries are distinct per source
+    // (dst is), so lexicographic struct order is strict. The agg
+    // buffer is bounded by the ORIENTED out-degree — O(√m) on any
+    // graph, the same bound that sized the old join's per-key fan-in —
+    // so a hub costs its degree, not degree², exactly as before. The
+    // slice lambda captures only agg-barrier outputs (the
+    // captured-array HOF rule; GlobalPlanAuditSpec walks this plan).
+    val wedges = oriented.groupBy("src")
+      .agg(sort_array(collect_list(struct(col("dd"), col("dst")))).as("nb"))
+      .select(col("src").as("x"), posexplode(col("nb")).as(Seq("i", "ys")),
+        col("nb"))
+      .select(col("x"), col("ys.dst").as("y"),
+        explode(slice(col("nb"), col("i") + lit(2),
+          size(col("nb")) - col("i") - lit(1))).as("zs"))
+      .select(col("x"), col("y"), col("zs.dst").as("z"))
     val closed = wedges.join(
       oriented.select(col("src").as("y2"), col("dst").as("z2")),
       col("y") === col("y2") && col("z") === col("z2"))
