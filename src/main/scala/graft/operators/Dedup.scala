@@ -304,14 +304,29 @@ object Dedup {
                                        assumeDistinct: Boolean = false): DataFrame = {
     val p = if (assumeDistinct) postings.select("id", "shingle")
             else postings.select("id", "shingle").distinct()
+    // Candidate pairs explode ROW-LOCALLY from per-shingle posting
+    // lists (r13 optimization round, guide §2.4 — the SparseSim
+    // cappedPairScores shape): the df cap stays the codegen'd count
+    // aggregation + semi-join, then each rare shingle's ≤ maxDf ids
+    // collect on the join's OWN shingle partitioning (no new exchange;
+    // buffer df-capped upstream, guide §2.5) and pairs slice out
+    // id-ascending — where the old shape re-ran the posting scan +
+    // cap join for the second join side and paid another shingle
+    // exchange + join stage for the same candidate set. The
+    // id_a < id_b filter keeps the strict inequality when duplicated
+    // postings put the same id at two list positions (the
+    // assumeDistinct hazard).
     val rare = p.groupBy("shingle")
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
       .select("shingle")
-    val rp = p.join(rare, Seq("shingle"))
-    val cands = rp.select(col("shingle"), col("id").as("id_a"))
-      .join(rp.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+    val cands = p.join(rare, Seq("shingle"))
+      .groupBy("shingle").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2),
+          size(col("ids")) - col("i") - lit(1))).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .distinct()
     val sizes = p.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = cands
       .join(p.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))

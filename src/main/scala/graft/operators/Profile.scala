@@ -90,7 +90,18 @@ object Profile {
     // effectiveness when 150k rows spread over 32 partitions) and the
     // wall got WORSE (1.63 → 2.05 s) — the opposite trade of
     // keyDiscovery's single 16-way Expand, which has no groupBy to
-    // pre-reduce and did win from widening (r12 optimization round)
+    // pre-reduce and did win from widening (r12 optimization round).
+    // Also NOT checkpoint-shared (r13): materializing the k-column
+    // projection once for the k determinant subtrees measured FLAT
+    // (1.64 → 1.60 s, inside the noise control) — the pruned parquet
+    // re-scans are already cheap. Also NOT fused into a single-pass
+    // masked-struct Expand over determinants (r13 session 2): one scan
+    // and 6 stages instead of k scans and ~19, but the k×(k+1)-way row
+    // blow-up through one exchange measured Σtask 7.4 → 17.1 s and
+    // wall 1.6 → 4.9 s — hashing the (index, k-field struct) group key
+    // per expanded row costs more than the k thin subtrees it saves
+    // (oracle-verified before being REVERTED). Three shapes measured,
+    // three declines: this operator sits in a genuine local optimum.
     cols.map { det =>
       val deps = cols.filterNot(_ == det)
       val cd = deps.map(dep =>

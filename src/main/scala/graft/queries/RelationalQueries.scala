@@ -1907,19 +1907,33 @@ object RelationalQueries {
         |    ON cur.s = prev.s AND cur.m = prev.m + 1)
         |SELECT m, status, count(*) AS n
         |FROM j GROUP BY 1, 2 ORDER BY m, status""".stripMargin) { (s, d) =>
-      val act = lineitem(s, d)
+      // Statuses generate ROW-LOCALLY from each supplier's month set
+      // (r13 optimization round, guide §2.4): ONE supplier-keyed
+      // collect_set aggregation — the set absorbs the old distinct(),
+      // its buffer is calendar-bounded (≤ #months in the dataset, the
+      // same bound that sized the old join's per-key fan-in) — then
+      // per month m: RETAINED iff m−1 ∈ set else NEW, plus CHURNED at
+      // m+1 iff m+1 ∉ set. Provably the full-outer adjacency join's
+      // row multiset (cur-matched / cur-unmatched / prev-unmatched
+      // respectively); the old shape paid the distinct exchange, a
+      // persist materialization and a two-sided (s, m)-keyed
+      // full-outer SMJ for it. Lambdas capture only the agg-barrier
+      // output `ms` (captured-array HOF rule).
+      val acts = lineitem(s, d)
         .select(col("l_suppkey").as("s"),
           (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
             .cast("long").as("m")) // DuckDB year() is BIGINT — match it
-        .distinct()
-        .persist() // both sides of the adjacency self-join
-      val cur = act.select(col("s"), col("m"))
-      val prev = act.select(col("s").as("ps"), (col("m") + 1).as("pm"))
-      cur.join(prev, col("s") === col("ps") && col("m") === col("pm"),
-          "full_outer")
-        .select(coalesce(col("m"), col("pm")).as("m"),
-          when(col("s").isNotNull && col("ps").isNotNull, "RETAINED")
-            .when(col("s").isNotNull, "NEW").otherwise("CHURNED").as("status"))
+        .groupBy("s").agg(collect_set(col("m")).as("ms"))
+      acts
+        .select(explode(concat(
+          transform(col("ms"), m => struct(m.as("m"),
+            when(array_contains(col("ms"), m - 1), "RETAINED")
+              .otherwise("NEW").as("status"))),
+          transform(filter(col("ms"),
+              m => !array_contains(col("ms"), m + 1)),
+            m => struct((m + 1).as("m"),
+              lit("CHURNED").as("status"))))).as("e"))
+        .select(col("e.m").as("m"), col("e.status").as("status"))
         .groupBy("m", "status").agg(count(lit(1)).as("n"))
         .orderBy("m", "status")
     },
