@@ -2181,6 +2181,18 @@ object PipelineQueries {
         .join(broadcast(Tables.nation(s, d)),
           col("n_nationkey") === col("c_nationkey"))
         .select(col("c_custkey"), col("n_name"))
+      // ONE n_name repartition carries everything downstream (r13
+      // optimization round session 2, guide §2.4): the nation totals
+      // ride as whole-partition windows on it, and Streaks' distinct /
+      // window / groupBys are all satisfied by the same hash
+      // partitioning (subset-key clustering) — the old shape paid a
+      // persist materialization, a totals aggregation + broadcast
+      // build and the re-exchanges downstream of the cache for the
+      // same rows. The daily aggregation itself stays keyed
+      // (n_name, day) with map-side combine BEFORE the narrow
+      // repartition, so the nation-count parallelism limit only ever
+      // sees the small daily frame (the q174 lesson), which is
+      // calendar-bounded per nation.
       val daily = Tables.orders(s, d)
         .join(broadcast(cn), col("c_custkey") === col("o_custkey"))
         .groupBy(col("n_name"),
@@ -2188,10 +2200,11 @@ object PipelineQueries {
             .as("day"))
         .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
           .as("cents"))
-        .persist() // feeds totals AND the breach filter
-      val tot = daily.groupBy("n_name")
-        .agg(count(lit(1)).as("nd"), sum("cents").as("total"))
-      val breach = daily.join(broadcast(tot), "n_name")
+        .repartition(col("n_name"))
+      val wN = org.apache.spark.sql.expressions.Window.partitionBy("n_name")
+      val breach = daily
+        .withColumn("nd", count(lit(1)).over(wN))
+        .withColumn("total", sum("cents").over(wN))
         .filter(col("cents") * col("nd") > col("total"))
         .select(col("n_name"), col("day"))
       graft.operators.Streaks.dailyStreaks(breach, "n_name", "day")
