@@ -555,6 +555,29 @@ object BenchScale {
             expr("unix_micros(ts) div 86400000000").as("day")),
           "user_id", "day").count()
       },
+      "churn" -> { k =>
+        // k× users, each with the same calendar-bounded week set: ONE
+        // user-keyed collect_set + row-local RETAINED/NEW/CHURNED
+        // emission (q197's pipeline after the r13 rewrite) — the agg
+        // buffer is calendar-bounded per user, so the axis is
+        // embarrassingly parallel in users and the status explode is
+        // O(#periods) per user
+        val e = spark.read.parquet(s"$scratch/k$k/events.parquet")
+        val acts = e.select(col("user_id").as("s"),
+            expr("unix_micros(ts) div 604800000000").as("m"))
+          .groupBy("s").agg(collect_set(col("m")).as("ms"))
+        acts.select(explode(concat(
+            transform(col("ms"), m => struct(m.as("m"),
+              when(array_contains(col("ms"), m - 1), "RETAINED")
+                .otherwise("NEW").as("status"))),
+            transform(filter(col("ms"),
+                m => !array_contains(col("ms"), m + 1)),
+              m => struct((m + 1).as("m"),
+                lit("CHURNED").as("status"))))).as("e"))
+          .select(col("e.m").as("m"), col("e.status").as("status"))
+          .groupBy("m", "status").agg(count(lit(1)).as("n"))
+          .count()
+      },
       "fifo" -> { k =>
         // per-user receipt ledgers (clicks receive, purchases consume):
         // running window + per-key consumption agg + equi-join back,
