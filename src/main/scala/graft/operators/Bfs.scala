@@ -54,6 +54,18 @@ object Bfs {
     * chain at maxDepth=250 finishes with bounded plan depth). */
   val CheckpointEvery = 20
 
+  /** Auto-fallback ceiling for the per-round frontier broadcast (r12
+    * ADVICE / r13): the loop already counts the frontier every round,
+    * so that count is a free size signal — a frontier above this many
+    * rows takes the shuffled join instead of being collected to the
+    * driver, making the scaladoc's "degrades gracefully" true without
+    * a code edit. 10M one-long rows ≈ 80 MB serialized, well under
+    * the 8 GB / 512M-row broadcast cap; results are identical on
+    * either path (the shuffled form is spec-pinned). [[Sssp]] shares
+    * the constant — its Bellman–Ford frontier can grow toward |V|
+    * mid-search, exactly the cliff this guards. */
+  val BroadcastFrontierMaxRows = 10000000L
+
   /** Hop distances from `sources` ("node" column) over directed
     * `edges` ("src", "dst") — feed both directions for an undirected
     * graph. Returns (node, dist); dist = 0 for sources, minimal hop
@@ -88,8 +100,9 @@ object Bfs {
       // counting through the uncheckpointed plan loses codegen'd
       // aggregation locality.)
       val fr = frontier.select(col("node").as("src"))
+      val bc = broadcastFrontier && frontierSize <= BroadcastFrontierMaxRows
       val next = Iterate.materialize(
-        (if (broadcastFrontier) broadcast(fr) else fr).join(e, "src")
+        (if (bc) broadcast(fr) else fr).join(e, "src")
           .select(col("dst").as("node"), lit(0L).as("_vis"))
           .unionByName(dist.select(col("node"), lit(1L).as("_vis")))
           .groupBy("node").agg(max(col("_vis")).as("_vis"))

@@ -128,9 +128,15 @@ object Hierarchy {
                  broadcastJumps: Boolean = true): DataFrame = {
     // broadcastJumps = false drops the per-round broadcast hints (see
     // rootAndDepth — the live-pointer set is node-bounded but a caller
-    // whose forest outgrows memory needs the shuffled fallback).
-    def hint(df: DataFrame): DataFrame =
-      if (broadcastJumps) broadcast(df) else df
+    // whose forest outgrows memory needs the shuffled fallback). On
+    // top of the flag, the hint AUTO-drops past
+    // [[Bfs.BroadcastFrontierMaxRows]] using the loop's own per-round
+    // jump count (free signal, r13) — both hint sites broadcast the
+    // current jump/j2 set, whose count the convergence check just
+    // computed, so "degrades gracefully" holds without a code edit.
+    def hint(df: DataFrame, rows: Long): DataFrame =
+      if (broadcastJumps && rows <= Bfs.BroadcastFrontierMaxRows)
+        broadcast(df) else df
     val isRoot = col(parentCol).isNull || col(parentCol) === col(idCol)
     val n = Iterate.materialize(nodes.select(
       col(idCol).cast("long").as("id"),
@@ -166,7 +172,8 @@ object Hierarchy {
       // distance exactly 2^rounds
       val j2 = Iterate.materialize(
         jump.select(col("desc"), col("anc").as("mid"))
-          .join(hint(jump.select(col("desc").as("mid"), col("anc"))),
+          .join(hint(jump.select(col("desc").as("mid"), col("anc")),
+              jumpCnt),
             "mid")
           .select("desc", "anc"))
       jumpCnt = j2.count()
@@ -174,7 +181,7 @@ object Hierarchy {
         // new band [2^rounds, 2^{rounds+1}) = j2 ∘ (id ∪ clo-so-far);
         // unique binary decomposition ⇒ no duplicates, no distinct
         val band = j2.unionByName(
-          hint(j2.select(col("desc"), col("anc").as("mid")))
+          hint(j2.select(col("desc"), col("anc").as("mid")), jumpCnt)
             .join(clo.select(col("desc").as("mid"), col("anc")), "mid")
             .select("desc", "anc"))
         clo = Iterate.materialize(clo.unionByName(band))

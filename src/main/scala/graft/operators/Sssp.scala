@@ -69,7 +69,12 @@ object Sssp {
       round += 1
       val fr0 = state.filter(col("_imp") === 1L)
         .select(col("node").as("src"), col("dist"))
-      val fr = if (broadcastFrontier) broadcast(fr0) else fr0
+      // auto-fallback on the loop's own frontier count (free signal):
+      // Bellman–Ford frontiers grow toward |V| mid-search, so past
+      // [[Bfs.BroadcastFrontierMaxRows]] the hint is dropped at
+      // runtime — identical results, shuffled path spec-pinned
+      val fr = if (broadcastFrontier && improving <= Bfs.BroadcastFrontierMaxRows)
+        broadcast(fr0) else fr0
       val cand = fr.join(e, "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("d"),
           lit(0L).as("_old"))
